@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession defaults for the engine.
+  *
+  * Scale notes (100 TB target):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replaces hand-tuned partition counts when data volume varies 1000x.
+  *  - `shuffle.partitions` here is a local-mode default; on a real cluster it
+  *    is AQE's initial value and should be ~2-3x total executor cores.
+  *  - Nanosecond parquet timestamps (events.ts) are read as epoch-nano longs
+  *    (`nanosAsLong`) — Spark has no TIMESTAMP(NANOS) type; all event-time
+  *    logic operates on int64 nanos and converts explicitly.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      .config("spark.ui.enabled", "false")
+
+  /** Apply engine-required confs to an externally-built session (driver owns
+    * the session in Verify/Bench; these are safe to set at runtime). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** North-star relational analytics over the star schema (SURVEY.md §7 item
+  * 6): grouped aggregation, rollup, broadcast/shuffle joins, semi/anti
+  * joins, window ranking and running totals, event-time bucketing and
+  * sessionization.
+  *
+  * Scale notes:
+  *  - dimension joins (`region`/`nation`/`supplier`/`customer`) are
+  *    broadcast explicitly — at 100 TB the fact side never shuffles for
+  *    these;
+  *  - aggregations are partial/final hash aggs (map-side combine) by
+  *    construction — no distinct-heavy plans where a sort would do;
+  *  - event-time logic runs on epoch-nano longs (see GraftSession) — cheap
+  *    integer math, no timezone re-binding per row.
+  */
+object RelationalQueries {
+  import QueryDef._
+
+  private val dec = DecimalType(18, 4)
+  // Exact revenue term: price * (1 - discount) in DECIMAL, summed exactly.
+  private def revenueTerm =
+    col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // TPC-H Q1 shape: single-pass grouped aggregation with exact-decimal
+    // sums; the filter must push to parquet.
+    "q1_pricing_summary" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(revenueTerm).cast("double").as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               ${DSUM.format("l_quantity")} AS sum_qty,
+               ${DSUM.format("l_extendedprice")} AS sum_base_price,
+               CAST(sum($revenueSql) AS DOUBLE) AS sum_disc_price,
+               ${DSUM.format("l_quantity")} / count(l_quantity) AS avg_qty,
+               ${DSUM.format("l_discount")} / count(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // TPC-H Q3 shape: 3-way join, broadcast dimension, grouped top-k.
+    "q3_top_revenue" -> QueryDef(
+      fn = (s, d) => {
+        val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, d, "orders")
+          .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val li = t(s, d, "lineitem")
+          .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        li.join(broadcast(ord.join(broadcast(cust),
+            col("o_custkey") === col("c_custkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_odate"))
+          .agg(sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      oracle = Some(s"""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_odate,
+               CAST(sum($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      bench = true),
+
+    // TPC-H Q5 shape: 6-way star join, every dimension broadcast.
+    "q5_local_supplier" -> QueryDef(
+      fn = (s, d) => {
+        val region = t(s, d, "region").where(col("r_name") === "ASIA")
+        val nation = t(s, d, "nation")
+        val cust = t(s, d, "customer")
+        val supp = t(s, d, "supplier")
+        val ord = t(s, d, "orders").where(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val li = t(s, d, "lineitem")
+        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust),
+            col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      oracle = Some(s"""
+        SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+      bench = true),
+
+    // ROLLUP grouping sets; NULLS FIRST pinned on both sides (Spark default
+    // asc = nulls first, DuckDB default = nulls last).
+    "agg_rollup" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ${DSUM.format("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Exact distinct aggregation (expand + two-phase agg in Spark).
+    "agg_distinct" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Semi join: customers having at least one urgent order (EXISTS).
+    "join_semi" -> QueryDef(
+      fn = (s, d) => {
+        val urgent = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+        t(s, d, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // Anti join: customers with no urgent orders (NOT EXISTS).
+    "join_anti" -> QueryDef(
+      fn = (s, d) => {
+        val urgent = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+        t(s, d, "customer")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // Window ranking: top-3 orders per customer, fully tie-broken.
+    "window_topk_per_group" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rnk")
+      },
+      oracle = Some("""
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders)
+        WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
+
+    // Window running total (frame: unbounded preceding → current row).
+    // (l_orderkey, l_linenumber) is NOT unique in this generator — the sort
+    // must be a total order or the running sum is nondeterministic.
+    "window_running_sum" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_quantity"), col("l_extendedprice"))
+          .withColumn("running_qty", sum(col("l_quantity")).over(w))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+            "l_extendedprice")
+      },
+      oracle = Some("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice,
+               sum(l_quantity) OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""")),
+
+    // Event-time bucketing on epoch-nano longs (ns parquet → bigint scan).
+    "events_hourly" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "events")
+          // integer `div`, NOT `/`: epoch-nanos exceed 2^53, double division
+          // would round the quotient's inputs
+          .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+          .groupBy("hour_bucket", "event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("hour_bucket", "event_type"),
+      oracle = Some(s"""
+        SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket, event_type,
+               count(*) AS n, ${DSUM.format("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""),
+      bench = true),
+
+    // Gap-based sessionization: lag + cumulative session counter — the
+    // batch analog of streaming session windows (30 min gap).
+    "events_sessionize" -> QueryDef(
+      fn = (s, d) => {
+        // DuckDB truncates parquet TIMESTAMP_NS to µs on read, so the
+        // portable event-time domain is epoch-micros on both sides.
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+            col("event_id"), col("value"))
+          .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts_us") - col("prev_ts") > lit(1800000000L), lit(1))
+              .otherwise(lit(0)))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ev.groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+                 lag(epoch_us(ts)) OVER w AS prev_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        flagged AS (
+          SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM ev),
+        sessions AS (
+          SELECT *, CAST(sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               ${DSUM.format("value")} AS sum_value
+        FROM sessions GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""),
+      bench = true)
+  )
+}

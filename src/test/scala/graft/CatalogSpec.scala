@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Catalog
+
+/** Export → import round-trip + metadata export
+  * (reference: hive_exporter_spark2.py / hive_importer_spark2.py /
+  * hive_metadata_exporter.py). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("export list parser skips blanks and non-qualified names") {
+    val content = "db1.t1\n\n  db2.t2  \nnodot\ndb3.t3\n"
+    assert(Catalog.parseExportList(content) == Seq("db1.t1", "db2.t2", "db3.t3"))
+  }
+
+  test("export -> import round-trip preserves data") {
+    val out = Files.createTempDirectory("graft-export").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS exp_src")
+    spark.read.parquet(TestSpark.sf("sf0.001") + "/nation.parquet")
+      .write.mode("overwrite").saveAsTable("exp_src.nation")
+    Catalog.exportTables(spark, Seq("exp_src.nation"), out)
+
+    spark.sql("DROP TABLE exp_src.nation")
+    val imported = Catalog.importTables(spark, out)
+    assert(imported == Seq("exp_src.nation"))
+    assert(spark.table("exp_src.nation").count() == 25)
+    spark.sql("DROP DATABASE exp_src CASCADE")
+  }
+
+  test("metadata export emits SHOW CREATE TABLE per table, upsert keeps latest") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS meta_src")
+    spark.range(3).toDF("id").write.mode("overwrite").saveAsTable("meta_src.m1")
+    val v1 = Catalog.exportMetadata(spark, Some(Seq("meta_src")), extractTs = 100L)
+    assert(v1.count() == 1)
+    val row = v1.head()
+    assert(row.db_name == "meta_src" && row.tbl_name == "m1")
+    assert(row.createstmt.toUpperCase.contains("CREATE TABLE"))
+
+    val v2 = Catalog.exportMetadata(spark, Some(Seq("meta_src")), extractTs = 200L)
+    val merged = Catalog.upsertMetadata(spark, v1.toDF(), v2)
+    assert(merged.count() == 1)
+    assert(merged.select("extract_ts").as[Long].head() == 200L)
+    spark.sql("DROP DATABASE meta_src CASCADE")
+  }
+}
