@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Deduplication queries over `documents` (north-star): exact, MinHash+LSH
+  * with exact-Jaccard verification, SimHash/Hamming. The oracle SQL mirrors
+  * the same md5-derived hashes, band layout and thresholds, so candidate
+  * generation is verified end-to-end, not just the final filter. */
+object DedupQueries {
+  import QueryDef._
+
+  // Shared CTE fragments (kept in one place so the three oracles agree).
+  private val shingleCte = s"""
+    sh AS (
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), ${Dedup.ShingleSize}) AS shingle
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - ${Dedup.ShingleSize - 1}))
+                     AS i
+            FROM documents WHERE length(text) >= ${Dedup.ShingleSize}))"""
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup by canonical fingerprint: keeper id + copy count per
+    // distinct content.
+    "dedup_exact" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("fp")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("keep_id"),
+      oracle = Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY keep_id""")),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8.
+    "dedup_minhash_lsh" -> QueryDef(
+      fn = (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8),
+      oracle = Some(s"""
+        WITH $shingleCte,
+        mh AS (
+          SELECT doc_id, s,
+                 min(CAST('0x' || substr(md5(shingle || '|' || CAST(s AS VARCHAR)), 1, 15)
+                     AS BIGINT)) AS m
+          FROM sh, range(0, ${Dedup.NumHashes}) r(s)
+          GROUP BY doc_id, s),
+        bands AS (
+          SELECT doc_id, s // 4 AS band,
+                 concat_ws('-',
+                   CAST(max(CASE WHEN s % 4 = 0 THEN m END) AS VARCHAR),
+                   CAST(max(CASE WHEN s % 4 = 1 THEN m END) AS VARCHAR),
+                   CAST(max(CASE WHEN s % 4 = 2 THEN m END) AS VARCHAR),
+                   CAST(max(CASE WHEN s % 4 = 3 THEN m END) AS VARCHAR)) AS band_key
+          FROM mh GROUP BY doc_id, s // 4),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.doc_a
+          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b,
+               round(i.i / (na.n + nb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON i.doc_a = na.doc_id
+        JOIN sizes nb ON i.doc_b = nb.doc_id
+        WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.8
+        ORDER BY doc_a, doc_b"""),
+      bench = true),
+
+    // SimHash near-dup pairs: 48-bit simhash, 4x12-bit LSH bands,
+    // Hamming <= 3.
+    "dedup_simhash" -> QueryDef(
+      fn = (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 3),
+      oracle = Some("""
+        WITH words AS (
+          SELECT DISTINCT doc_id, w
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+                FROM documents)
+          WHERE w <> ''),
+        hashed AS (
+          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
+          FROM words),
+        votes AS (
+          SELECT doc_id, b,
+                 sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM hashed, range(0, 48) r(b)
+          GROUP BY doc_id, b),
+        sims AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0
+                               THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                               ELSE 0 END) AS BIGINT) AS simhash
+          FROM votes GROUP BY doc_id),
+        banded AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> CAST(band * 12 AS INT)) & 4095 AS band_val
+          FROM sims, range(0, 4) r(band)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS h_a, b.simhash AS h_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+        ORDER BY doc_a, doc_b"""))
+  )
+}

@@ -5,7 +5,10 @@ package graft.queries
 object Registry {
   def all: Map[String, QueryDef] =
     IngestQueries.defs ++
-      RelationalQueries.defs
+      RelationalQueries.defs ++
+      TextQueries.defs ++
+      DedupQueries.defs ++
+      SimilarityQueries.defs
 
   def benchQueries: Map[String, QueryDef] = all.filter(_._2.bench)
 }

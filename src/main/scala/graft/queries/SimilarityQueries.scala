@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over `embeddings` (north-star): brute-force cosine
+  * top-k as the verified baseline, a kNN self-join, and threshold pairs.
+  * The LSH-bucketed ANN scale path lives in graft.sim.Ann (rows-only /
+  * ScalaTest recall-checked — a random-projection index has no SQL oracle).
+  */
+object SimilarityQueries {
+  import QueryDef._
+
+  private def cosSql(a: String, b: String) = VectorOps.cosineSql(a, b)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Brute-force cosine top-10 for one query vector: the exact baseline
+    // every ANN variant is measured against. Query side is broadcast.
+    "sim_topk_bruteforce" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        emb.where(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            VectorOps.cosineRounded(col("embedding"), col("q_emb")).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      oracle = Some(s"""
+        SELECT e.vec_id,
+               round(${cosSql("e.embedding", "q.embedding")}, 6) AS score
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id LIMIT 10""")),
+
+    // kNN join: top-3 neighbors for each of the first 20 vectors. The
+    // query side (small) is broadcast; candidates never shuffle until the
+    // per-query top-k window.
+    "sim_knn_join" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val q = emb.where(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("c_id"))
+        c.join(broadcast(q), col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"),
+            VectorOps.cosineRounded(col("c_emb"), col("q_emb")).as("score"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .select("q_id", "rnk", "c_id", "score")
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(s"""
+        SELECT q_id, rnk, c_id, score
+        FROM (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                     round(${cosSql("c.embedding", "q.embedding")}, 6) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(${cosSql("c.embedding", "q.embedding")}, 6) DESC,
+                                c.vec_id) AS rnk
+              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 20)
+        WHERE rnk <= 3 ORDER BY q_id, rnk"""),
+      bench = true),
+
+    // Embedding near-dup pairs above a cosine threshold (all-pairs at this
+    // scale; the 100 TB path buckets by LSH sign bits first — see
+    // graft.sim.Ann).
+    "dedup_embedding_cos" -> QueryDef(
+      fn = (s, d) => {
+        val a = t(s, d, "embeddings")
+          .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+        val b = t(s, d, "embeddings")
+          .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            VectorOps.cosineRounded(col("emb_a"), col("emb_b")).as("score"))
+          .where(col("score") >= 0.45)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.45
+        ORDER BY id_a, id_b"""))
+  )
+}

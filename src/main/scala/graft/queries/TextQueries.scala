@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Text-analysis queries over `documents` (north-star: token counting,
+  * quality scoring, language ID, fingerprinting). Oracle SQL is generated
+  * from the same stopword spec as the Spark expressions, so the two can't
+  * drift. */
+object TextQueries {
+  import QueryDef._
+
+  /** DuckDB token/hit counters (Spark side uses regexp_count). */
+  private def hitsSql(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+  private val tokSql = "len(regexp_extract_all(text, '\\S+'))"
+  private val alphaSql = "len(regexp_extract_all(text, '[a-z]'))"
+
+  /** The language-ID CASE chain, generated from TextAnalysis.LangStopwords
+    * with the same precedence-on-ties order. */
+  private val langCaseSql: String = {
+    val scores = TextAnalysis.LangStopwords.map { case (lang, ws) => lang -> hitsSql(ws) }
+    val branches = scores.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      val later = scores.drop(i + 1).map(_._2)
+      s"WHEN ${later.map(o => s"$s >= $o").mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${TextAnalysis.LangStopwords.last._1}' END"
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Token counting: \S+ runs + alpha chars + mean token length.
+    "text_stats" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        docs.select(
+          col("doc_id"),
+          col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.alphaCount(col("text")).cast("long").as("n_alpha"),
+          round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, n_chars,
+               CAST($tokSql AS BIGINT) AS n_tokens,
+               CAST($alphaSql AS BIGINT) AS n_alpha,
+               round(CAST($alphaSql AS DOUBLE) / $tokSql, 6) AS avg_token_len
+        FROM documents ORDER BY doc_id"""),
+      bench = true),
+
+    // Quality scoring: stopword fraction + length band, branch-free.
+    "text_quality" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id,
+               round(CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+                     / $tokSql, 6) AS stopword_ratio,
+               round(CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+                       / $tokSql * 0.5
+                     + least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.5,
+                     6) AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // Language ID: stopword-hit argmax with fixed tie precedence.
+    "text_langid" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.langId(lower(col("text"))).as("lang_pred"))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        SELECT doc_id, lang, $langCaseSql AS lang_pred
+        FROM documents ORDER BY doc_id""")),
+
+    // Canonical fingerprint: md5 over normalized text.
+    "text_fingerprint" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id"""))
+  )
+}

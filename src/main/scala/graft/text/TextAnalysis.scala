@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for large-scale training-data pipelines: token
+  * counting, quality scoring, n-gram language ID, document fingerprinting.
+  *
+  * All builders are pure `Column` expressions over built-in (codegen'd)
+  * functions — no UDFs — so they stay inside WholeStageCodegen and scale
+  * linearly with the scan. Regex-based counters use patterns portable
+  * between Java regex (Spark) and RE2 (DuckDB oracle).
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count: number of maximal \S+ runs. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** Count of alphabetic characters. */
+  def alphaCount(text: Column): Column = regexp_count(text, lit("[a-z]"))
+
+  /** Hits of any word in `words` (case-sensitive; lower() upstream). */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Tiny per-language stopword lists for the n-gram language-ID heuristic.
+    * Order is the deterministic tie-break precedence. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "zh" -> Seq("de", "shi", "zai", "le", "wo", "you"))
+
+  /** Language-ID by stopword-hit argmax with fixed precedence on ties. */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (lang, words) => lang -> wordHits(text, words) }
+    scores.zipWithIndex.foldRight(lit(LangStopwords.last._1)) {
+      case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        val isMax = laterScores.foldLeft(lit(true))((acc, other) => acc && score >= other)
+        when(isMax, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Mean token length = alpha chars / tokens (this corpus has no
+    * punctuation, so alpha ≈ non-space). */
+  def avgTokenLen(text: Column): Column =
+    alphaCount(text).cast("double") / tokenCount(text)
+
+  /** Stopword fraction of tokens (English list). */
+  def stopwordRatio(text: Column): Column =
+    wordHits(text, LangStopwords.head._2).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: stopword presence + length band.
+    * Deliberately simple and branch-free; weights are part of the spec. */
+  def qualityScore(text: Column): Column =
+    round(
+      stopwordRatio(text) * lit(0.5) +
+        least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5),
+      6)
+
+  /** Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text. Exact-dedup key robust to formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

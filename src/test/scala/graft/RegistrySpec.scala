@@ -12,7 +12,10 @@ class RegistrySpec extends AnyFunSuite {
   test("no name collisions across query slices") {
     val maps = Seq(
       graft.queries.IngestQueries.defs,
-      graft.queries.RelationalQueries.defs)
+      graft.queries.RelationalQueries.defs,
+      graft.queries.TextQueries.defs,
+      graft.queries.DedupQueries.defs,
+      graft.queries.SimilarityQueries.defs)
     val total = maps.map(_.size).sum
     assert(Registry.all.size == total, "duplicate query names across slices")
   }
