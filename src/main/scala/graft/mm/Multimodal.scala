@@ -1,0 +1,76 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media item: opaque bytes + typed metadata — the multimodal column
+  * convention (image/audio/video as `binary`, never parsed by Catalyst). */
+final case class MediaRow(
+    media_id: Long, media: Array[Byte], format: String, n_bytes: Long)
+
+/** Extracted per-item features (from the decode stage). */
+final case class MediaFeatures(
+    media_id: Long, n_bytes: Long, features: Array[Float])
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Real decoders (JPEG/audio/video) are NOT available in this environment,
+  * so the decode kernel is a clearly-marked deterministic STUB; everything
+  * around it — the binary schema, the per-partition batch iteration, the
+  * feature schema, the frame-sampling slice logic — is the real Spark
+  * shape a production decoder drops into.
+  *
+  * Scale notes: the decode stage is `mapPartitions` over a typed Dataset,
+  * i.e. one task per input split with sequential batch processing inside —
+  * the JVM analog of PySpark's `mapInPandas` batching. Binary columns ride
+  * parquet as-is; metadata columns stay columnar and prunable, so filters
+  * on format/size never touch the bytes.
+  */
+object Multimodal {
+
+  /** Wrap an opaque-bytes column + metadata into the media schema. The test
+    * corpus has no real media, so bytes come from the documents table. */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("media"),
+      concat(lit("fake/"), col("lang")).as("format"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** STUB decode kernel: a real implementation would decode the bytes
+    * (image pixels / audio samples) here. The fake is deterministic — a
+    * 16-bin byte histogram, L1-normalized — so tests can assert exact
+    * values while the pipeline shape stays production-real. */
+  private[mm] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) % 16) += 1f; i += 1 }
+    val n = math.max(bytes.length, 1).toFloat
+    var j = 0
+    while (j < 16) { hist(j) /= n; j += 1 }
+    hist
+  }
+
+  /** Decode/feature-extract stage: per-partition batch iteration (the spot
+    * where a real decoder library is initialized once per task, not once
+    * per row). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-task init of the (stub) decoder happens here
+        rows.map(r => MediaFeatures(r.media_id, r.n_bytes, decodeStub(r.media)))
+      }
+  }
+
+  /** Frame sampling: slice the payload into `n` evenly-spaced fixed-size
+    * chunks ("frames") — pure column expressions, no kernel needed. */
+  def sampleFrames(media: DataFrame, n: Int, frameBytes: Int): DataFrame =
+    media
+      .withColumn("frame_no", explode(expr(s"sequence(0, ${n - 1})")))
+      .withColumn("offset",
+        (col("frame_no") * greatest(col("n_bytes") - frameBytes, lit(1L)) / lit(math.max(n - 1, 1)))
+          .cast("long") + 1)
+      .withColumn("frame", expr(s"substring(media, offset, $frameBytes)"))
+      .select("media_id", "frame_no", "offset", "frame")
+}

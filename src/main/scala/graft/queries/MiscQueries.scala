@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.mm.Multimodal
+import graft.sim.Ann
+
+/** Rows-only / mixed queries: LSH-ANN (no SQL oracle — random-projection
+  * index), multimodal binary plumbing, sketch aggregates, and the native
+  * rolling-hash fingerprint. Oracle provided where DuckDB can express the
+  * same computation. */
+object MiscQueries {
+  import QueryDef._
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ANN via sign-random-projection LSH + multiprobe: the scale path for
+    // sim_knn_join. Rows-only here; AnnSpec checks recall vs brute force.
+    "sim_ann_lsh" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Ann.topKApprox(emb, emb.where(col("vec_id") < 20), k = 3)
+      },
+      oracle = None,
+      bench = true),
+
+    // Multimodal metadata pass: binary payload size + content hash; the
+    // bytes themselves never leave the scan for this query shape.
+    "mm_bytes" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.mediaTable(t(s, d, "documents"))
+          .select(col("media_id"), col("format"), col("n_bytes"),
+            md5(col("media").cast("string")).as("content_hash"))
+          .orderBy("media_id"),
+      oracle = Some("""
+        SELECT doc_id AS media_id, 'fake/' || lang AS format,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents ORDER BY media_id""")),
+
+    // Frame sampling over binary payloads (rows-only; MultimodalSpec
+    // asserts the slice arithmetic).
+    "mm_frame_sample" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.sampleFrames(
+          Multimodal.mediaTable(t(s, d, "documents")), n = 4, frameBytes = 16)
+          .select(col("media_id"), col("frame_no"), col("offset"),
+            octet_length(col("frame")).cast("long").as("frame_bytes"))
+          .orderBy("media_id", "frame_no"),
+      oracle = None),
+
+    // HLL sketch distinct (no oracle: sketch internals differ per engine;
+    // SketchSpec bounds the error against exact counts).
+    "agg_approx_distinct" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = None),
+
+    // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
+    // O(len) winnowing fingerprint, the scale path for shingle hashing.
+    "text_rolling_fp" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), expr("rolling_hash_min(text, 8)").as("rfp"))
+          .orderBy("doc_id"),
+      oracle = None)
+  )
+}

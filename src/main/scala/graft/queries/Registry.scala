@@ -8,7 +8,8 @@ object Registry {
       RelationalQueries.defs ++
       TextQueries.defs ++
       DedupQueries.defs ++
-      SimilarityQueries.defs
+      SimilarityQueries.defs ++
+      MiscQueries.defs
 
   def benchQueries: Map[String, QueryDef] = all.filter(_._2.bench)
 }

@@ -1,0 +1,91 @@
+package graft.sim
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate nearest-neighbor search: sign-random-projection LSH over an
+  * `array<float>` embedding column.
+  *
+  * The 100 TB shape: bucket the corpus ONCE by `numPlanes` hyperplane sign
+  * bits (a linear scan producing a small int key), write it partitioned/
+  * bucketed by that key, then answer queries by joining only against the
+  * probed buckets (the query's bucket plus all buckets within Hamming
+  * distance `probeRadius`). Candidate volume is corpus/2^planes per probe —
+  * the brute-force O(N·Q) cross join never happens.
+  *
+  * Hyperplanes are ±1 Rademacher vectors from a fixed seed, so the index is
+  * reproducible across runs and engines; dot products against them use the
+  * same fold as VectorOps (codegen'd higher-order functions, no UDF).
+  */
+object Ann {
+
+  /** Deterministic ±1 hyperplanes: `numPlanes` x `dim`. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Bucket id column: bit h = sign(v · plane_h). */
+  def bucketCol(emb: Column, planes: Array[Array[Double]]): Column = {
+    val v = emb.cast("array<double>")
+    planes.zipWithIndex.map { case (p, h) =>
+      val dot = aggregate(
+        zip_with(v, lit(p), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** All bucket ids within Hamming distance <= radius of each vector's own
+    * bucket (multi-probe): the query-side expansion. */
+  def probeBuckets(bucket: Column, numPlanes: Int, radius: Int): Column = {
+    require(radius >= 0 && radius <= 2, "probeRadius 0..2 supported")
+    val flips: Seq[Column] = Seq(bucket) ++
+      (if (radius >= 1) (0 until numPlanes).map(h => bucket.bitwiseXOR(lit(1L << h)))
+       else Nil) ++
+      (if (radius >= 2)
+         for { i <- 0 until numPlanes; j <- (i + 1) until numPlanes }
+           yield bucket.bitwiseXOR(lit((1L << i) | (1L << j)))
+       else Nil)
+    array(flips: _*)
+  }
+
+  /** Corpus indexed by bucket. At scale: persist this partitioned by
+    * `bucket` (or bucketed via `bucketBy`) and reuse across query batches. */
+  def index(corpus: DataFrame, planes: Array[Array[Double]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("c_id"), col(embCol).as("c_emb"),
+      bucketCol(col(embCol), planes).as("bucket"))
+
+  /** Approximate top-k: probe-bucket join + per-query top-k window.
+    * Exact cosine is computed only on candidates that share a probed
+    * bucket. */
+  def topKApprox(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      probeRadius: Int = 1,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val idx = index(corpus, planes)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe",
+        explode(probeBuckets(bucketCol(col("q_emb"), planes), numPlanes, probeRadius)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    idx.join(q, col("bucket") === col("probe") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorOps.cosineRounded(col("c_emb"), col("q_emb")).as("score"))
+      .distinct() // a candidate can match several probes
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "score")
+      .orderBy("q_id", "rnk")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming analog of the reference's polling incremental
+  * ingestion (SURVEY.md §2 Streaming / §7 item 6).
+  *
+  * The reference's "incremental" is repeated batch with a sink-derived
+  * watermark and strict-`>` filter that silently drops late rows
+  * (/root/reference/spark_loaders.py:153-158). The streaming re-derivation
+  * makes both halves first-class:
+  *  - the watermark is engine-managed (`withWatermark`) instead of a
+  *    max() probe against the sink;
+  *  - lateness is an explicit, bounded policy instead of silent loss.
+  *
+  * Works on the events schema with `ts` as epoch-nano BIGINT (see
+  * GraftSession): event time is exposed as a real timestamp via
+  * `timestamp_micros(ts DIV 1000)`.
+  */
+object StreamingIngest {
+
+  /** File-source stream of tagged events — the streaming form of
+    * incremental append: every new file under `dir` is a delta batch; the
+    * ingest tag is the batch's processing marker. */
+  def appendStream(
+      spark: SparkSession, dir: String, schema: StructType, tag: String,
+      tagColumn: String = "dl_ingest_date"): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn(tagColumn, lit(tag))
+
+  /** Event-time tumbling-window counts with bounded lateness. */
+  def windowedCounts(
+      events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Streaming exact dedup on a key with bounded state: the streaming form
+    * of the reference's reconcile — duplicates beyond the lateness horizon
+    * age out of state instead of accumulating forever. */
+  def dedupStream(
+      events: DataFrame, keyCols: Seq[String],
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicates(keyCols :+ "event_time")
+
+  /** Memory-sink writer used by tests to drive a stream synchronously. */
+  def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("memory").queryName(name).outputMode(outputMode)
+}

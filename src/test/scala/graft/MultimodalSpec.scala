@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.mm.Multimodal
+import graft.sources.Tables
+
+/** Multimodal plumbing: binary schema, stub decode determinism, frame
+  * slicing arithmetic. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val media =
+    Multimodal.mediaTable(Tables.load(spark, TestSpark.sf("sf0.001"), "documents"))
+
+  test("media table: binary payload with prunable metadata") {
+    val schema = media.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("media") == "binary")
+    assert(schema("n_bytes") == "bigint")
+    assert(media.where($"n_bytes" <= 0).count() == 0)
+  }
+
+  test("stub decode: deterministic, L1-normalized 16-bin features") {
+    val feats = Multimodal.extractFeatures(spark, media.limit(50)).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3, "histogram not normalized")
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(spark, media.limit(50)).collect()
+    assert(feats.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("frame sampling: n frames per item, within payload bounds") {
+    val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
+    val counts = frames.groupBy("media_id").count().select("count").distinct()
+      .as[Long].collect().toSeq
+    assert(counts == Seq(4L))
+    val bad = frames
+      .withColumn("flen", octet_length($"frame"))
+      .where($"flen" <= 0 || $"flen" > 16)
+    assert(bad.count() == 0)
+  }
+}

@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
       graft.queries.RelationalQueries.defs,
       graft.queries.TextQueries.defs,
       graft.queries.DedupQueries.defs,
-      graft.queries.SimilarityQueries.defs)
+      graft.queries.SimilarityQueries.defs,
+      graft.queries.MiscQueries.defs)
     val total = maps.map(_.size).sum
     assert(Registry.all.size == total, "duplicate query names across slices")
   }

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingIngest
+
+/** Structured-Streaming analog of incremental append: file-source deltas,
+  * event-time windows with watermark, streaming dedup. Driven synchronously
+  * via memory sinks + processAllAvailable. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val staticEvents = {
+    GraftSession.tune(spark)
+    spark.read.parquet(TestSpark.sf("sf0.001") + "/events.parquet")
+  }
+
+  test("windowed counts over a file stream match the batch equivalent") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    staticEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = StreamingIngest.appendStream(
+      spark, dir, staticEvents.schema, tag = "20240101T000000")
+    val q = StreamingIngest.toMemorySink(
+      StreamingIngest.windowedCounts(stream), "win_counts", "complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_counts")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val batch = staticEvents
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("second file appears as an incremental delta batch") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val half = staticEvents.where(col("event_id") < 500)
+    half.write.mode("overwrite").parquet(dir + "/b1")
+
+    val src = StreamingIngest.appendStream(
+      spark, dir + "/*", staticEvents.schema, tag = "t")
+    val q = StreamingIngest.toMemorySink(
+      src.groupBy().agg(count(lit(1)).as("n")), "delta_counts", "complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_counts").head().getLong(0) == half.count())
+      staticEvents.where(col("event_id") >= 500)
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+      assert(spark.table("delta_counts").head().getLong(0) == staticEvents.count())
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops exact duplicate keys within the watermark") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    // duplicate every event: dedup must halve it
+    staticEvents.unionAll(staticEvents).write.mode("overwrite").parquet(dir)
+    val stream = StreamingIngest.appendStream(
+      spark, dir, staticEvents.schema, tag = "t")
+    val q = StreamingIngest.toMemorySink(
+      StreamingIngest.dedupStream(stream, Seq("event_id")), "dedup_out", "append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_out").count() == staticEvents.count())
+  }
+}
