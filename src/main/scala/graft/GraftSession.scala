@@ -29,7 +29,11 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    graft.functions.RollingHashMin.register(spark)
+    // Guarded: tune() runs per query; re-registering WARNs on every call.
+    if (!spark.catalog.functionExists("rolling_hash_min"))
+      graft.functions.RollingHashMin.register(spark)
+    if (!spark.catalog.functionExists("vec_dot"))
+      graft.functions.VecDot.register(spark)
     spark
   }
 }

@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection for training-data pipelines: exact hash dedup,
   * MinHash+LSH, SimHash, and exact shingle-Jaccard verification.
@@ -10,12 +11,16 @@ import org.apache.spark.sql.functions._
   *  - Never compare all pairs. Candidates come from LSH band buckets
   *    (MinHash) or band-equal hash chunks (SimHash); exact Jaccard runs
   *    only on candidates. Cost is O(corpus) + O(collisions), not O(n²).
-  *  - The hash is content-derived (md5 + seed suffix), not JVM-dependent,
-  *    so results are reproducible across engines/runs — and expressible in
-  *    the DuckDB oracle.
-  *  - Everything is built-in expressions (codegen'd); the shuffles are the
-  *    two groupBys (per-doc signatures) and the band self-join, all keyed
-  *    well for AQE.
+  *  - One aggregation pass per doc, no row multiplication: the k MinHash
+  *    signatures are k `min` aggregates over TWO md5-derived base hashes
+  *    (double hashing h1 + i·h2, Kirsch–Mitzenmacher 2006), and the 48
+  *    SimHash bit-votes are 48 conditional-sum aggregates — the shuffles
+  *    carry one row per (doc, shingle|token), never k× or 48× that.
+  *  - The hashes are content-derived (md5), not JVM-dependent, so results
+  *    are reproducible across engines/runs — and expressible in the DuckDB
+  *    oracle.
+  *  - The shingle set is computed once and persisted across the candidate
+  *    and verify stages (two consumers of the same expensive subtree).
   */
 object Dedup {
   /** Char n-gram shingle size; 8 is enough to make random collisions rare
@@ -26,11 +31,11 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4
 
-  /** Deterministic 60-bit hash portable to the oracle:
-    * first 15 hex chars of md5, seed appended to the input. */
-  def hash60(c: Column, seed: Column): Column =
-    conv(substring(md5(concat(c, lit("|"), seed.cast("string"))), 1, 15), 16, 10)
-      .cast("long")
+  /** Deterministic 48-bit hash portable to the oracle: first 12 hex chars
+    * of md5. 48 bits keeps h1 + 15·h2 < 2^52 — exact and overflow-free in
+    * BIGINT (and even in doubles) on both engines. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   /** Distinct (doc_id, shingle) pairs: sliding char n-grams via a
     * higher-order transform — no UDF, no explode of precomputed arrays. */
@@ -43,20 +48,29 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
-  /** MinHash signatures: one row per (doc_id, seed) with the min hash. */
-  def minHashSignatures(sh: DataFrame, k: Int = NumHashes): DataFrame =
-    sh.withColumn("s", explode(expr(s"sequence(0, ${k - 1})")))
-      .groupBy(col("doc_id"), col("s"))
-      .agg(min(hash60(col("shingle"), col("s"))).as("m"))
+  /** Per-doc MinHash signature in ONE aggregation pass: one row per doc
+    * with columns m0..m{k-1}. Derived hash i is h1 + i·h2 over two base
+    * md5 hashes — 2 md5 evaluations per shingle instead of k. */
+  def minHashSignatures(sh: DataFrame, k: Int = NumHashes): DataFrame = {
+    val hashed = sh.select(col("doc_id"),
+      hash48(col("shingle")).as("h1"),
+      hash48(concat(col("shingle"), lit("#"))).as("h2"))
+    val aggs = (0 until k).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH band keys: signature rows grouped into `bands` contiguous bands;
-    * the band key is the joined signature slice. */
+  /** LSH band keys from the signature row: band j joins the contiguous
+    * slice m[j·r .. j·r+r-1]. A `bands`-row explode per doc (narrow). */
   def bandKeys(sig: DataFrame, k: Int = NumHashes, bands: Int = NumBands): DataFrame = {
     val r = k / bands
-    val slots = (0 until r).map(p =>
-      max(when(pmod(col("s"), lit(r)) === p, col("m"))).cast("string"))
-    sig.groupBy(col("doc_id"), (col("s") / lit(r)).cast("int").as("band"))
-      .agg(concat_ws("-", slots: _*).as("band_key"))
+    val entries = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        concat_ws("-",
+          (0 until r).map(p => col(s"m${j * r + p}").cast("string")): _*).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(entries: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
   /** Candidate pairs: docs sharing any LSH band bucket (a < b). */
@@ -88,17 +102,29 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    * → exact-verify, keeping pairs with Jaccard >= threshold. */
+    * → exact-verify, keeping pairs with Jaccard >= threshold. The shingle
+    * set feeds both the signature and verify stages, so it is persisted
+    * once instead of being recomputed in two plan trees. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs)
-    val cand = candidatePairs(bandKeys(minHashSignatures(sh)))
-    jaccard(cand, sh)
+    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // The band table feeds BOTH sides of the candidate self-join; without a
+    // persist the whole shingle→signature pipeline would run twice.
+    val bands = bandKeys(minHashSignatures(sh)).persist(StorageLevel.MEMORY_AND_DISK)
+    val result = jaccard(candidatePairs(bands), sh)
       .where(col("jaccard") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize the (tiny) result while inputs are cached
+    sh.unpersist(false)
+    bands.unpersist(false)
+    result
   }
 
-  /** 48-bit SimHash per doc over distinct lowercase tokens. 48 bits keeps
-    * the value positive in a BIGINT on both engines. */
+  /** 48-bit SimHash per doc over distinct lowercase tokens, in ONE
+    * aggregation pass: 48 conditional-sum bit-votes as aggregate
+    * expressions over the un-exploded token rows, then the bits
+    * reassembled from the vote signs. 48 bits keeps the value positive in
+    * a BIGINT on both engines. */
   def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = docs
       .select(col("doc_id"),
@@ -106,24 +132,27 @@ object Dedup {
       .where(col("w") =!= "")
       .distinct()
       .withColumn("h", conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long"))
-    val votes = words
-      .withColumn("b", explode(expr("sequence(0, 47)")))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("shiftright(h, b) & 1") === 1L, 1).otherwise(-1)).as("v"))
-    votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until 48).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1L, 1).otherwise(-1)).as(s"v$b"))
+    words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 48).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
   }
 
   /** SimHash near-dup pairs: candidates share one of 4 12-bit bands, then
     * Hamming distance (bit_count of xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sh = simHash(docs)
+    // Persisted: both sides of the self-join would otherwise re-run the
+    // full token+vote pipeline. 4 rows/doc — small.
     val banded = sh.withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("band_val", expr("shiftright(simhash, band * 12) & 4095"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b,
+    val result = a.join(b,
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -133,5 +162,9 @@ object Dedup {
       .where(col("hamming") <= lit(maxHamming))
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
       .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    banded.unpersist(false)
+    result
   }
 }

@@ -15,12 +15,13 @@ object VectorOps {
 
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — the native
+    * codegen'd [[VecDot]] expression (identical fold order to the
+    * `aggregate(zip_with(...))` HOF formulation it replaced, which is
+    * CodegenFallback and pays interpreted dispatch per row). Requires
+    * [[VecDot.register]] (GraftSession.tune does it). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    call_function("vec_dot", asDouble(a), asDouble(b))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -12,6 +12,18 @@ import graft.text.TextAnalysis
 object DedupQueries {
   import QueryDef._
 
+  // MinHash oracle fragments generated from the same constants as the
+  // engine (Dedup.NumHashes / NumBands), so layouts can't drift apart.
+  private val sigCols: String =
+    (0 until Dedup.NumHashes).map(i => s"min(h1 + $i*h2) AS m$i").mkString(", ")
+  private val bandSelects: String = {
+    val r = Dedup.NumHashes / Dedup.NumBands
+    (0 until Dedup.NumBands).map { j =>
+      val key = (0 until r).map(p => s"CAST(m${j * r + p} AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('-', $key) AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+  }
+
   // Shared CTE fragments (kept in one place so the three oracles agree).
   private val shingleCte = s"""
     sh AS (
@@ -38,24 +50,21 @@ object DedupQueries {
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
     // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8.
+    // Oracle mirrors the engine's double-hashing signatures (h1 + i*h2
+    // over two 48-bit md5-derived base hashes) and contiguous banding.
     "dedup_minhash_lsh" -> QueryDef(
       fn = (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8),
       oracle = Some(s"""
         WITH $shingleCte,
-        mh AS (
-          SELECT doc_id, s,
-                 min(CAST('0x' || substr(md5(shingle || '|' || CAST(s AS VARCHAR)), 1, 15)
-                     AS BIGINT)) AS m
-          FROM sh, range(0, ${Dedup.NumHashes}) r(s)
-          GROUP BY doc_id, s),
-        bands AS (
-          SELECT doc_id, s // 4 AS band,
-                 concat_ws('-',
-                   CAST(max(CASE WHEN s % 4 = 0 THEN m END) AS VARCHAR),
-                   CAST(max(CASE WHEN s % 4 = 1 THEN m END) AS VARCHAR),
-                   CAST(max(CASE WHEN s % 4 = 2 THEN m END) AS VARCHAR),
-                   CAST(max(CASE WHEN s % 4 = 3 THEN m END) AS VARCHAR)) AS band_key
-          FROM mh GROUP BY doc_id, s // 4),
+        hs AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h1,
+                 CAST('0x' || substr(md5(shingle || '#'), 1, 12) AS BIGINT) AS h2
+          FROM sh),
+        sigs AS (
+          SELECT doc_id, ${sigCols}
+          FROM hs GROUP BY doc_id),
+        bands AS ($bandSelects),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b

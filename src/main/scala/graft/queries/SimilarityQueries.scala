@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
+import graft.sim.CosineLsh
 
 /** Similarity search over `embeddings` (north-star): brute-force cosine
   * top-k as the verified baseline, a kNN self-join, and threshold pairs.
@@ -71,26 +72,13 @@ object SimilarityQueries {
         WHERE rnk <= 3 ORDER BY q_id, rnk"""),
       bench = true),
 
-    // Embedding near-dup pairs above a cosine threshold (all-pairs at this
-    // scale; the 100 TB path buckets by LSH sign bits first — see
-    // graft.sim.Ann).
+    // Embedding near-dup pairs above a cosine threshold. Candidates come
+    // from multi-table sign-LSH buckets (never an all-pairs join); exact
+    // cosine verifies candidates only. The oracle recomputes the same
+    // buckets from literal hyperplanes — see graft.sim.CosineLsh.
     "dedup_embedding_cos" -> QueryDef(
-      fn = (s, d) => {
-        val a = t(s, d, "embeddings")
-          .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        val b = t(s, d, "embeddings")
-          .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            VectorOps.cosineRounded(col("emb_a"), col("emb_b")).as("score"))
-          .where(col("score") >= 0.45)
-          .orderBy("id_a", "id_b")
-      },
-      oracle = Some(s"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.45
-        ORDER BY id_a, id_b"""))
+      fn = (s, d) => CosineLsh.nearDupPairs(t(s, d, "embeddings"), threshold = 0.45),
+      oracle = Some(CosineLsh.nearDupOracleSql(threshold = 0.45)),
+      bench = true)
   )
 }

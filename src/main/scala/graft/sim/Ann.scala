@@ -30,14 +30,13 @@ object Ann {
     Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Bucket id column: bit h = sign(v · plane_h). */
+  /** Bucket id column: bit h = sign(v · plane_h). Plane dots go through
+    * the native codegen'd vec_dot (VectorOps.dot); one hash pass over the
+    * corpus is `numPlanes` tight scalar loops per row, no HOF dispatch. */
   def bucketCol(emb: Column, planes: Array[Array[Double]]): Column = {
     val v = emb.cast("array<double>")
     planes.zipWithIndex.map { case (p, h) =>
-      val dot = aggregate(
-        zip_with(v, lit(p), (x, w) => x * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << h)).otherwise(lit(0L))
+      when(VectorOps.dot(v, lit(p)) >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val wh = Files.createTempDirectory("graft-warehouse").toString
-    GraftSession.builder(master = "local[4]", shufflePartitions = 4)
-      .config("spark.sql.warehouse.dir", wh)
-      .getOrCreate()
+    GraftSession.tune(
+      GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+        .config("spark.sql.warehouse.dir", wh)
+        .getOrCreate())
   }
   def sf(name: String): String = s"/root/testdata/$name"
 }
