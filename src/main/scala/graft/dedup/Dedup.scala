@@ -12,10 +12,16 @@ import org.apache.spark.storage.StorageLevel
   *    (MinHash) or band-equal hash chunks (SimHash); exact Jaccard runs
   *    only on candidates. Cost is O(corpus) + O(collisions), not O(n²).
   *  - One aggregation pass per doc, no row multiplication: the k MinHash
-  *    signatures are k `min` aggregates over TWO md5-derived base hashes
-  *    (double hashing h1 + i·h2, Kirsch–Mitzenmacher 2006), and the 48
-  *    SimHash bit-votes are 48 conditional-sum aggregates — the shuffles
-  *    carry one row per (doc, shingle|token), never k× or 48× that.
+  *    signatures are k `min` aggregates over k independently-seeded md5
+  *    hashes computed in the same projection, and the 48 SimHash bit-votes
+  *    are 48 conditional-sum aggregates — the shuffles carry one row per
+  *    (doc, shingle|token), never k× or 48× that. (Deriving the k hashes
+  *    from two base hashes à la Kirsch–Mitzenmacher h1 + i·h2 does NOT
+  *    work for MinHash banding: adjacent derived hashes induce nearly
+  *    identical orderings of the shingle universe, so band rows are
+  *    correlated and P(band collision) degrades from J^r to ≈J —
+  *    empirically 454k candidate pairs instead of ~300 on the sf0.1
+  *    corpus. Seeded md5 keeps the permutations independent.)
   *  - The hashes are content-derived (md5), not JVM-dependent, so results
   *    are reproducible across engines/runs — and expressible in the DuckDB
   *    oracle.
@@ -32,10 +38,10 @@ object Dedup {
   val NumBands = 4
 
   /** Deterministic 48-bit hash portable to the oracle: first 12 hex chars
-    * of md5. 48 bits keeps h1 + 15·h2 < 2^52 — exact and overflow-free in
-    * BIGINT (and even in doubles) on both engines. */
-  def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    * of md5 over the input with a seed suffix. Independent permutation of
+    * the shingle universe per seed. */
+  def hash48(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(s"|$seed"))), 1, 12), 16, 10).cast("long")
 
   /** Distinct (doc_id, shingle) pairs: sliding char n-grams via a
     * higher-order transform — no UDF, no explode of precomputed arrays. */
@@ -49,15 +55,13 @@ object Dedup {
       .distinct()
 
   /** Per-doc MinHash signature in ONE aggregation pass: one row per doc
-    * with columns m0..m{k-1}. Derived hash i is h1 + i·h2 over two base
-    * md5 hashes — 2 md5 evaluations per shingle instead of k. */
+    * with columns m0..m{k-1}, each the min of an independently-seeded
+    * 48-bit hash. All k hashes are evaluated in one codegen'd projection
+    * over the single (doc, shingle) pass — no row multiplication. */
   def minHashSignatures(sh: DataFrame, k: Int = NumHashes): DataFrame = {
-    val hashed = sh.select(col("doc_id"),
-      hash48(col("shingle")).as("h1"),
-      hash48(concat(col("shingle"), lit("#"))).as("h2"))
     val aggs = (0 until k).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min(hash48(col("shingle"), i)).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys from the signature row: band j joins the contiguous

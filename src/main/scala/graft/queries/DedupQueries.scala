@@ -15,7 +15,9 @@ object DedupQueries {
   // MinHash oracle fragments generated from the same constants as the
   // engine (Dedup.NumHashes / NumBands), so layouts can't drift apart.
   private val sigCols: String =
-    (0 until Dedup.NumHashes).map(i => s"min(h1 + $i*h2) AS m$i").mkString(", ")
+    (0 until Dedup.NumHashes)
+      .map(i => s"min(CAST('0x' || substr(md5(shingle || '|$i'), 1, 12) AS BIGINT)) AS m$i")
+      .mkString(", ")
   private val bandSelects: String = {
     val r = Dedup.NumHashes / Dedup.NumBands
     (0 until Dedup.NumBands).map { j =>
@@ -50,20 +52,15 @@ object DedupQueries {
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
     // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8.
-    // Oracle mirrors the engine's double-hashing signatures (h1 + i*h2
-    // over two 48-bit md5-derived base hashes) and contiguous banding.
+    // Oracle mirrors the engine's independently-seeded 48-bit md5
+    // signatures and contiguous banding.
     "dedup_minhash_lsh" -> QueryDef(
       fn = (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8),
       oracle = Some(s"""
         WITH $shingleCte,
-        hs AS (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h1,
-                 CAST('0x' || substr(md5(shingle || '#'), 1, 12) AS BIGINT) AS h2
-          FROM sh),
         sigs AS (
           SELECT doc_id, ${sigCols}
-          FROM hs GROUP BY doc_id),
+          FROM sh GROUP BY doc_id),
         bands AS ($bandSelects),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
