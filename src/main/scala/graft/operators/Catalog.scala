@@ -93,4 +93,51 @@ object Catalog {
       existing.unionByName(fresh.toDF()),
       keys = Seq("db_name", "tbl_name"),
       orderBy = Seq(col("extract_ts").desc))
+
+  /** Durable metadata store: the reference's SQLite file
+    * (hive_metadata_exporter.py:46-57) re-derived as an embedded-JDBC
+    * database file. A save is the reference's full refresh —
+    * create-if-absent, `delete where 1=1`, insert the fresh rows
+    * (hive_metadata_exporter.py:56-71) — so re-running the export upserts
+    * every table's create statement and drops vanished tables. */
+  object MetadataStore {
+    val Table = "exported_tables"
+
+    private def withConn[A](url: String)(f: java.sql.Connection => A): A = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try f(conn) finally conn.close()
+    }
+
+    /** Full-refresh save of a metadata snapshot into the Derby file at
+      * `url` (e.g. `jdbc:derby:/path/to/meta.db;create=true`). */
+    def save(ds: Dataset[ExportedTable], url: String): Unit = {
+      withConn(url) { conn =>
+        val exists = {
+          val rs = conn.getMetaData.getTables(null, null, Table.toUpperCase, null)
+          try rs.next() finally rs.close()
+        }
+        val st = conn.createStatement()
+        try {
+          if (!exists)
+            st.execute(s"""create table $Table (
+              db_name varchar(256) not null,
+              tbl_name varchar(256) not null,
+              createstmt clob,
+              extract_ts bigint)""")
+          else st.execute(s"delete from $Table where 1=1")
+        } finally st.close()
+      }
+      ds.toDF().write.format("jdbc")
+        .option("url", url).option("dbtable", Table)
+        .mode(SaveMode.Append).save()
+    }
+
+    /** Read the stored metadata back (column names lowercased — Derby
+      * uppercases identifiers). */
+    def load(spark: SparkSession, url: String): DataFrame = {
+      val raw = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", Table).load()
+      raw.select(raw.columns.map(c => col(c).as(c.toLowerCase)).toIndexedSeq: _*)
+    }
+  }
 }

@@ -137,7 +137,8 @@ object Ingest {
       scratchDb: String = "spark_scratch",
       lastModifiedOverride: Option[Any] = None,
       lastIncrementalOverride: Option[Any] = None,
-      outputPartitions: Seq[String] = Nil): IngestReport = {
+      outputPartitions: Seq[String] = Nil,
+      historyBuckets: Option[Int] = None): IngestReport = {
     val histTable = s"${table}_incremental"
     val sourceRows = source.count()
     val histExists = tableExists(spark, db, histTable)
@@ -162,7 +163,12 @@ object Ingest {
       try {
         val n = tagged.count()
         ensureDatabase(spark, db)
-        val writer = tagged.write.partitionBy(tagColumn)
+        // The 100 TB mitigation: bucket the history by the reconcile keys so
+        // every future reconcile reads pre-clustered data and plans NO
+        // Exchange — the window dedup becomes a per-bucket sort instead of a
+        // full-history shuffle each run. Appends keep the bucket spec.
+        val writer = historyBuckets.foldLeft(tagged.write.partitionBy(tagColumn))(
+          (w, b) => w.bucketBy(b, keyColumns.head, keyColumns.tail: _*))
         if (histExists) writer.mode("append").saveAsTable(s"`$db`.`$histTable`")
         else writer.mode("overwrite").saveAsTable(s"`$db`.`$histTable`")
         n

@@ -38,16 +38,29 @@ object MiscQueries {
                md5(text) AS content_hash
         FROM documents ORDER BY media_id""")),
 
-    // Frame sampling over binary payloads (rows-only; MultimodalSpec
-    // asserts the slice arithmetic).
+    // Frame sampling over binary payloads. Oracle mirrors the slice
+    // arithmetic: the frame byte-length is substring clamping written out
+    // (DuckDB can't substring a BLOB), trunc() because DuckDB rounds on
+    // CAST(double AS BIGINT) where Spark truncates.
     "mm_frame_sample" -> QueryDef(
       fn = (s, d) =>
         Multimodal.sampleFrames(
           Multimodal.mediaTable(t(s, d, "documents")), n = 4, frameBytes = 16)
-          .select(col("media_id"), col("frame_no"), col("offset"),
-            octet_length(col("frame")).cast("long").as("frame_bytes"))
+          .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+            col("offset"), octet_length(col("frame")).cast("long").as("frame_bytes"))
           .orderBy("media_id", "frame_no"),
-      oracle = None),
+      oracle = Some("""
+        WITH media AS (
+          SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+          FROM documents),
+        frames AS (
+          SELECT media_id, n_bytes, f.frame_no,
+                 CAST(trunc(f.frame_no * greatest(n_bytes - 16, 1) / 3.0)
+                      AS BIGINT) + 1 AS "offset"
+          FROM media, (SELECT unnest(generate_series(0, 3)) AS frame_no) f)
+        SELECT media_id, frame_no, "offset",
+               greatest(0, least(16, n_bytes - "offset" + 1)) AS frame_bytes
+        FROM frames ORDER BY media_id, frame_no""")),
 
     // HLL sketch distinct (no oracle: sketch internals differ per engine;
     // SketchSpec bounds the error against exact counts).

@@ -55,27 +55,30 @@ object Connections {
     (Option(row.get(0)).map(_.toString.toLong), Option(row.get(1)).map(_.toString.toLong))
   }
 
-  private def base(spark: SparkSession, opts: ConnOpts): DataFrameReader = {
-    var r = spark.read.format("jdbc")
-      .option("url", opts.url)
-      .option("driver", opts.driver)
-    opts.dbtable.foreach(v => r = r.option("dbtable", v))
-    opts.query.foreach(v => r = r.option("query", v))
-    opts.user.foreach(v => r = r.option("user", v))
-    opts.password.foreach(v => r = r.option("password", v))
-    opts.queryTimeout.foreach(v => r = r.option("queryTimeout", v))
-    opts.fetchSize.foreach(v => r = r.option("fetchsize", v))
-    opts.sessionInitStatement.foreach(v => r = r.option("sessionInitStatement", v))
-    // Oracle DATE shim (spark_loaders.py:104-107): keep DATE as DATE and pin
-    // the timestamp format for the session.
+  /** The JDBC option map for a connection — pure and testable. Includes the
+    * Oracle DATE shim (spark_loaders.py:104-107): keep DATE as DATE and pin
+    * the timestamp format for the session. */
+  def optionMap(opts: ConnOpts): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    m += ("url" -> opts.url, "driver" -> opts.driver)
+    opts.dbtable.foreach(v => m += ("dbtable" -> v))
+    opts.query.foreach(v => m += ("query" -> v))
+    opts.user.foreach(v => m += ("user" -> v))
+    opts.password.foreach(v => m += ("password" -> v))
+    opts.queryTimeout.foreach(v => m += ("queryTimeout" -> v.toString))
+    opts.fetchSize.foreach(v => m += ("fetchsize" -> v.toString))
+    opts.sessionInitStatement.foreach(v => m += ("sessionInitStatement" -> v))
     if (opts.url.startsWith("jdbc:oracle")) {
-      r = r.option("oracle.jdbc.mapDateToTimestamp", "false")
+      m += ("oracle.jdbc.mapDateToTimestamp" -> "false")
       if (opts.sessionInitStatement.isEmpty)
-        r = r.option("sessionInitStatement",
+        m += ("sessionInitStatement" ->
           "ALTER SESSION SET NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SS.FF'")
     }
-    r
+    m.result()
   }
+
+  private def base(spark: SparkSession, opts: ConnOpts): DataFrameReader =
+    spark.read.format("jdbc").options(optionMap(opts))
 
   /** Reader with Sqoop-style parallel range partitioning when requested
     * (spark_loaders.py:89-102). */

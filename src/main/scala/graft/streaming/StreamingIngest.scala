@@ -41,16 +41,21 @@ object StreamingIngest {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
-  /** Streaming exact dedup on a key with bounded state: the streaming form
-    * of the reference's reconcile — duplicates beyond the lateness horizon
-    * age out of state instead of accumulating forever. */
+  /** Streaming exact dedup on the key columns alone with bounded state:
+    * the streaming form of the reference's reconcile — duplicates of a key
+    * are dropped even when they carry different event times, and state for
+    * a key ages out once the watermark passes it instead of accumulating
+    * forever. `dropDuplicatesWithinWatermark` is the precise API for this:
+    * plain `dropDuplicates(keys)` would keep key state unbounded, and
+    * `dropDuplicates(keys :+ eventTime)` would let same-key/different-time
+    * duplicates through. */
   def dedupStream(
       events: DataFrame, keyCols: Seq[String],
       lateness: String = "30 minutes"): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("event_time", lateness)
-      .dropDuplicates(keyCols :+ "event_time")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -47,4 +47,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(merged.select("extract_ts").as[Long].head() == 200L)
     spark.sql("DROP DATABASE meta_src CASCADE")
   }
+
+  test("K8 durable metadata store persists, reopens, and full-refreshes") {
+    val url = "jdbc:derby:" +
+      Files.createTempDirectory("graft-meta").resolve("meta.db") + ";create=true"
+    spark.sql("CREATE DATABASE IF NOT EXISTS meta_d")
+    spark.range(3).toDF("id").write.mode("overwrite").saveAsTable("meta_d.t1")
+    spark.range(3).toDF("id").write.mode("overwrite").saveAsTable("meta_d.gone")
+
+    Catalog.MetadataStore.save(
+      Catalog.exportMetadata(spark, Some(Seq("meta_d")), extractTs = 100L), url)
+    val first = Catalog.MetadataStore.load(spark, url)
+    assert(first.count() == 2)
+    assert(first.columns.toSeq ==
+      Seq("db_name", "tbl_name", "createstmt", "extract_ts"))
+
+    // second run: one table dropped, one schema changed — the full refresh
+    // upserts the create statement and drops the vanished table
+    spark.sql("DROP TABLE meta_d.gone")
+    spark.sql("DROP TABLE meta_d.t1")
+    spark.range(3).selectExpr("id", "id * 2 AS extra")
+      .write.saveAsTable("meta_d.t1")
+    Catalog.MetadataStore.save(
+      Catalog.exportMetadata(spark, Some(Seq("meta_d")), extractTs = 200L), url)
+
+    val second = Catalog.MetadataStore.load(spark, url)
+    assert(second.count() == 1)
+    val r = second.head()
+    assert(r.getAs[String]("tbl_name") == "t1")
+    assert(r.getAs[Long]("extract_ts") == 200L)
+    assert(r.getAs[String]("createstmt").contains("extra"))
+    spark.sql("DROP DATABASE meta_d CASCADE")
+  }
 }

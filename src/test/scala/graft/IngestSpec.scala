@@ -111,4 +111,33 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       incrementalColumn = "id", tag = "20240102T000000")
     assert(r.destinationRows == 3) // deleted marker ignored without -d
   }
+
+  test("bucketed history: same merge results, reconcile plans no Exchange") {
+    def merge(src: DataFrame, tag: String) = Ingest.incrementalMerge(
+      spark, src, "ingest_test", "bucketed", keyColumns = Seq("id"),
+      lastModifiedColumn = "last_modified", incrementalColumn = "id",
+      tag = tag, deletedColumn = Some("deleted"), historyBuckets = Some(4))
+
+    val b1 = rows((0 until 10).map(i =>
+      (i, s"v$i", ts("2024-01-01 10:00:00"), t0, "2024-01-01", None: Option[Int])): _*)
+    assert(merge(b1, "20240101T000000").destinationRows == 10)
+    val b2 = rows((3, "K", ts("2024-01-02 10:00:00"), t0, "2024-01-01", None: Option[Int]),
+      (10, "v10", ts("2024-01-02 10:00:00"), t0, "2024-01-01", None: Option[Int]))
+    assert(merge(b2, "20240102T000000").destinationRows == 11)
+    assert(spark.table("ingest_test.bucketed")
+      .where($"id" === 3).select("value").as[String].head() == "K")
+
+    // the appended history kept its bucket spec, and a reconcile over it
+    // reads the buckets directly: no Exchange anywhere in the final plan
+    val reconciled = operators.Reconcile.reconcile(
+      spark.table("ingest_test.bucketed_incremental"),
+      keys = Seq("id"), lastModified = "last_modified",
+      tieBreak = Seq("dl_ingest_date", "id"))
+    reconciled.collect() // finalize the adaptive plan before inspecting it
+    val plan = reconciled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed reconcile still shuffles:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan did not use bucketing:\n$plan")
+  }
 }

@@ -59,8 +59,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
-    // duplicate every event: dedup must halve it
-    staticEvents.unionAll(staticEvents).write.mode("overwrite").parquet(dir)
+    // duplicate every event with a nudged event time (+1s): key-only dedup
+    // must still drop it — dropDuplicates(keys :+ event_time) would not
+    val nudged = staticEvents.withColumn("ts", col("ts") + lit(1000000000L))
+    staticEvents.unionAll(nudged).write.mode("overwrite").parquet(dir)
     val stream = StreamingIngest.appendStream(
       spark, dir, staticEvents.schema, tag = "t")
     val q = StreamingIngest.toMemorySink(
