@@ -43,7 +43,8 @@ object Catalog {
       spark: SparkSession,
       inDir: String,
       inputFormat: String = "parquet",
-      overwrite: Boolean = false): Seq[String] = {
+      overwrite: Boolean = false,
+      storageFormat: String = "parquet"): Seq[String] = {
     val dirs = Files.list(Paths.get(inDir)).iterator().asScala
       .filter(Files.isDirectory(_))
       .map(_.getFileName.toString)
@@ -54,7 +55,8 @@ object Catalog {
       val df = spark.read.format(inputFormat).load(s"$inDir/$name")
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
       if (overwrite) spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
-      df.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      df.write.format(storageFormat)
+        .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
         .saveAsTable(s"`$db`.`$tbl`")
       s"$db.$tbl"
     }

@@ -70,8 +70,12 @@ object Ingest {
       table: String,
       tag: String,
       tagColumn: String = DefaultTagColumn,
-      overwriteTable: Boolean = false): IngestReport = {
-    val sourceRows = source.count()
+      overwriteTable: Boolean = false,
+      format: String = "parquet",
+      knownSourceRows: Option[Long] = None): IngestReport = {
+    // A cheaper count (e.g. JDBC pushdown, jdbc_loader_spark2.py:33-35) can
+    // be injected; otherwise the report pays one scan for it.
+    val sourceRows = knownSourceRows.getOrElse(source.count())
     val tagged = source.withColumn(tagColumn, lit(tag))
     tagged.persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -80,7 +84,7 @@ object Ingest {
       if (overwriteTable) spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
       // Schema-only CTAS — `limit 0` trick (spark_loaders.py:133) keeps the
       // destination's format/layout stable across runs.
-      tagged.limit(0).write.mode("ignore").saveAsTable(s"`$db`.`$table`")
+      tagged.limit(0).write.format(format).mode("ignore").saveAsTable(s"`$db`.`$table`")
       tagged.write.mode("overwrite").insertInto(s"`$db`.`$table`")
       IngestReport(sourceRows, ingested, spark.table(s"`$db`.`$table`").count())
     } finally tagged.unpersist()
@@ -97,8 +101,10 @@ object Ingest {
       tag: String,
       tagColumn: String = DefaultTagColumn,
       lastValueOverride: Option[Any] = None,
-      outputPartitions: Seq[String] = Nil): IngestReport = {
-    val sourceRows = source.count()
+      outputPartitions: Seq[String] = Nil,
+      format: String = "parquet",
+      knownSourceRows: Option[Long] = None): IngestReport = {
+    val sourceRows = knownSourceRows.getOrElse(source.count())
     val exists = tableExists(spark, db, table)
     val lastValue: Option[Any] =
       lastValueOverride.orElse(
@@ -113,7 +119,7 @@ object Ingest {
       val ingested = tagged.count()
       ensureDatabase(spark, db)
       val parts = if (outputPartitions.nonEmpty) outputPartitions else Seq(tagColumn)
-      val writer = tagged.write.partitionBy(parts: _*)
+      val writer = tagged.write.format(format).partitionBy(parts: _*)
       if (exists) writer.mode("append").saveAsTable(s"`$db`.`$table`")
       else writer.mode("overwrite").saveAsTable(s"`$db`.`$table`")
       IngestReport(sourceRows, ingested, spark.table(s"`$db`.`$table`").count())
@@ -138,9 +144,11 @@ object Ingest {
       lastModifiedOverride: Option[Any] = None,
       lastIncrementalOverride: Option[Any] = None,
       outputPartitions: Seq[String] = Nil,
-      historyBuckets: Option[Int] = None): IngestReport = {
+      historyBuckets: Option[Int] = None,
+      format: String = "parquet",
+      knownSourceRows: Option[Long] = None): IngestReport = {
     val histTable = s"${table}_incremental"
-    val sourceRows = source.count()
+    val sourceRows = knownSourceRows.getOrElse(source.count())
     val histExists = tableExists(spark, db, histTable)
 
     // Watermarks from the history sink (spark_loaders.py:193-199).
@@ -167,7 +175,8 @@ object Ingest {
         // every future reconcile reads pre-clustered data and plans NO
         // Exchange — the window dedup becomes a per-bucket sort instead of a
         // full-history shuffle each run. Appends keep the bucket spec.
-        val writer = historyBuckets.foldLeft(tagged.write.partitionBy(tagColumn))(
+        val writer = historyBuckets.foldLeft(
+          tagged.write.format(format).partitionBy(tagColumn))(
           (w, b) => w.bucketBy(b, keyColumns.head, keyColumns.tail: _*))
         if (histExists) writer.mode("append").saveAsTable(s"`$db`.`$histTable`")
         else writer.mode("overwrite").saveAsTable(s"`$db`.`$histTable`")
@@ -187,11 +196,12 @@ object Ingest {
     ensureDatabase(spark, scratchDb)
     val scratch = s"`$scratchDb`.`graft_${table}_persist`"
     val scratchWriter =
-      if (outputPartitions.nonEmpty) reconciled.write.partitionBy(outputPartitions: _*)
-      else reconciled.write
+      if (outputPartitions.nonEmpty)
+        reconciled.write.format(format).partitionBy(outputPartitions: _*)
+      else reconciled.write.format(format)
     scratchWriter.mode("overwrite").saveAsTable(scratch)
     val staged = spark.table(scratch)
-    staged.limit(0).write.mode("ignore").saveAsTable(s"`$db`.`$table`")
+    staged.limit(0).write.format(format).mode("ignore").saveAsTable(s"`$db`.`$table`")
     staged.write.mode("overwrite").insertInto(s"`$db`.`$table`")
     spark.sql(s"DROP TABLE IF EXISTS $scratch")
     IngestReport(sourceRows, ingested, spark.table(s"`$db`.`$table`").count())

@@ -60,7 +60,8 @@ object Connections {
     * the timestamp format for the session. */
   def optionMap(opts: ConnOpts): Map[String, String] = {
     val m = Map.newBuilder[String, String]
-    m += ("url" -> opts.url, "driver" -> opts.driver)
+    m += ("url" -> opts.url)
+    if (opts.driver.nonEmpty) m += ("driver" -> opts.driver)
     opts.dbtable.foreach(v => m += ("dbtable" -> v))
     opts.query.foreach(v => m += ("query" -> v))
     opts.user.foreach(v => m += ("user" -> v))
