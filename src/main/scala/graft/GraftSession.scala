@@ -34,6 +34,8 @@ object GraftSession {
       graft.functions.RollingHashMin.register(spark)
     if (!spark.catalog.functionExists("vec_dot"))
       graft.functions.VecDot.register(spark)
+    if (!spark.catalog.functionExists("minhash_sigs"))
+      graft.functions.MinHashSigs.register(spark)
     spark
   }
 }

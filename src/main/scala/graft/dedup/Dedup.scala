@@ -11,17 +11,17 @@ import org.apache.spark.storage.StorageLevel
   *  - Never compare all pairs. Candidates come from LSH band buckets
   *    (MinHash) or band-equal hash chunks (SimHash); exact Jaccard runs
   *    only on candidates. Cost is O(corpus) + O(collisions), not O(n²).
-  *  - One aggregation pass per doc, no row multiplication: the k MinHash
-  *    signatures are k `min` aggregates over k independently-seeded md5
-  *    hashes computed in the same projection, and the 48 SimHash bit-votes
-  *    are 48 conditional-sum aggregates — the shuffles carry one row per
-  *    (doc, shingle|token), never k× or 48× that. (Deriving the k hashes
-  *    from two base hashes à la Kirsch–Mitzenmacher h1 + i·h2 does NOT
-  *    work for MinHash banding: adjacent derived hashes induce nearly
-  *    identical orderings of the shingle universe, so band rows are
-  *    correlated and P(band collision) degrades from J^r to ≈J —
-  *    empirically 454k candidate pairs instead of ~300 on the sf0.1
-  *    corpus. Seeded md5 keeps the permutations independent.)
+  *  - MinHash signatures are computed scan-side by the native
+  *    [[graft.functions.MinHashSigs]] expression — one O(len·k) pass per
+  *    document, no shingle explode, no distinct, no shuffle. Shingle sets
+  *    are materialized only for candidate docs during exact verification.
+  *    The 48 SimHash bit-votes are 48 conditional-sum aggregates over
+  *    un-exploded token rows. (Two lessons are baked in: deriving the k
+  *    hashes as h1 + i·h2 à la Kirsch–Mitzenmacher does NOT work for
+  *    banding — adjacent derived hashes order the shingle universe almost
+  *    identically, so P(band collision) degrades from J^r to ≈J, 454k
+  *    candidates instead of ~650 on the sf0.1 corpus; independent odd
+  *    multipliers mod 2^61 keep the orderings independent.)
   *  - The hashes are content-derived (md5), not JVM-dependent, so results
   *    are reproducible across engines/runs — and expressible in the DuckDB
   *    oracle.
@@ -37,14 +37,10 @@ object Dedup {
   val NumHashes = 16
   val NumBands = 4
 
-  /** Deterministic 48-bit hash portable to the oracle: first 12 hex chars
-    * of md5 over the input with a seed suffix. Independent permutation of
-    * the shingle universe per seed. */
-  def hash48(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit(s"|$seed"))), 1, 12), 16, 10).cast("long")
-
   /** Distinct (doc_id, shingle) pairs: sliding char n-grams via a
-    * higher-order transform — no UDF, no explode of precomputed arrays. */
+    * higher-order transform — no UDF, no explode of precomputed arrays.
+    * Used only for exact-Jaccard verification (and there only for docs
+    * that appear in a candidate pair). */
   def shingles(docs: DataFrame, textCol: String = "text", n: Int = ShingleSize): DataFrame =
     docs
       .where(length(col(textCol)) >= n)
@@ -54,15 +50,19 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
-  /** Per-doc MinHash signature in ONE aggregation pass: one row per doc
-    * with columns m0..m{k-1}, each the min of an independently-seeded
-    * 48-bit hash. All k hashes are evaluated in one codegen'd projection
-    * over the single (doc, shingle) pass — no row multiplication. */
-  def minHashSignatures(sh: DataFrame, k: Int = NumHashes): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(hash48(col("shingle"), i)).as(s"m$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** Per-doc MinHash signature computed scan-side by the native
+    * [[graft.functions.MinHashSigs]] expression: one row per doc with
+    * columns m0..m{k-1}, NO shingle explode and NO shuffle — the whole
+    * signature stage is a projection. */
+  def minHashSignatures(
+      docs: DataFrame, textCol: String = "text",
+      k: Int = NumHashes, n: Int = ShingleSize): DataFrame =
+    docs
+      .where(length(col(textCol)) >= n)
+      .select(col("doc_id"),
+        call_function("minhash_sigs", col(textCol), lit(n), lit(k)).as("sig"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("sig").getItem(i).as(s"m$i")): _*)
 
   /** LSH band keys from the signature row: band j joins the contiguous
     * slice m[j·r .. j·r+r-1]. A `bands`-row explode per doc (narrow). */
@@ -105,22 +105,30 @@ object Dedup {
         round(col("i") / (col("na.n") + col("nb.n") - col("i")), 6).as("jaccard"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
-    * → exact-verify, keeping pairs with Jaccard >= threshold. The shingle
-    * set feeds both the signature and verify stages, so it is persisted
-    * once instead of being recomputed in two plan trees. */
+  /** Full MinHash-LSH near-dup pipeline: sign (scan-side, no shuffle) →
+    * band → candidate → exact-verify, keeping pairs with Jaccard >=
+    * threshold. The expensive shingle sets are materialized ONLY for docs
+    * that appear in a candidate pair (semi-join), so verify cost scales
+    * with collisions, not corpus size. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    // The band table feeds BOTH sides of the candidate self-join; without a
-    // persist the whole shingle→signature pipeline would run twice.
-    val bands = bandKeys(minHashSignatures(sh)).persist(StorageLevel.MEMORY_AND_DISK)
-    val result = jaccard(candidatePairs(bands), sh)
+    // The band table feeds BOTH sides of the candidate self-join; persist
+    // or the signature scan runs twice (cheap now, but not free).
+    val bands = bandKeys(minHashSignatures(docs)).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // Shingle sets for candidate docs only; candDocs is tiny -> broadcast
+    // semi-join prunes the corpus before the explode.
+    val sh = shingles(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = jaccard(cand, sh)
       .where(col("jaccard") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize the (tiny) result while inputs are cached
-    sh.unpersist(false)
     bands.unpersist(false)
+    cand.unpersist(false)
+    sh.unpersist(false)
     result
   }
 

@@ -13,10 +13,24 @@ object DedupQueries {
   import QueryDef._
 
   // MinHash oracle fragments generated from the same constants as the
-  // engine (Dedup.NumHashes / NumBands), so layouts can't drift apart.
+  // engine (MinHashSigs.Base/Scrambles, Dedup.NumHashes/NumBands), so the
+  // two sides can't drift apart. The base hash is the same exact base-131
+  // polynomial the native expression rolls (ASCII corpus: unicode() ==
+  // byte), and each signature is min((h * A_i) mod 2^61) — computed in
+  // HUGEINT because the product overflows BIGINT.
+  private val TwoPow61 = "2305843009213693952"
+  private val phExpr: String = {
+    import graft.functions.MinHashSigs.Base
+    val n = Dedup.ShingleSize
+    (1 to n).map { j =>
+      val pow = BigInt(Base).pow(n - j).toLong
+      s"CAST(unicode(substr(shingle, $j, 1)) AS BIGINT) * $pow"
+    }.mkString(" + ")
+  }
   private val sigCols: String =
     (0 until Dedup.NumHashes)
-      .map(i => s"min(CAST('0x' || substr(md5(shingle || '|$i'), 1, 12) AS BIGINT)) AS m$i")
+      .map(i => s"min(CAST((CAST(h AS HUGEINT) * ${graft.functions.MinHashSigs.Scrambles(i)}) " +
+        s"% $TwoPow61 AS BIGINT)) AS m$i")
       .mkString(", ")
   private val bandSelects: String = {
     val r = Dedup.NumHashes / Dedup.NumBands
@@ -52,15 +66,16 @@ object DedupQueries {
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
     // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8.
-    // Oracle mirrors the engine's independently-seeded 48-bit md5
-    // signatures and contiguous banding.
+    // Oracle mirrors the engine's rolling-polynomial signatures and
+    // contiguous banding (see sigCols above).
     "dedup_minhash_lsh" -> QueryDef(
       fn = (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8),
       oracle = Some(s"""
         WITH $shingleCte,
+        ph AS (SELECT doc_id, $phExpr AS h FROM sh),
         sigs AS (
           SELECT doc_id, ${sigCols}
-          FROM sh GROUP BY doc_id),
+          FROM ph GROUP BY doc_id),
         bands AS ($bandSelects),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
