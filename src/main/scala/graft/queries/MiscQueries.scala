@@ -24,6 +24,17 @@ object MiscQueries {
       oracle = None,
       bench = true),
 
+    // ANN via IVF (k-means coarse quantizer + nprobe): the second scale
+    // path. Rows-only (iterative training has no SQL analog); IvfSpec
+    // checks exactness of scores and recall vs brute force.
+    "sim_ann_ivf" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.Ivf.topKApprox(emb, emb.where(col("vec_id") < 20), k = 3)
+      },
+      oracle = None,
+      bench = true),
+
     // Multimodal metadata pass: binary payload size + content hash; the
     // bytes themselves never leave the scan for this query shape.
     "mm_bytes" -> QueryDef(

@@ -38,6 +38,7 @@ object TextQueries {
           col("doc_id"),
           col("n_chars"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
           TextAnalysis.alphaCount(col("text")).cast("long").as("n_alpha"),
           round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"))
           .orderBy("doc_id")
@@ -45,6 +46,9 @@ object TextQueries {
       oracle = Some(s"""
         SELECT doc_id, n_chars,
                CAST($tokSql AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                 '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT)
+                 AS n_bpe_tokens,
                CAST($alphaSql AS BIGINT) AS n_alpha,
                round(CAST($alphaSql AS DOUBLE) / $tokSql, 6) AS avg_token_len
         FROM documents ORDER BY doc_id"""),

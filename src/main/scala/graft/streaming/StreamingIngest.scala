@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming analog of the reference's polling incremental
@@ -56,6 +56,40 @@ object StreamingIngest {
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming latest-per-key reconcile — the merge strategy's window
+    * dedup ([[graft.operators.Reconcile]]) as continuously-maintained
+    * state via `flatMapGroupsWithState`: state holds each key's current
+    * newest row (by a numeric version column, e.g. epoch nanos); every
+    * micro-batch emits the keys whose newest row changed. Update output
+    * mode; state is one row per live key (the reconciled table itself),
+    * which is the minimum any engine must hold for this semantic.
+    *
+    * Ties go to the incumbent (strictly-greater wins), matching the batch
+    * reconcile's deterministic tie-break toward the earlier-ingested row. */
+  def mergeStream(
+      events: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
+    val spark = events.sparkSession
+    implicit val rowEnc: Encoder[Row] = Encoders.row(events.schema)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val keyIdx = keyCols.map(events.schema.fieldIndex)
+    val verIdx = events.schema.fieldIndex(versionCol)
+    def version(r: Row): Long = if (r.isNullAt(verIdx)) Long.MinValue else r.getLong(verIdx)
+    events
+      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .flatMapGroupsWithState[Row, Row](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val incoming = rows.reduceOption((a, b) => if (version(b) > version(a)) b else a)
+          (incoming, state.getOption) match {
+            case (Some(in), Some(cur)) if version(in) > version(cur) =>
+              state.update(in); Iterator.single(in)
+            case (Some(in), None) =>
+              state.update(in); Iterator.single(in)
+            case _ => Iterator.empty
+          }
+      }
+  }
 
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -16,6 +16,17 @@ object TextAnalysis {
   /** Whitespace-token count: number of maximal \S+ runs. */
   def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family, lookahead-free so it
+    * runs identically under Java regex and RE2): contraction suffixes,
+    * space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+    * punctuation runs, residual whitespace. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish token count — the pre-tokenization segment count a BPE
+    * tokenizer would start from (upper bound on merged-token count). */
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
   /** Count of alphabetic characters. */
   def alphaCount(text: Column): Column = regexp_count(text, lit("[a-z]"))
 

@@ -57,6 +57,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming merge keeps latest-per-key state matching batch reconcile") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-merge").toString
+    // 4 versions per key spread over two delta files
+    val versioned = staticEvents.withColumn("key", col("event_id") % 250)
+    versioned.where(col("event_id") < 500).write.mode("overwrite").parquet(dir + "/b1")
+
+    val stream = StreamingIngest.mergeStream(
+      spark.readStream.schema(versioned.schema).parquet(dir + "/*"),
+      keyCols = Seq("key"), versionCol = "ts")
+    val q = StreamingIngest.toMemorySink(stream, "merge_out", "update").start()
+    try {
+      q.processAllAvailable()
+      versioned.where(col("event_id") >= 500).write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // final state = highest-version emission per key; must equal the batch
+    // reconcile over the full history
+    val emitted = spark.table("merge_out")
+    val finalState = operators.Reconcile.latestPerKey(
+      emitted, Seq("key"), Seq(col("ts").desc))
+    val batch = operators.Reconcile.latestPerKey(
+      versioned, Seq("key"), Seq(col("ts").desc))
+    assert(finalState.count() == 250)
+    assert(finalState.select("key", "ts", "event_id").except(
+      batch.select("key", "ts", "event_id")).count() == 0)
+    assert(batch.select("key", "ts", "event_id").except(
+      finalState.select("key", "ts", "event_id")).count() == 0)
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
