@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audit over EVERY registered query: the shapes that kill a
+  * 100 TB run must never appear, and scan-level optimizations must be
+  * present where the query promises them. Runs at sf0.001 — plan shapes,
+  * not data volume, are what's asserted. */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf("sf0.001")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect() // execute THIS dataframe so AQE finalizes its plan
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  /** Declared brute-force baselines: their O(N·Q) broadcast nested-loop is
+    * the point (Q is tiny and broadcast); the scale paths are sim_ann_lsh /
+    * sim_ann_ivf / CosineLsh. Nothing else may plan one. */
+  private val intendedBruteForce = Set("sim_knn_join", "sim_topk_bruteforce")
+
+  test("no query plans a cartesian product or nested-loop join") {
+    val offenders = plans.filter { case (name, p) =>
+      !intendedBruteForce(name) &&
+        (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    }
+    assert(offenders.isEmpty,
+      s"O(n^2) join shapes in: ${offenders.keys.mkString(", ")}")
+  }
+
+  test("TPC-H-shaped joins broadcast their dimension side") {
+    Seq("q3_top_revenue", "q5_local_supplier", "join_semi", "join_anti")
+      .foreach { q =>
+        assert(plans(q).contains("BroadcastHashJoin"),
+          s"$q does not broadcast its dimension side:\n${plans(q)}")
+      }
+  }
+
+  test("selective scans push filters into the parquet reader") {
+    // q3/q5 filter on market segment / region; the predicate must reach
+    // PushedFilters, not sit in a post-scan Filter only.
+    Seq("q3_top_revenue" -> "c_mktsegment", "q5_local_supplier" -> "r_name")
+      .foreach { case (q, col) =>
+        val pushed = plans(q).linesIterator
+          .filter(_.contains("PushedFilters"))
+          .exists(l => l.toLowerCase.contains(col))
+        assert(pushed, s"$q: filter on $col not pushed to parquet scan")
+      }
+  }
+
+  test("single-table analytics stay in one whole-stage codegen pipeline") {
+    Seq("text_stats", "text_quality", "text_langid", "text_fingerprint")
+      .foreach { q =>
+        // codegen stages print as `*(n) Op` in executedPlan.toString
+        assert(plans(q).contains("*(1)"),
+          s"$q fell out of whole-stage codegen:\n${plans(q)}")
+      }
+  }
+
+  test("metadata-only multimodal queries never read the payload bytes") {
+    // mm_bytes reads media (hashes it); mm_frame_sample slices it — but
+    // text_stats over the same table must scan only its own columns.
+    val schemaLine = plans("text_stats").linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!schemaLine.contains("media") && !schemaLine.contains("embedding"),
+      s"text_stats reads columns it does not use: $schemaLine")
+  }
+}
