@@ -50,6 +50,50 @@ object Dedup {
           .as("shingle"))
       .distinct()
 
+  /** Distinct (doc_id, shingle) pairs over word `n`-grams: tokens are
+    * maximal non-space runs of the lowercased text, shingle i is tokens
+    * [i, i+n) joined by one space. */
+  def wordShingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    val idx = (0 until n).map(j => s"toks[i - 1 + $j]").mkString(", ")
+    docs
+      .select(col("doc_id"),
+        expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $idx))"))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** Per-doc MinHash signature over an arbitrary pre-shingled relation in
+    * ONE aggregation pass: k min-aggregates over independently-seeded
+    * 48-bit md5 hashes. The generic (non-rolling) fallback for shingle
+    * shapes the native [[graft.functions.MinHashSigs]] can't roll over
+    * (e.g. word n-grams). */
+  def minHashSignaturesAgg(sh: DataFrame, k: Int = NumHashes): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(conv(substring(md5(concat(col("shingle"), lit(s"|$i"))), 1, 12), 16, 10)
+        .cast("long")).as(s"m$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Word-n-gram Jaccard near-dup pairs: LSH candidates from aggregated
+    * MinHash over word shingles, exact Jaccard on candidates only. */
+  def ngramJaccardPairs(
+      docs: DataFrame, threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val sh = wordShingles(docs, n = n).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandKeys(minHashSignaturesAgg(sh)).persist(StorageLevel.MEMORY_AND_DISK)
+    val result = jaccard(candidatePairs(bands), sh)
+      .where(col("jaccard") >= lit(threshold))
+      .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sh.unpersist(false)
+    bands.unpersist(false)
+    result
+  }
+
   /** Per-doc MinHash signature computed scan-side by the native
     * [[graft.functions.MinHashSigs]] expression: one row per doc with
     * columns m0..m{k-1}, NO shingle explode and NO shuffle — the whole

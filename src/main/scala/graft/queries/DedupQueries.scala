@@ -32,6 +32,12 @@ object DedupQueries {
       .map(i => s"min(CAST((CAST(h AS HUGEINT) * ${graft.functions.MinHashSigs.Scrambles(i)}) " +
         s"% $TwoPow61 AS BIGINT)) AS m$i")
       .mkString(", ")
+  // Seeded-md5 signature columns for the aggregation-form MinHash
+  // (Dedup.minHashSignaturesAgg) used by the word-n-gram query.
+  private val mdSigCols: String =
+    (0 until Dedup.NumHashes)
+      .map(i => s"min(CAST('0x' || substr(md5(shingle || '|$i'), 1, 12) AS BIGINT)) AS m$i")
+      .mkString(", ")
   private val bandSelects: String = {
     val r = Dedup.NumHashes / Dedup.NumBands
     (0 until Dedup.NumBands).map { j =>
@@ -97,6 +103,48 @@ object DedupQueries {
         WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.8
         ORDER BY doc_a, doc_b"""),
       bench = true),
+
+    // Word-3-gram Jaccard near-dup pairs: LSH candidates from seeded-md5
+    // MinHash over word shingles (the aggregation-form signature — word
+    // grams can't be rolled scan-side), exact Jaccard at 0.5.
+    "dedup_ngram_jaccard" -> QueryDef(
+      fn = (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)],
+                           toks[CAST(i+2 AS INT)]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM toks WHERE len(toks) >= 3)),
+        sigs AS (
+          SELECT doc_id, ${mdSigCols}
+          FROM sh GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.doc_a
+          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b,
+               round(i.i / (na.n + nb.n - i.i), 6) AS jaccard
+        FROM inter i
+        JOIN sizes na ON i.doc_a = na.doc_id
+        JOIN sizes nb ON i.doc_b = nb.doc_id
+        WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.5
+        ORDER BY doc_a, doc_b""")),
 
     // SimHash near-dup pairs: 48-bit simhash, 4x12-bit LSH bands,
     // Hamming <= 3.
