@@ -79,18 +79,24 @@ object Dedup {
   }
 
   /** Word-n-gram Jaccard near-dup pairs: LSH candidates from aggregated
-    * MinHash over word shingles, exact Jaccard on candidates only. */
+    * MinHash over word shingles, exact Jaccard computed only on shingle
+    * sets of docs that appear in a candidate pair. */
   def ngramJaccardPairs(
       docs: DataFrame, threshold: Double = 0.5, n: Int = 3): DataFrame = {
     val sh = wordShingles(docs, n = n).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = bandKeys(minHashSignaturesAgg(sh)).persist(StorageLevel.MEMORY_AND_DISK)
-    val result = jaccard(candidatePairs(bands), sh)
+    val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val result = jaccard(cand, candSh)
       .where(col("jaccard") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     sh.unpersist(false)
     bands.unpersist(false)
+    cand.unpersist(false)
     result
   }
 

@@ -146,7 +146,8 @@ object Ingest {
       outputPartitions: Seq[String] = Nil,
       historyBuckets: Option[Int] = None,
       format: String = "parquet",
-      knownSourceRows: Option[Long] = None): IngestReport = {
+      knownSourceRows: Option[Long] = None,
+      deltaOnlyReconcile: Boolean = false): IngestReport = {
     val histTable = s"${table}_incremental"
     val sourceRows = knownSourceRows.getOrElse(source.count())
     val histExists = tableExists(spark, db, histTable)
@@ -167,43 +168,56 @@ object Ingest {
     }
     val tagged = delta.withColumn(tagColumn, lit(tag))
     tagged.persist(StorageLevel.MEMORY_AND_DISK)
-    val ingested =
-      try {
-        val n = tagged.count()
-        ensureDatabase(spark, db)
-        // The 100 TB mitigation: bucket the history by the reconcile keys so
-        // every future reconcile reads pre-clustered data and plans NO
-        // Exchange — the window dedup becomes a per-bucket sort instead of a
-        // full-history shuffle each run. Appends keep the bucket spec.
-        val writer = historyBuckets.foldLeft(
-          tagged.write.format(format).partitionBy(tagColumn))(
-          (w, b) => w.bucketBy(b, keyColumns.head, keyColumns.tail: _*))
-        if (histExists) writer.mode("append").saveAsTable(s"`$db`.`$histTable`")
-        else writer.mode("overwrite").saveAsTable(s"`$db`.`$histTable`")
-        n
-      } finally tagged.unpersist()
+    try {
+      val ingested = tagged.count()
+      ensureDatabase(spark, db)
+      // The 100 TB mitigation: bucket the history by the reconcile keys so
+      // every future reconcile reads pre-clustered data and plans NO
+      // Exchange — the window dedup becomes a per-bucket sort instead of a
+      // full-history shuffle each run. Appends keep the bucket spec.
+      val writer = historyBuckets.foldLeft(
+        tagged.write.format(format).partitionBy(tagColumn))(
+        (w, b) => w.bucketBy(b, keyColumns.head, keyColumns.tail: _*))
+      if (histExists) writer.mode("append").saveAsTable(s"`$db`.`$histTable`")
+      else writer.mode("overwrite").saveAsTable(s"`$db`.`$histTable`")
 
-    // Reconcile over FULL history (spark_loaders.py:225-239). Deterministic
-    // tie-break: ingest tag desc (later batch wins), then key columns.
-    val history = spark.table(s"`$db`.`$histTable`")
-    val reconciled = Reconcile.reconcile(
-      history, keyColumns, lastModifiedColumn,
-      tieBreak = tagColumn +: keyColumns,
-      softDeleteCol = deletedColumn)
+      // Reconcile (spark_loaders.py:225-239). Deterministic tie-break:
+      // ingest tag desc (later batch wins), then key columns. The reference
+      // semantic rescans FULL history every run; with `deltaOnlyReconcile`
+      // (and an existing destination) only keys touched by this delta are
+      // reconciled — a semi-join the bucketed history answers without a
+      // shuffle — and every other key's current row is carried over from
+      // the destination unchanged. Cost drops from O(history) to
+      // O(delta history + destination rewrite).
+      val history = spark.table(s"`$db`.`$histTable`")
+      def reconcileOf(h: DataFrame) = Reconcile.reconcile(
+        h, keyColumns, lastModifiedColumn,
+        tieBreak = tagColumn +: keyColumns,
+        softDeleteCol = deletedColumn)
+      val destExists = tableExists(spark, db, table)
+      val reconciled =
+        if (deltaOnlyReconcile && destExists) {
+          val deltaKeys = tagged.select(keyColumns.map(col): _*).distinct()
+          val touched = history.join(deltaKeys, keyColumns, "left_semi")
+          val untouched = spark.table(s"`$db`.`$table`")
+            .join(deltaKeys, keyColumns, "left_anti")
+          reconcileOf(touched).unionByName(untouched)
+        } else reconcileOf(history)
 
-    // Scratch dance (spark_loaders.py:246-262): destination may feed a future
-    // read; never overwrite a table while reading it.
-    ensureDatabase(spark, scratchDb)
-    val scratch = s"`$scratchDb`.`graft_${table}_persist`"
-    val scratchWriter =
-      if (outputPartitions.nonEmpty)
-        reconciled.write.format(format).partitionBy(outputPartitions: _*)
-      else reconciled.write.format(format)
-    scratchWriter.mode("overwrite").saveAsTable(scratch)
-    val staged = spark.table(scratch)
-    staged.limit(0).write.format(format).mode("ignore").saveAsTable(s"`$db`.`$table`")
-    staged.write.mode("overwrite").insertInto(s"`$db`.`$table`")
-    spark.sql(s"DROP TABLE IF EXISTS $scratch")
-    IngestReport(sourceRows, ingested, spark.table(s"`$db`.`$table`").count())
+      // Scratch dance (spark_loaders.py:246-262): destination may feed a
+      // future read; never overwrite a table while reading it.
+      ensureDatabase(spark, scratchDb)
+      val scratch = s"`$scratchDb`.`graft_${table}_persist`"
+      val scratchWriter =
+        if (outputPartitions.nonEmpty)
+          reconciled.write.format(format).partitionBy(outputPartitions: _*)
+        else reconciled.write.format(format)
+      scratchWriter.mode("overwrite").saveAsTable(scratch)
+      val staged = spark.table(scratch)
+      staged.limit(0).write.format(format).mode("ignore").saveAsTable(s"`$db`.`$table`")
+      staged.write.mode("overwrite").insertInto(s"`$db`.`$table`")
+      spark.sql(s"DROP TABLE IF EXISTS $scratch")
+      IngestReport(sourceRows, ingested, spark.table(s"`$db`.`$table`").count())
+    } finally tagged.unpersist()
   }
 }

@@ -112,6 +112,33 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.destinationRows == 3) // deleted marker ignored without -d
   }
 
+  test("delta-only reconcile matches full reconcile across the merge scenario") {
+    def merge(tbl: String, deltaOnly: Boolean)(src: DataFrame, tag: String) =
+      Ingest.incrementalMerge(
+        spark, src, "ingest_test", tbl, keyColumns = Seq("id"),
+        lastModifiedColumn = "last_modified", incrementalColumn = "id",
+        tag = tag, deletedColumn = Some("deleted"),
+        historyBuckets = Some(4), deltaOnlyReconcile = deltaOnly)
+    val full = merge("d_full", deltaOnly = false) _
+    val fast = merge("d_fast", deltaOnly = true) _
+
+    val b1 = rows((0 until 10).map(i =>
+      (i, s"v$i", ts("2024-01-01 10:00:00"), t0, "2024-01-01", None: Option[Int])): _*)
+    // update id=3, insert id=10 with NULL last_modified, soft-delete id=5
+    val b2 = rows(
+      (3, "K", ts("2024-01-02 10:00:00"), t0, "2024-01-01", None),
+      (10, "v10", null, t0, "2024-01-02", None),
+      (5, "v5", ts("2024-01-02 10:00:00"), t0, "2024-01-01", Some(1)))
+
+    Seq(full, fast).foreach { m => m(b1, "20240101T000000"); m(b2, "20240102T000000") }
+
+    val a = spark.table("ingest_test.d_full")
+    val b = spark.table("ingest_test.d_fast")
+    assert(a.count() == 10 && b.count() == 10) // 11 keys, id=5 soft-deleted
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0,
+      "delta-only reconcile diverged from the full reconcile")
+  }
+
   test("bucketed history: same merge results, reconcile plans no Exchange") {
     def merge(src: DataFrame, tag: String) = Ingest.incrementalMerge(
       spark, src, "ingest_test", "bucketed", keyColumns = Seq("id"),
