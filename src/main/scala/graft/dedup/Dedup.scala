@@ -67,14 +67,18 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature over an arbitrary pre-shingled relation in
-    * ONE aggregation pass: k min-aggregates over independently-seeded
-    * 48-bit md5 hashes. The generic (non-rolling) fallback for shingle
-    * shapes the native [[graft.functions.MinHashSigs]] can't roll over
-    * (e.g. word n-grams). */
+    * ONE aggregation pass: ONE 48-bit md5-derived base hash per shingle,
+    * then k min-aggregates over the same odd-multiplier mod-2^61 scramble
+    * family [[graft.functions.MinHashSigs]] uses (independent orderings —
+    * see the class doc for why h1 + i·h2 is not an option). The generic
+    * (non-rolling) fallback for shingle shapes the native expression can't
+    * roll over (e.g. word n-grams). */
   def minHashSignaturesAgg(sh: DataFrame, k: Int = NumHashes): DataFrame = {
+    // scramble61 is a native expression: the scramble multiply wraps mod
+    // 2^64 by design, which ANSI-mode Column arithmetic would reject.
+    val h = conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
     val aggs = (0 until k).map(i =>
-      min(conv(substring(md5(concat(col("shingle"), lit(s"|$i"))), 1, 12), 16, 10)
-        .cast("long")).as(s"m$i"))
+      min(call_function("scramble61", h, lit(i))).as(s"m$i"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -51,6 +51,26 @@ case class MinHashSigs(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Native scalar: `(h · Scrambles(idx)) mod 2^61` with Java wraparound —
+  * the MinHash scramble as a standalone expression for shingle shapes
+  * built in SQL (e.g. word n-grams). ANSI mode forbids the overflowing
+  * multiply in Column arithmetic; raw JVM arithmetic here is exact mod
+  * 2^64, and the low-61-bit mask turns it into mod 2^61 (2^61 | 2^64). */
+case class Scramble61(child: Expression, idx: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "scramble61"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigs.scramble(input.asInstanceOf[Long], idx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashSigs.scramble($c, $idx)")
+
+  override protected def withNewChildInternal(newChild: Expression): Scramble61 =
+    copy(child = newChild)
+}
+
 object MinHashSigs {
   final val Base = 131L
   final val Mask61 = (1L << 61) - 1
@@ -61,6 +81,9 @@ object MinHashSigs {
     val r = new scala.util.Random(20260812L)
     Array.fill(64)((r.nextLong() & Mask61) | 1L)
   }
+
+  /** The signature scramble: mod-2^61 of the wrapped product. */
+  def scramble(h: Long, idx: Int): Long = (h * Scrambles(idx)) & Mask61
 
   /** One pass over all n-byte windows; returns the k signature minima. */
   def compute(bytes: Array[Byte], n: Int, k: Int): ArrayData = {
@@ -89,17 +112,26 @@ object MinHashSigs {
     new GenericArrayData(mins)
   }
 
-  /** Register `minhash_sigs(str, n, k)` for SQL / call_function use. */
-  def register(spark: SparkSession): Unit =
+  /** Register `minhash_sigs(str, n, k)` and `scramble61(h, idx)` for
+    * SQL / call_function use. */
+  def register(spark: SparkSession): Unit = {
+    def lit(e: Expression, what: String): Int = e match {
+      case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(s"$what must be a literal")
+    }
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => {
         require(exprs.size == 3, "minhash_sigs(str, n, k)")
-        def lit(e: Expression): Int = e match {
-          case f if f.foldable => f.eval().asInstanceOf[Number].intValue()
-          case _ => throw new IllegalArgumentException("n and k must be literals")
-        }
-        MinHashSigs(exprs.head, lit(exprs(1)), lit(exprs(2)))
+        MinHashSigs(exprs.head, lit(exprs(1), "n"), lit(exprs(2), "k"))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("scramble61"),
+      new ExpressionInfo(classOf[Scramble61].getName, "scramble61"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "scramble61(h, idx)")
+        Scramble61(exprs.head, lit(exprs(1), "idx"))
+      })
+  }
 }

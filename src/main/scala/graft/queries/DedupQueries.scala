@@ -32,11 +32,19 @@ object DedupQueries {
       .map(i => s"min(CAST((CAST(h AS HUGEINT) * ${graft.functions.MinHashSigs.Scrambles(i)}) " +
         s"% $TwoPow61 AS BIGINT)) AS m$i")
       .mkString(", ")
-  // Seeded-md5 signature columns for the aggregation-form MinHash
-  // (Dedup.minHashSignaturesAgg) used by the word-n-gram query.
+  // Signature columns for the aggregation-form MinHash
+  // (Dedup.minHashSignaturesAgg) used by the word-n-gram query: one
+  // md5-derived 48-bit base hash, scrambled per-signature by the same odd
+  // multipliers mod 2^61 as the native expression. Java's wraparound
+  // multiply + low-61-bit mask equals the HUGEINT product mod 2^61
+  // because 2^61 divides 2^64 and h < 2^48 keeps the true product < 2^109.
   private val mdSigCols: String =
     (0 until Dedup.NumHashes)
-      .map(i => s"min(CAST('0x' || substr(md5(shingle || '|$i'), 1, 12) AS BIGINT)) AS m$i")
+      .map { i =>
+        val a = graft.functions.MinHashSigs.Scrambles(i)
+        s"min(CAST((CAST(CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS HUGEINT)" +
+          s" * $a) % $TwoPow61 AS BIGINT)) AS m$i"
+      }
       .mkString(", ")
   private val bandSelects: String = {
     val r = Dedup.NumHashes / Dedup.NumBands
