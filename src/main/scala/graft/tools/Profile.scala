@@ -1,13 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 import graft.GraftSession
 import graft.dedup.Dedup
 import graft.sources.Tables
 
 /** Dev-only stage profiler (not part of the driver contract): times the
-  * pieces of a pipeline so regressions can be localized without the UI. */
+  * pieces of the dedup pipelines so regressions can be localized without
+  * the UI. */
 object Profile {
   private def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -30,23 +31,28 @@ object Profile {
     val docs = Tables.load(spark, sfDir, "documents")
     time("docs.count")(docs.count())
 
-    val sh = Dedup.shingles(docs)
-    time("shingles distinct count")(println("  rows=" + sh.count()))
-    sh.persist()
-    time("shingles persist")(sh.count())
-
-    val sigs = Dedup.minHashSignatures(sh)
-    time("signatures")(println("  rows=" + sigs.count()))
-
-    val bands = Dedup.bandKeys(sigs)
+    // char-gram MinHash pipeline (native scan-side signatures)
+    val bands = Dedup.bandKeys(Dedup.minHashSignatures(docs))
     bands.persist()
-    time("bands persist")(bands.count())
-
+    time("char bands persist")(bands.count())
     val cand = Dedup.candidatePairs(bands)
-    time("candidates")(println("  rows=" + cand.count()))
+    cand.persist()
+    time("char candidates")(println("  rows=" + cand.count()))
+    time("char full pipeline")(Dedup.minHashLshPairs(docs).count())
+    bands.unpersist(); cand.unpersist()
 
-    val jac = Dedup.jaccard(cand, sh)
-    time("jaccard verify")(println("  rows=" + jac.count()))
+    // word-ngram pipeline (aggregation-form signatures)
+    val wsh = Dedup.wordShingles(docs)
+    wsh.persist()
+    time("word shingles persist")(println("  rows=" + wsh.count()))
+    val wbands = Dedup.bandKeys(Dedup.minHashSignaturesAgg(wsh))
+    wbands.persist()
+    time("word bands persist")(wbands.count())
+    time("word candidates")(println("  rows=" + Dedup.candidatePairs(wbands).count()))
+    time("word full pipeline")(Dedup.ngramJaccardPairs(docs).count())
+    wsh.unpersist(); wbands.unpersist()
+
+    time("simhash pairs")(Dedup.simHashPairs(docs).count())
 
     spark.stop()
   }
