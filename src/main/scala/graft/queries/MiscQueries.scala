@@ -73,6 +73,39 @@ object MiscQueries {
                greatest(0, least(16, n_bytes - "offset" + 1)) AS frame_bytes
         FROM frames ORDER BY media_id, frame_no""")),
 
+    // Feature extraction through the mapPartitions decode stage. The stub
+    // "decoder" is a 16-bin byte histogram normalized in float32; the bin
+    // COUNTS are recovered exactly by round(f * n_bytes) (count <= 577,
+    // so the float32 relative error can never reach 0.5), which makes the
+    // whole decode path integer-exact and oracle-checkable: DuckDB
+    // recomputes the histogram from unicode codepoints (ASCII corpus).
+    "mm_features" -> QueryDef(
+      fn = (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          s, Multimodal.mediaTable(t(s, d, "documents"))).toDF()
+        feats
+          .select(col("media_id"),
+            posexplode(expr("transform(features, f -> CAST(round(f * n_bytes) AS BIGINT))"))
+              .as(Seq("bin", "cnt")))
+          .select(col("media_id"), col("bin").cast("long").as("bin"), col("cnt"))
+          .orderBy("media_id", "bin")
+      },
+      oracle = Some("""
+        WITH chars AS (
+          SELECT doc_id AS media_id,
+                 unicode(substr(text, CAST(i AS INT), 1)) % 16 AS bin
+          FROM documents, range(1, 2000) r(i)
+          WHERE i <= length(text)),
+        bins AS (SELECT unnest(generate_series(0, 15)) AS bin),
+        ids AS (SELECT DISTINCT media_id FROM chars)
+        SELECT ids.media_id AS media_id, bins.bin AS bin,
+               coalesce(c.cnt, 0) AS cnt
+        FROM ids CROSS JOIN bins
+        LEFT JOIN (SELECT media_id, bin, count(*) AS cnt
+                   FROM chars GROUP BY 1, 2) c
+          ON c.media_id = ids.media_id AND c.bin = bins.bin
+        ORDER BY ids.media_id, bins.bin""")),
+
     // HLL sketch distinct (no oracle: sketch internals differ per engine;
     // SketchSpec bounds the error against exact counts).
     "agg_approx_distinct" -> QueryDef(
