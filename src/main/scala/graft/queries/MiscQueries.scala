@@ -12,16 +12,81 @@ import graft.sim.Ann
 object MiscQueries {
   import QueryDef._
 
+  /** DuckDB mirror of Ann.topKApprox with its default planes
+    * (hyperplanes(numPlanes, 64, seed=42)): same bucket bits, same
+    * Hamming<=1 xor probes, same rounded-cosine ranking. */
+  private def annLshOracle(numPlanes: Int, k: Int): String = {
+    val planes = Ann.hyperplanes(numPlanes, 64)
+    val bits = planes.zipWithIndex.map { case (p, h) =>
+      val lits = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $lits) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+    val probes = ("qb" +: (0 until numPlanes).map(h => s"xor(qb, ${1L << h})"))
+      .mkString("[", ", ", "]")
+    val cos = graft.functions.VectorOps.cosineSql("eq.embedding", "ec.embedding")
+    s"""
+      WITH idx AS (
+        SELECT vec_id, $bits AS bucket
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+      probes AS (
+        SELECT q.vec_id AS q_id, unnest($probes) AS probe
+        FROM (SELECT vec_id, bucket AS qb FROM idx WHERE vec_id < 20) q),
+      cand AS (
+        SELECT DISTINCT p.q_id, i.vec_id AS c_id
+        FROM probes p JOIN idx i ON i.bucket = p.probe
+        WHERE i.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.c_id, round($cos, 6) AS score
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings ec ON ec.vec_id = c.c_id),
+      ranked AS (
+        SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id)
+                 AS rnk
+        FROM scored)
+      SELECT q_id, rnk, c_id, score FROM ranked
+      WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
+
+  /** DuckDB mirror of RollingHashMin(text, 8): the base-257 polynomial of
+    * each 8-byte window computed EXACTLY in HUGEINT (max value ~2^64.1,
+    * well inside int128), reduced mod 2^64 once, then reinterpreted as a
+    * signed 64-bit value — which is precisely Java's wraparound long — and
+    * min'd per document. ASCII corpus: unicode() == byte. */
+  private def rollingFpOracle: String = {
+    val poly = (1 to 8).map { j =>
+      val pow = BigInt(257).pow(8 - j)
+      s"CAST(unicode(substr(shingle, $j, 1)) AS HUGEINT) * $pow"
+    }.mkString(" + ")
+    val two64 = BigInt(2).pow(64)
+    val two63 = BigInt(2).pow(63)
+    s"""
+      WITH sh AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 7)) AS i
+              FROM documents WHERE length(text) >= 8)),
+      ph AS (SELECT doc_id, ($poly) % $two64 AS w FROM sh)
+      SELECT doc_id,
+             min(CASE WHEN w >= $two63 THEN CAST(w - $two64 AS BIGINT)
+                      ELSE CAST(w AS BIGINT) END) AS rfp
+      FROM ph GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ANN via sign-random-projection LSH + multiprobe: the scale path for
-    // sim_knn_join. Rows-only here; AnnSpec checks recall vs brute force.
+    // sim_knn_join. The hyperplanes are deterministic, so the DuckDB
+    // oracle reproduces the index (literal planes), the Hamming-1 probe
+    // expansion (xor), and the ranked candidates bit-for-bit; AnnSpec
+    // additionally checks recall vs brute force.
     "sim_ann_lsh" -> QueryDef(
       fn = (s, d) => {
         val emb = t(s, d, "embeddings")
         Ann.topKApprox(emb, emb.where(col("vec_id") < 20), k = 3)
       },
-      oracle = None,
+      oracle = Some(annLshOracle(numPlanes = 8, k = 3)),
       bench = true),
 
     // ANN via IVF (k-means coarse quantizer + nprobe): the second scale
@@ -124,6 +189,6 @@ object MiscQueries {
         t(s, d, "documents")
           .select(col("doc_id"), expr("rolling_hash_min(text, 8)").as("rfp"))
           .orderBy("doc_id"),
-      oracle = None)
+      oracle = Some(rollingFpOracle))
   )
 }
