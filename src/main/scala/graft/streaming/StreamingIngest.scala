@@ -91,6 +91,27 @@ object StreamingIngest {
       }
   }
 
+  /** Write a stream into a managed table through the batch ingestion
+    * path: each micro-batch runs [[graft.operators.Ingest.incrementalAppend]]
+    * via `foreachBatch`, so the destination accumulates exactly like the
+    * reference's polling loader — same tag column, same partitioning, same
+    * watermark-filter semantics — but with the engine driving the batches.
+    * The batch id becomes part of the ingest tag (reproducible, no
+    * driver-side now()); the stream's own exactly-once bookkeeping comes
+    * from checkpointing + the append watermark. */
+  def toIngestSink(
+      df: DataFrame, db: String, table: String, incrementalColumn: String,
+      tagPrefix: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Ingest.incrementalAppend(
+            batch.sparkSession, batch, db, table, incrementalColumn,
+            tag = f"$tagPrefix%s_b$batchId%05d")
+          ()
+        }
+    }
+
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)

@@ -88,6 +88,34 @@ class StreamingSpec extends AnyFunSuite {
       finalState.select("key", "ts", "event_id")).count() == 0)
   }
 
+  test("foreachBatch ingest sink accumulates like the batch append loader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sink").toString
+    staticEvents.where(col("event_id") < 400).write.mode("overwrite").parquet(dir + "/b1")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stream_sink")
+    spark.sql("DROP TABLE IF EXISTS stream_sink.events")
+    val stream = StreamingIngest.appendStream(
+      spark, dir + "/*", staticEvents.schema, tag = "ignored")
+      .drop("dl_ingest_date") // the sink applies its own per-batch tag
+    val q = StreamingIngest.toIngestSink(
+      stream, "stream_sink", "events", incrementalColumn = "event_id",
+      tagPrefix = "20240101T000000").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("stream_sink.events").count() == 400)
+      staticEvents.where(col("event_id") >= 400).write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dest = spark.table("stream_sink.events")
+    assert(dest.count() == staticEvents.count())
+    // per-batch tags partition the destination like the reference's loader
+    assert(dest.select("dl_ingest_date").distinct().count() >= 2)
+    assert(dest.select("event_id").distinct().count() == staticEvents.count())
+    spark.sql("DROP DATABASE stream_sink CASCADE")
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
