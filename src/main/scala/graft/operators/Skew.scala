@@ -34,8 +34,12 @@ object Skew {
       salts: Int = 64): DataFrame = {
     require(aggs.nonEmpty, "at least one aggregate")
     val valueCols = df.columns.filterNot(keys.contains).map(col).toIndexedSeq
-    val salted = df.withColumn("__salt",
-      pmod(hash(valueCols: _*), lit(salts)))
+    // Key-only frames have nothing value-like to hash; the partition id is
+    // still deterministic for a given file layout and spreads hot keys.
+    val saltExpr =
+      if (valueCols.nonEmpty) pmod(hash(valueCols: _*), lit(salts))
+      else pmod(spark_partition_id(), lit(salts))
+    val salted = df.withColumn("__salt", saltExpr)
 
     val partial: Seq[Column] = aggs.map {
       case CountRows(as) => count(lit(1)).as(s"__p_$as")

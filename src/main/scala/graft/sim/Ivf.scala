@@ -44,12 +44,15 @@ object Ivf {
     val v = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
     val n = v.count()
     val stride = math.max(n / k, 1L)
-    val w = Window.orderBy(col("id"))
+    // Stride-filter on the id VALUE (no global row_number — a single-task
+    // sort over the corpus would bottleneck at scale); ids are dense in
+    // the fixtures, and any deterministic spread works as k-means init.
     var centroids: Array[Array[Double]] = v
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where((col("rn") - 1) % stride === 0)
-      .orderBy("rn").limit(k)
+      .where(pmod(col("id"), lit(stride)) === 0)
+      .orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"ivf init: got ${centroids.length} seeds for k=$k (ids not dense?)")
 
     for (_ <- 1 to iters) {
       val assigned = v.withColumn("cell", cellCol(col("v"), centroids))
