@@ -63,6 +63,33 @@ object Multimodal {
       }
   }
 
+  /** STUB resize kernel: a real implementation would decode, scale, and
+    * re-encode; the deterministic stand-in keeps every `factor`-th byte —
+    * the 1-D analog of nearest-neighbor downsampling — so tests and the
+    * oracle can assert exact output. */
+  private[mm] def resizeStub(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Resize stage: same per-partition batch shape as [[extractFeatures]]
+    * (kernel init once per task); payload in, payload out, metadata
+    * recomputed. */
+  def resize(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
+    import spark.implicits._
+    val resized = media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-task init of the (stub) resize kernel happens here
+        rows.map { r =>
+          val out = resizeStub(r.media, factor)
+          MediaRow(r.media_id, out, r.format, out.length.toLong)
+        }
+      }
+    resized.toDF()
+  }
+
   /** Frame sampling: slice the payload into `n` evenly-spaced fixed-size
     * chunks ("frames") — pure column expressions, no kernel needed. */
   def sampleFrames(media: DataFrame, n: Int, frameBytes: Int): DataFrame =

@@ -171,6 +171,45 @@ object MiscQueries {
           ON c.media_id = ids.media_id AND c.bin = bins.bin
         ORDER BY ids.media_id, bins.bin""")),
 
+    // Resize through the mapPartitions kernel stage. The stub keeps every
+    // 4th byte (nearest-neighbor analog), so DuckDB reproduces the output
+    // exactly with a filtered char list over the ASCII payload.
+    "mm_resize" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.resize(s, Multimodal.mediaTable(t(s, d, "documents")), factor = 4)
+          .select(col("media_id"), col("n_bytes"),
+            md5(col("media").cast("string")).as("content_hash"))
+          .orderBy("media_id"),
+      oracle = Some("""
+        WITH resized AS (
+          SELECT doc_id AS media_id,
+                 array_to_string(
+                   [substr(text, CAST(i AS INT), 1)
+                    FOR i IN range(1, length(text) + 1) IF (i - 1) % 4 = 0],
+                   '') AS r
+          FROM documents)
+        SELECT media_id, CAST(length(r) AS BIGINT) AS n_bytes,
+               md5(r) AS content_hash
+        FROM resized ORDER BY media_id""")),
+
+    // JSON property extraction + aggregation over the events stream's
+    // semi-structured props column.
+    "events_json_agg" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // HLL sketch distinct (no oracle: sketch internals differ per engine;
     // SketchSpec bounds the error against exact counts).
     "agg_approx_distinct" -> QueryDef(
