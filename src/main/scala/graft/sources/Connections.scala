@@ -98,9 +98,17 @@ object Connections {
   def load(spark: SparkSession, opts: ConnOpts): DataFrame =
     reader(spark, opts).load()
 
-  /** Source-side row count via DS V2 aggregate pushdown
-    * (/root/reference/jdbc_loader_spark2.py:33-35). */
-  def pushdownCount(spark: SparkSession, opts: ConnOpts): Long =
-    base(spark, opts.copy(partitionColumn = None, numPartitions = None))
-      .option("pushDownAggregate", "true").load().count()
+  /** Source-side row count (/root/reference/jdbc_loader_spark2.py:33-35).
+    * The reference sets `pushDownAggregate`, but Spark's `format("jdbc")`
+    * reader is DataSource V1, where that option is a silent no-op — the
+    * "pushed-down" count actually streams every row. The guaranteed form
+    * on ANY database is a `select count(*)` shipped through the `query`
+    * option: one row crosses the wire. */
+  def pushdownCount(spark: SparkSession, opts: ConnOpts): Long = {
+    val rel = opts.dbtable.getOrElse(s"(${opts.query.get})")
+    val countSql = s"select count(*) as cnt from $rel t"
+    base(spark, opts.copy(dbtable = None, query = Some(countSql),
+      partitionColumn = None, numPartitions = None))
+      .load().head().get(0).asInstanceOf[Number].longValue()
+  }
 }
