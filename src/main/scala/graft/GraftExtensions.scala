@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, RollingHashMin, Scramble61, VecDot}
+import graft.functions.{MinHashSigs, RollingHashMin, Scramble61, VecDot, WordMinHashSigs}
 
 /** Spark extensions entry point: makes every graft native expression
   * available in ANY session via configuration —
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 3, "minhash_sigs(str, n, k)")
         MinHashSigs(exprs.head, lit(exprs(1), "n"), lit(exprs(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_minhash_sigs"),
+      new ExpressionInfo(classOf[WordMinHashSigs].getName, "word_minhash_sigs"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 3, "word_minhash_sigs(str, n, k)")
+        WordMinHashSigs(exprs.head, lit(exprs(1), "n"), lit(exprs(2), "k"))
       }))
     ext.injectFunction((
       FunctionIdentifier("scramble61"),

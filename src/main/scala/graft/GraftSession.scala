@@ -36,6 +36,8 @@ object GraftSession {
       graft.functions.VecDot.register(spark)
     if (!spark.catalog.functionExists("minhash_sigs"))
       graft.functions.MinHashSigs.register(spark)
+    if (!spark.catalog.functionExists("word_minhash_sigs"))
+      graft.functions.WordMinHashSigs.register(spark)
     spark
   }
 }

@@ -71,8 +71,7 @@ object Dedup {
     * then k min-aggregates over the same odd-multiplier mod-2^61 scramble
     * family [[graft.functions.MinHashSigs]] uses (independent orderings —
     * see the class doc for why h1 + i·h2 is not an option). The generic
-    * (non-rolling) fallback for shingle shapes the native expression can't
-    * roll over (e.g. word n-grams). */
+    * fallback for shingle shapes with no native expression. */
   def minHashSignaturesAgg(sh: DataFrame, k: Int = NumHashes): DataFrame = {
     // scramble61 is a native expression: the scramble multiply wraps mod
     // 2^64 by design, which ANSI-mode Column arithmetic would reject.
@@ -82,25 +81,40 @@ object Dedup {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Word-n-gram Jaccard near-dup pairs: LSH candidates from aggregated
-    * MinHash over word shingles, exact Jaccard computed only on shingle
-    * sets of docs that appear in a candidate pair. */
+  /** Per-doc word-ngram MinHash signature computed scan-side by the
+    * native [[graft.functions.WordMinHashSigs]] expression — like the
+    * char-gram path, a pure projection: no shingle explode, no shuffle. */
+  def wordMinHashSignatures(
+      docs: DataFrame, textCol: String = "text",
+      k: Int = NumHashes, n: Int = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+        call_function("word_minhash_sigs", col(textCol), lit(n), lit(k)).as("sig"))
+      .where(col("sig").isNotNull) // fewer than n tokens -> no shingles
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("sig").getItem(i).as(s"m$i")): _*)
+
+  /** Word-n-gram Jaccard near-dup pairs: LSH candidates from scan-side
+    * word MinHash, exact Jaccard computed only on shingle sets of docs
+    * that appear in a candidate pair. */
   def ngramJaccardPairs(
       docs: DataFrame, threshold: Double = 0.5, n: Int = 3): DataFrame = {
-    val sh = wordShingles(docs, n = n).persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = bandKeys(minHashSignaturesAgg(sh)).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandKeys(wordMinHashSignatures(docs, n = n)).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // shingle sets only ever exist for candidate docs
+    val candSh = wordShingles(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n = n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val result = jaccard(cand, candSh)
       .where(col("jaccard") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    sh.unpersist(false)
     bands.unpersist(false)
     cand.unpersist(false)
+    candSh.unpersist(false)
     result
   }
 

@@ -32,18 +32,25 @@ object DedupQueries {
       .map(i => s"min(CAST((CAST(h AS HUGEINT) * ${graft.functions.MinHashSigs.Scrambles(i)}) " +
         s"% $TwoPow61 AS BIGINT)) AS m$i")
       .mkString(", ")
-  // Signature columns for the aggregation-form MinHash
-  // (Dedup.minHashSignaturesAgg) used by the word-n-gram query: one
-  // md5-derived 48-bit base hash, scrambled per-signature by the same odd
-  // multipliers mod 2^61 as the native expression. Java's wraparound
-  // multiply + low-61-bit mask equals the HUGEINT product mod 2^61
-  // because 2^61 divides 2^64 and h < 2^48 keeps the true product < 2^109.
-  private val mdSigCols: String =
+  // Signature columns for the word-ngram MinHash
+  // (Dedup.wordMinHashSignatures / native WordMinHashSigs): base hash is a
+  // Horner fold (h*131 + codepoint) mod 2^61 over the shingle string
+  // (list_reduce seeded by a prepended 0), scrambled per-signature by the
+  // same odd multipliers mod 2^61 as the native expression. Java's
+  // wraparound arithmetic + low-61-bit mask equals these HUGEINT mods
+  // because 2^61 divides 2^64.
+  private val wordHornerExpr: String = s"""
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, length(shingle) + 1),
+          i -> CAST(unicode(substr(shingle, CAST(i AS INT), 1)) AS BIGINT))),
+      (acc, c) -> CAST((CAST(acc AS HUGEINT) * ${graft.functions.WordMinHashSigs.Base}
+                        + c) % $TwoPow61 AS BIGINT))"""
+  private val wordSigCols: String =
     (0 until Dedup.NumHashes)
       .map { i =>
         val a = graft.functions.MinHashSigs.Scrambles(i)
-        s"min(CAST((CAST(CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS HUGEINT)" +
-          s" * $a) % $TwoPow61 AS BIGINT)) AS m$i"
+        s"min(CAST((CAST(h AS HUGEINT) * $a) % $TwoPow61 AS BIGINT)) AS m$i"
       }
       .mkString(", ")
   private val bandSelects: String = {
@@ -112,9 +119,10 @@ object DedupQueries {
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
-    // Word-3-gram Jaccard near-dup pairs: LSH candidates from seeded-md5
-    // MinHash over word shingles (the aggregation-form signature — word
-    // grams can't be rolled scan-side), exact Jaccard at 0.5.
+    // Word-3-gram Jaccard near-dup pairs: LSH candidates from scan-side
+    // word MinHash (native WordMinHashSigs), exact Jaccard at 0.5.
+    // Signature minima run over the shingle MULTISET in the engine and the
+    // DISTINCT set here — min is identical either way.
     "dedup_ngram_jaccard" -> QueryDef(
       fn = (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5),
       oracle = Some(s"""
@@ -130,9 +138,10 @@ object DedupQueries {
           FROM (SELECT doc_id, toks,
                        unnest(generate_series(1, len(toks) - 2)) AS i
                 FROM toks WHERE len(toks) >= 3)),
+        ph AS (SELECT doc_id, $wordHornerExpr AS h FROM sh),
         sigs AS (
-          SELECT doc_id, ${mdSigCols}
-          FROM sh GROUP BY doc_id),
+          SELECT doc_id, ${wordSigCols}
+          FROM ph GROUP BY doc_id),
         bands AS ($bandSelects),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
