@@ -41,16 +41,13 @@ object Profile {
     time("char full pipeline")(Dedup.minHashLshPairs(docs).count())
     bands.unpersist(); cand.unpersist()
 
-    // word-ngram pipeline (aggregation-form signatures)
-    val wsh = Dedup.wordShingles(docs)
-    wsh.persist()
-    time("word shingles persist")(println("  rows=" + wsh.count()))
-    val wbands = Dedup.bandKeys(Dedup.minHashSignaturesAgg(wsh))
+    // word-ngram pipeline (native scan-side signatures)
+    val wbands = Dedup.bandKeys(Dedup.wordMinHashSignatures(docs))
     wbands.persist()
     time("word bands persist")(wbands.count())
     time("word candidates")(println("  rows=" + Dedup.candidatePairs(wbands).count()))
     time("word full pipeline")(Dedup.ngramJaccardPairs(docs).count())
-    wsh.unpersist(); wbands.unpersist()
+    wbands.unpersist()
 
     time("simhash pairs")(Dedup.simHashPairs(docs).count())
 
