@@ -124,6 +124,67 @@ object RelationalQueries {
         GROUP BY n_name ORDER BY revenue DESC, n_name"""),
       bench = true),
 
+    // TPC-H Q14 shape: fact-to-mid-dimension equi-join (part broadcasts at
+    // this SF; past the broadcast threshold AQE falls back to a shuffled
+    // hash join) with a conditional-aggregate promo ratio in exact
+    // decimals.
+    "q14_promo_revenue" -> QueryDef(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem")
+        val promo = dsum(when(col("p_type").startsWith("PROMO"), revenueTerm)
+          .otherwise(lit(0).cast(dec)))
+        li.join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(promo.as("promo_rev"), dsum(revenueTerm).as("total_rev"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      },
+      oracle = Some(s"""
+        SELECT p_brand,
+               CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN $revenueSql
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 AS promo_rev,
+               ${DSUM.format(revenueSql)} AS total_rev,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""),
+      bench = true),
+
+    // CUBE grouping sets (all 4 combinations); NULLS FIRST pinned.
+    "agg_cube" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ${DSUM.format("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // lead(): inter-event gap per user — the analytic complement of the
+    // lag-based sessionization below.
+    "window_lead_gap" -> QueryDef(
+      fn = (s, d) => {
+        // portable event-time domain is epoch-MICROS: DuckDB truncates the
+        // nano timestamps on read, so ordering and differences must both
+        // happen at µs resolution (integer DIV, never `/` above 2^53)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+          .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+          .select("user_id", "event_id", "gap_us")
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        SELECT user_id, event_id,
+               lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                 - epoch_us(ts) AS gap_us
+        FROM events ORDER BY user_id, event_id""")),
+
     // ROLLUP grouping sets; NULLS FIRST pinned on both sides (Spark default
     // asc = nulls first, DuckDB default = nulls last).
     "agg_rollup" -> QueryDef(
