@@ -57,6 +57,21 @@ object StreamingIngest {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Gap-based session aggregation via the engine's native
+    * `session_window` — the streaming form of the batch lag+cumsum
+    * sessionization (`events_sessionize`): sessions merge as events
+    * arrive, state is bounded by the watermark, and the session
+    * definition (events closer than `gap` belong together) is identical
+    * to the batch formulation. */
+  def sessionCounts(
+      events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
   /** Streaming latest-per-key reconcile — the merge strategy's window
     * dedup ([[graft.operators.Reconcile]]) as continuously-maintained
     * state via `flatMapGroupsWithState`: state holds each key's current

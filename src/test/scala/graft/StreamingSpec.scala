@@ -88,6 +88,39 @@ class StreamingSpec extends AnyFunSuite {
       finalState.select("key", "ts", "event_id")).count() == 0)
   }
 
+  test("streaming session_window matches the batch lag-based sessionization") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sess").toString
+    staticEvents.write.mode("overwrite").parquet(dir)
+    val stream = StreamingIngest.appendStream(
+      spark, dir, staticEvents.schema, tag = "t")
+    val q = StreamingIngest.toMemorySink(
+      StreamingIngest.sessionCounts(stream), "sess_out", "complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch reference: the lag+cumsum sessionize (same 30-min gap)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val batch = staticEvents
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > lit(1800000000L), lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n_events"))
+
+    // identical session structure: same multiset of (user, events-in-session)
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), col("n_events")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    val expected = batch.select(col("user_id"), col("n_events")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(streamed == expected)
+  }
+
   test("foreachBatch ingest sink accumulates like the batch append loader") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sink").toString
