@@ -39,22 +39,33 @@ object CosineLsh {
   val Dim = 64
   val BaseSeed = 101L
 
+  /** Bucket resolution MUST grow with the corpus: expected candidate
+    * volume is `tables · n² / 2^bits`, so fixed bits turn quadratic once
+    * n outgrows the bucket count. Rule of thumb: keep mean bucket
+    * occupancy ~`target` (default 64) ⇒ `bits = log2(n / target)`,
+    * adding tables if borderline-recall matters at the higher resolution.
+    * The oracle-checked query pins bits for its fixed corpus; batch
+    * callers at scale should size with this. */
+  def bitsFor(n: Long, target: Int = 64): Int =
+    math.max(BitsPerTable,
+      math.ceil(math.log(math.max(n / target.toDouble, 2.0)) / math.log(2.0)).toInt)
+
   /** Deterministic ±1 hyperplanes for table `t` (shared with [[Ann]]). */
-  def tablePlanes: IndexedSeq[Array[Array[Double]]] =
-    (0 until NumTables).map(t => Ann.hyperplanes(BitsPerTable, Dim, BaseSeed + t))
+  def tablePlanes(bits: Int = BitsPerTable): IndexedSeq[Array[Array[Double]]] =
+    (0 until NumTables).map(t => Ann.hyperplanes(bits, Dim, BaseSeed + t))
 
   /** Sequential-fold dot product — native codegen'd kernel (same fold as
     * the oracle's `list_dot_product`). */
   private def dotFold(a: Column, b: Column): Column = VectorOps.dot(a, b)
 
   /** vec_id, normalized vector, and one bucket id per LSH table. */
-  def bucketed(emb: DataFrame): DataFrame =
+  def bucketed(emb: DataFrame, bits: Int = BitsPerTable): DataFrame =
     emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dotFold(col("v"), col("v"))))
       .withColumn("nv", transform(col("v"), x => x / col("nrm")))
       .select(col("vec_id"), col("nv"),
-        array(tablePlanes.map(p => Ann.bucketCol(col("v"), p)): _*).as("buckets"))
+        array(tablePlanes(bits).map(p => Ann.bucketCol(col("v"), p)): _*).as("buckets"))
 
   /** Near-duplicate pairs with exact cosine >= threshold, candidates from
     * multi-table LSH. Column contract: (id_a, id_b, score).
@@ -63,8 +74,10 @@ object CosineLsh {
     * the candidate self-join + both verify joins), so it is persisted for
     * the duration of the computation and the small result is materialized
     * eagerly — no recompute, and no cache leaked past the call. */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val base = bucketed(emb).persist(StorageLevel.MEMORY_AND_DISK)
+  def nearDupPairs(
+      emb: DataFrame, threshold: Double,
+      bits: Int = BitsPerTable): DataFrame = {
+    val base = bucketed(emb, bits).persist(StorageLevel.MEMORY_AND_DISK)
     val ids = base.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cand = ids.as("a")
@@ -93,7 +106,7 @@ object CosineLsh {
     * the same literal hyperplanes, same normalize-then-dot cosine, same
     * rounding and ordering. */
   def nearDupOracleSql(threshold: Double): String = {
-    val bucketSelects = tablePlanes.zipWithIndex.map { case (ps, t) =>
+    val bucketSelects = tablePlanes().zipWithIndex.map { case (ps, t) =>
       val bits = ps.zipWithIndex.map { case (p, h) =>
         s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) >= 0 THEN ${1L << h} ELSE 0 END)"
       }.mkString(" + ")

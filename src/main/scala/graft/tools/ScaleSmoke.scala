@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.dedup.Dedup
+import graft.sim.CosineLsh
+import graft.sources.Tables
+
+/** Dev-only scale smoke (not part of the driver contract): replicate the
+  * sf0.1 corpus Nx with per-copy salt prefixes (long enough to push
+  * cross-copy Jaccard far below threshold, so true-pair volume grows
+  * linearly with scale, like a real corpus) and time the dedup pipelines
+  * at 1x vs Nx. Sub-quadratic growth here is the empirical check behind
+  * the "no all-pairs stage anywhere" design claim. */
+object ScaleSmoke {
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scale] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  private def replicate(docs: DataFrame, copies: Int): DataFrame = {
+    val n = 10000000L
+    val salted = (0 until copies).map { c =>
+      // the salt prefix must be unique PER ROW (copy × doc): a per-copy
+      // shared prefix correlates every same-copy pair (J≈0.4 → candidate
+      // explosion), and a periodic or per-doc-only salt leaves cross-copy
+      // twins at J≈0.9 (222k constructed near-dups). 60 hash-derived
+      // pseudowords ≈ 420 row-unique shingles → twins land at J≈0.22,
+      // background at ≈0.02, so output volume scales like a real corpus.
+      val prefix = concat_ws(" ",
+        transform(sequence(lit(1), lit(60)),
+          i => concat(lit("s"), pmod(hash(col("doc_id"), lit(c), i), lit(99999)))))
+      docs.select((col("doc_id") + lit(c * n)).as("doc_id"),
+        concat(prefix, lit(" "), col("text")).as("text"))
+    }
+    salted.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val copies = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    // materialize the synthetic corpus: the salt-generation lineage is
+    // interpreted HOF work that would otherwise be re-billed to every
+    // pipeline stage and drown the measurement
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    replicate(docs1, copies).write.mode("overwrite").parquet(s"$tmp/docs")
+    val docsN = spark.read.parquet(s"$tmp/docs")
+    println(s"[scale] corpus 1x=${docs1.count()} docs, ${copies}x=${docsN.count()} docs")
+
+    // warm codegen so the Nx runs measure work, not compilation
+    Dedup.minHashLshPairs(docs1.limit(500)).unpersist()
+    Dedup.simHashPairs(docs1.limit(500)).unpersist()
+    val embW = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").limit(200)
+    CosineLsh.nearDupPairs(embW, 0.45).unpersist()
+    CosineLsh.nearDupPairs(embW, 0.45, CosineLsh.bitsFor(copies * 2000L)).unpersist()
+
+    val m1 = time("minhash_lsh 1x")(Dedup.minHashLshPairs(docs1))
+    println(s"[scale]   pairs=${m1.count()}"); m1.unpersist()
+    val mN = time(s"minhash_lsh ${copies}x")(Dedup.minHashLshPairs(docsN))
+    println(s"[scale]   pairs=${mN.count()}"); mN.unpersist()
+
+    val s1 = time("simhash 1x")(Dedup.simHashPairs(docs1))
+    println(s"[scale]   pairs=${s1.count()}"); s1.unpersist()
+    val sN = time(s"simhash ${copies}x")(Dedup.simHashPairs(docsN))
+    println(s"[scale]   pairs=${sN.count()}"); sN.unpersist()
+
+    val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    // circular-shift each copy's vectors: identical copies would be
+    // cosine-1.0 pairs (quadratic output by construction); a shifted
+    // random vector is ~orthogonal to the original
+    (0 until copies).map { c =>
+      val shift = c % 63 + 1
+      emb.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${shift + 1}, ${64 - shift}), " +
+          s"slice(embedding, 1, $shift))").as("embedding"))
+    }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$tmp/emb")
+    val embN = spark.read.parquet(s"$tmp/emb")
+    // bucket resolution sized to the corpus (the scale rule under test)
+    val bits1 = CosineLsh.bitsFor(emb.count())
+    val bitsN = CosineLsh.bitsFor(embN.count())
+    println(s"[scale] cosine bits: 1x=$bits1 ${copies}x=$bitsN")
+    val c1 = time("cosine_lsh 1x")(CosineLsh.nearDupPairs(emb, 0.45, bits1))
+    println(s"[scale]   pairs=${c1.count()}"); c1.unpersist()
+    val cN = time(s"cosine_lsh ${copies}x")(CosineLsh.nearDupPairs(embN, 0.45, bitsN))
+    println(s"[scale]   pairs=${cN.count()}"); cN.unpersist()
+
+    spark.stop()
+  }
+}
