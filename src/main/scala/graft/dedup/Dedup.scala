@@ -200,35 +200,46 @@ object Dedup {
     result
   }
 
-  /** 48-bit SimHash per doc over distinct lowercase tokens, in ONE
-    * aggregation pass: 48 conditional-sum bit-votes as aggregate
+  /** SimHash width: 60 bits = 4 bands × 15 bits. Width sets both
+    * precision and the LSH bucket count (2^15 per band): 48 bits was
+    * measurably degenerate on this corpus (425k Hamming≤3 pairs at
+    * sf0.1), and at large n candidate volume is Σ C(bucket_occ, 2) per
+    * band, so 15-bit bands postpone the occupancy wall 8×. 60 keeps the
+    * value positive in a BIGINT on both engines; `maxHamming + 1` bands
+    * guarantee a clean band for any pair within the radius (pigeonhole). */
+  val SimHashBits = 60
+  val SimHashBands = 4
+
+  /** 60-bit SimHash per doc over distinct lowercase tokens, in ONE
+    * aggregation pass: 60 conditional-sum bit-votes as aggregate
     * expressions over the un-exploded token rows, then the bits
-    * reassembled from the vote signs. 48 bits keeps the value positive in
-    * a BIGINT on both engines. */
+    * reassembled from the vote signs. */
   def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val words = docs
       .select(col("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .distinct()
-      .withColumn("h", conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long"))
-    val votes = (0 until 48).map(b =>
+      .withColumn("h",
+        conv(substring(md5(col("w")), 1, SimHashBits / 4), 16, 10).cast("long"))
+    val votes = (0 until SimHashBits).map(b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1L, 1).otherwise(-1)).as(s"v$b"))
     words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 48).map(b =>
+        (0 until SimHashBits).map(b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share one of 4 12-bit bands, then
+  /** SimHash near-dup pairs: candidates share one of 4 15-bit bands, then
     * Hamming distance (bit_count of xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val r = SimHashBits / SimHashBands
     val sh = simHash(docs)
     // Persisted: both sides of the self-join would otherwise re-run the
     // full token+vote pipeline. 4 rows/doc — small.
-    val banded = sh.withColumn("band", explode(expr("sequence(0, 3)")))
-      .withColumn("band_val", expr("shiftright(simhash, band * 12) & 4095"))
+    val banded = sh.withColumn("band", explode(expr(s"sequence(0, ${SimHashBands - 1})")))
+      .withColumn("band_val", expr(s"shiftright(simhash, band * $r) & ${(1 << r) - 1}"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")

@@ -163,23 +163,24 @@ object DedupQueries {
         WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
-    // SimHash near-dup pairs: 48-bit simhash, 4x12-bit LSH bands,
-    // Hamming <= 3.
+    // SimHash near-dup pairs: 60-bit simhash, 4x15-bit LSH bands,
+    // Hamming <= 3 (layout generated from Dedup.SimHashBits/Bands).
     "dedup_simhash" -> QueryDef(
       fn = (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 3),
-      oracle = Some("""
+      oracle = Some(s"""
         WITH words AS (
           SELECT DISTINCT doc_id, w
-          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
                 FROM documents)
           WHERE w <> ''),
         hashed AS (
-          SELECT doc_id, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, ${Dedup.SimHashBits / 4}) AS BIGINT) AS h
           FROM words),
         votes AS (
           SELECT doc_id, b,
                  sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM hashed, range(0, 48) r(b)
+          FROM hashed, range(0, ${Dedup.SimHashBits}) r(b)
           GROUP BY doc_id, b),
         sims AS (
           SELECT doc_id,
@@ -189,8 +190,9 @@ object DedupQueries {
           FROM votes GROUP BY doc_id),
         banded AS (
           SELECT doc_id, simhash, band,
-                 (simhash >> CAST(band * 12 AS INT)) & 4095 AS band_val
-          FROM sims, range(0, 4) r(band)),
+                 (simhash >> CAST(band * ${Dedup.SimHashBits / Dedup.SimHashBands} AS INT))
+                   & ${(1 << (Dedup.SimHashBits / Dedup.SimHashBands)) - 1} AS band_val
+          FROM sims, range(0, ${Dedup.SimHashBands}) r(band)),
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS h_a, b.simhash AS h_b
