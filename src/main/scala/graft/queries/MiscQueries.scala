@@ -210,6 +210,29 @@ object MiscQueries {
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // 2-D skyline (Pareto front): cheapest-price / highest-quantity
+    // lineitems. Engine computes local-then-global sorted-scan skylines
+    // (graft.operators.Skyline); the oracle is the declarative
+    // NOT-EXISTS dominance definition - different algorithm, same set.
+    "skyline_price_qty" -> QueryDef(
+      fn = (s, d) =>
+        graft.operators.Skyline
+          .skyline2d(t(s, d, "lineitem"), "l_extendedprice", "l_quantity")
+          .orderBy("l_extendedprice"),
+      oracle = Some("""
+        WITH pts AS (
+          SELECT DISTINCT CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                          CAST(l_quantity AS DOUBLE) AS l_quantity
+          FROM lineitem)
+        SELECT l_extendedprice, l_quantity FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.l_extendedprice <= p.l_extendedprice
+            AND q.l_quantity >= p.l_quantity
+            AND (q.l_extendedprice < p.l_extendedprice
+                 OR q.l_quantity > p.l_quantity))
+        ORDER BY l_extendedprice""")),
+
     // HLL sketch distinct (no oracle: sketch internals differ per engine;
     // SketchSpec bounds the error against exact counts).
     "agg_approx_distinct" -> QueryDef(
