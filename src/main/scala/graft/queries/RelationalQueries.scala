@@ -185,6 +185,68 @@ object RelationalQueries {
                  - epoch_us(ts) AS gap_us
         FROM events ORDER BY user_id, event_id""")),
 
+    // Range (interval-containment) join: error events located inside the
+    // user's browsing sessions (sessions built from click/view events,
+    // 30-min gap). Engine: bucketized equi-join (graft.operators.RangeJoin,
+    // 1-hour buckets) - no inequality-join nested loop; oracle: the
+    // declarative BETWEEN join.
+    "join_range" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("us"),
+            col("event_id"), col("event_type"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val sessions = ev
+          .where(col("event_type").isin("click", "view"))
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > lit(28800000000L), lit(1)).otherwise(lit(0)))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        val errors = ev.where(col("event_type") === "error")
+          .select("user_id", "us", "event_id")
+        graft.operators.RangeJoin
+          .intervalJoin(errors, sessions, key = "user_id", time = "us",
+            start = "start_us", end = "end_us", bucketWidth = 3600000000L)
+          .groupBy("user_id", "session_id", "start_us", "end_us")
+          .agg(count(lit(1)).as("n_errors"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        brows AS (
+          SELECT user_id, us, event_id,
+                 lag(us) OVER w AS prev_us
+          FROM ev WHERE event_type IN ('click', 'view')
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        flagged AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 28800000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM brows),
+        numbered AS (
+          SELECT *, CAST(sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM flagged),
+        sessions AS (
+          SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+          FROM numbered GROUP BY 1, 2),
+        errors AS (SELECT user_id, us FROM ev WHERE event_type = 'error')
+        SELECT s.user_id AS user_id, s.session_id AS session_id,
+               s.start_us AS start_us, s.end_us AS end_us,
+               count(*) AS n_errors
+        FROM errors e JOIN sessions s
+          ON e.user_id = s.user_id AND e.us >= s.start_us AND e.us <= s.end_us
+        GROUP BY 1, 2, 3, 4
+        ORDER BY user_id, session_id""")),
+
     // As-of join: each click matched to the user's most recent prior view
     // (graft.operators.AsOfJoin - union + sorted carry-forward, one
     // shuffle). The oracle uses DuckDB's native ASOF LEFT JOIN; event time
