@@ -150,6 +150,45 @@ object RelationalQueries {
         GROUP BY p_brand ORDER BY p_brand"""),
       bench = true),
 
+    // Explicit GROUPING SETS (by-flag and by-status, no grand total).
+    "agg_grouping_sets" -> QueryDef(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_quantity")
+        li.createOrReplaceTempView("li_gs")
+        s.sql(s"""
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+          FROM li_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      oracle = Some(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               ${DSUM.format("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
+    // Exact interpolated percentiles per group (Spark `percentile` and
+    // DuckDB `quantile_cont` share the linear-interpolation definition;
+    // rounded to escape low-bit accumulation differences).
+    "agg_percentiles" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // CUBE grouping sets (all 4 combinations); NULLS FIRST pinned.
     "agg_cube" -> QueryDef(
       fn = (s, d) =>
