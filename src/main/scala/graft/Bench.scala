@@ -23,24 +23,35 @@ object Bench {
       try fn(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
+    // Median of `runs` timed passes per query: single-run machine noise
+    // (±4 s observed between rounds) can otherwise mask or fake a real
+    // regression. `queries` stays name→seconds (the median) for the
+    // driver; min/max land in `spread`.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            false
+            None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      (name, times.sorted)
     }
+    def f(v: Double): String = "%.3f".format(v)
     val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v.toString else "-1") }
+      .map { case (k, ts) =>
+        "\"" + k + "\":" + (if (ts.nonEmpty) f(ts(ts.size / 2)) else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val spread = results.collect { case (k, ts) if ts.nonEmpty =>
+      "\"" + k + "\":[" + f(ts.head) + "," + f(ts.last) + "]" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts(ts.size / 2) }.sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

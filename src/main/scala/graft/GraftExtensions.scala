@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSigs, RollingHashMin, Scramble61, VecDot, WordMinHashSigs}
+import graft.functions.{MinHashSigs, RollingHashMin, Scramble61, SimHashSig, VecDot, WordMinHashSigs}
 
 /** Spark extensions entry point: makes every graft native expression
   * available in ANY session via configuration —
@@ -48,6 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.size == 3, "word_minhash_sigs(str, n, k)")
         WordMinHashSigs(exprs.head, lit(exprs(1), "n"), lit(exprs(2), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "simhash_sig(str, bits)")
+        SimHashSig(exprs.head, lit(exprs(1), "bits"))
       }))
     ext.injectFunction((
       FunctionIdentifier("scramble61"),

@@ -38,6 +38,8 @@ object GraftSession {
       graft.functions.MinHashSigs.register(spark)
     if (!spark.catalog.functionExists("word_minhash_sigs"))
       graft.functions.WordMinHashSigs.register(spark)
+    if (!spark.catalog.functionExists("simhash_sig"))
+      graft.functions.SimHashSig.register(spark)
     spark
   }
 }

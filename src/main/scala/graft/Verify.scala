@@ -26,8 +26,9 @@ object Verify {
         val dir = Paths.get(s"$outDir/$name")
         if (Files.exists(dir)) {
           import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
         }
       }
     }

@@ -11,12 +11,12 @@ import org.apache.spark.storage.StorageLevel
   *  - Never compare all pairs. Candidates come from LSH band buckets
   *    (MinHash) or band-equal hash chunks (SimHash); exact Jaccard runs
   *    only on candidates. Cost is O(corpus) + O(collisions), not O(n²).
-  *  - MinHash signatures are computed scan-side by the native
-  *    [[graft.functions.MinHashSigs]] expression — one O(len·k) pass per
-  *    document, no shingle explode, no distinct, no shuffle. Shingle sets
-  *    are materialized only for candidate docs during exact verification.
-  *    The 48 SimHash bit-votes are 48 conditional-sum aggregates over
-  *    un-exploded token rows. (Two lessons are baked in: deriving the k
+  *  - Signatures are computed scan-side by native expressions —
+  *    [[graft.functions.MinHashSigs]] / [[graft.functions.WordMinHashSigs]]
+  *    (one O(len·k) pass per document) and [[graft.functions.SimHashSig]]
+  *    (one tokenize+vote pass) — no shingle/token explode, no distinct,
+  *    no shuffle. Shingle sets are materialized only for candidate docs
+  *    during exact verification. (Two lessons are baked in: deriving the k
   *    hashes as h1 + i·h2 à la Kirsch–Mitzenmacher does NOT work for
   *    banding — adjacent derived hashes order the shingle universe almost
   *    identically, so P(band collision) degrades from J^r to ≈J, 454k
@@ -210,26 +210,19 @@ object Dedup {
   val SimHashBits = 60
   val SimHashBands = 4
 
-  /** 60-bit SimHash per doc over distinct lowercase tokens, in ONE
-    * aggregation pass: 60 conditional-sum bit-votes as aggregate
-    * expressions over the un-exploded token rows, then the bits
-    * reassembled from the vote signs. */
-  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val words = docs
+  /** 60-bit SimHash per doc computed scan-side by the native
+    * [[graft.functions.SimHashSig]] expression — one pass over the
+    * document's distinct lowercase tokens, NO token explode and NO
+    * shuffle: the whole signature stage is a projection (same shape as
+    * the MinHash pipelines). Docs with no tokens are dropped (`\S`
+    * filter) to match the explode formulation, where they produce no
+    * token rows. */
+  def simHash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .where(col(textCol).rlike("\\S"))
       .select(col("doc_id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("w"))
-      .where(col("w") =!= "")
-      .distinct()
-      .withColumn("h",
-        conv(substring(md5(col("w")), 1, SimHashBits / 4), 16, 10).cast("long"))
-    val votes = (0 until SimHashBits).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1L, 1).otherwise(-1)).as(s"v$b"))
-    words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimHashBits).map(b =>
-          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+        call_function("simhash_sig", lower(col(textCol)), lit(SimHashBits))
           .as("simhash"))
-  }
 
   /** SimHash near-dup pairs: candidates share one of 4 15-bit bands, then
     * Hamming distance (bit_count of xor) <= maxHamming. */
