@@ -90,14 +90,17 @@ object MiscQueries {
       bench = true),
 
     // ANN via IVF (k-means coarse quantizer + nprobe): the second scale
-    // path. Rows-only (iterative training has no SQL analog); IvfSpec
-    // checks exactness of scores and recall vs brute force.
+    // path. Training is deterministic (stride init, fixed iterations,
+    // quantized means), so the oracle replays ALL of it — the 5 Lloyd
+    // rounds unrolled as CTEs — and the query is fully hash-checked;
+    // IvfSpec additionally checks score exactness and recall.
     "sim_ann_ivf" -> QueryDef(
       fn = (s, d) => {
         val emb = t(s, d, "embeddings")
         graft.sim.Ivf.topKApprox(emb, emb.where(col("vec_id") < 20), k = 3)
       },
-      oracle = None,
+      oracle = Some(graft.sim.Ivf.topKOracleSql(
+        numCells = 16, nprobe = 4, k = 3, iters = 5)),
       bench = true),
 
     // Multimodal metadata pass: binary payload size + content hash; the

@@ -76,8 +76,11 @@ object SimilarityQueries {
     // from multi-table sign-LSH buckets (never an all-pairs join); exact
     // cosine verifies candidates only. The oracle recomputes the same
     // buckets from literal hyperplanes — see graft.sim.CosineLsh.
+    // bits pinned: the oracle embeds the 6-bit planes as literals (batch
+    // callers omit `bits` and get corpus-sized resolution automatically).
     "dedup_embedding_cos" -> QueryDef(
-      fn = (s, d) => CosineLsh.nearDupPairs(t(s, d, "embeddings"), threshold = 0.45),
+      fn = (s, d) => CosineLsh.nearDupPairs(t(s, d, "embeddings"), threshold = 0.45,
+        bits = Some(CosineLsh.BitsPerTable)),
       oracle = Some(CosineLsh.nearDupOracleSql(threshold = 0.45)),
       bench = true)
   )

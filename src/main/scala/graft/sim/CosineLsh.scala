@@ -70,14 +70,22 @@ object CosineLsh {
   /** Near-duplicate pairs with exact cosine >= threshold, candidates from
     * multi-table LSH. Column contract: (id_a, id_b, score).
     *
+    * Bucket resolution is SELF-SIZING by default: `bits = None` counts the
+    * corpus once (one cheap metadata-friendly job, amortized over the whole
+    * pipeline) and applies [[bitsFor]], so a caller who reuses this on a
+    * 100x corpus cannot silently go quadratic in candidate volume. Pass
+    * `Some(bits)` to pin the resolution — the oracle-checked harness query
+    * pins [[BitsPerTable]] because its DuckDB mirror embeds those planes.
+    *
     * The hashed corpus (`base`) feeds FOUR plan subtrees (both sides of
     * the candidate self-join + both verify joins), so it is persisted for
     * the duration of the computation and the small result is materialized
     * eagerly — no recompute, and no cache leaked past the call. */
   def nearDupPairs(
       emb: DataFrame, threshold: Double,
-      bits: Int = BitsPerTable): DataFrame = {
-    val base = bucketed(emb, bits).persist(StorageLevel.MEMORY_AND_DISK)
+      bits: Option[Int] = None): DataFrame = {
+    val b = bits.getOrElse(bitsFor(emb.count()))
+    val base = bucketed(emb, b).persist(StorageLevel.MEMORY_AND_DISK)
     val ids = base.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cand = ids.as("a")

@@ -36,37 +36,52 @@ object Ivf {
     greatest(scored.toIndexedSeq: _*).getField("c")
   }
 
+  /** Centroid means are quantized to this many decimals each Lloyd round:
+    * k-means quality is untouched (quantum 1e-6 vs coordinates O(0.1)),
+    * and the quantization pins the trained centroids to exact decimal
+    * values both engines reach identically — which is what lets the
+    * DuckDB oracle ([[topKOracleSql]]) replay training bit-for-bit. */
+  val MeanScale = 6
+
   /** Deterministic Lloyd training: stride-sampled init over `idCol` order,
-    * `iters` assign/average rounds; empty cells keep their centroid. */
+    * `iters` assign/average rounds; empty cells keep their centroid. The
+    * vector relation feeds `iters + 2` jobs (count, init, assignments), so
+    * it is persisted for the duration of training — without it each round
+    * rescans the source. (Real systems train the coarse quantizer on a
+    * sample; at 100 TB pass `emb.sample(...)` — training only needs enough
+    * data to place k centroids.) */
   def trainCentroids(
       emb: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Double]] = {
     val v = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
-    val n = v.count()
-    val stride = math.max(n / k, 1L)
-    // Stride-filter on the id VALUE (no global row_number — a single-task
-    // sort over the corpus would bottleneck at scale); ids are dense in
-    // the fixtures, and any deterministic spread works as k-means init.
-    var centroids: Array[Array[Double]] = v
-      .where(pmod(col("id"), lit(stride)) === 0)
-      .orderBy("id").limit(k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    require(centroids.length == k,
-      s"ivf init: got ${centroids.length} seeds for k=$k (ids not dense?)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = v.count()
+      val stride = math.max(n / k, 1L)
+      // Stride-filter on the id VALUE (no global row_number — a single-task
+      // sort over the corpus would bottleneck at scale); ids are dense in
+      // the fixtures, and any deterministic spread works as k-means init.
+      var centroids: Array[Array[Double]] = v
+        .where(pmod(col("id"), lit(stride)) === 0)
+        .orderBy("id").limit(k)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      require(centroids.length == k,
+        s"ivf init: got ${centroids.length} seeds for k=$k (ids not dense?)")
 
-    for (_ <- 1 to iters) {
-      val assigned = v.withColumn("cell", cellCol(col("v"), centroids))
-      val means: Map[Int, Array[Double]] = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg("x").as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-        }
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
-    }
-    centroids
+      for (_ <- 1 to iters) {
+        val assigned = v.withColumn("cell", cellCol(col("v"), centroids))
+        val means: Map[Int, Array[Double]] = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(round(avg("x"), MeanScale).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cell, rows) =>
+            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          }
+        centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      }
+      centroids
+    } finally v.unpersist(false)
   }
 
   /** Corpus indexed by cell. At scale: persist partitioned/bucketed by
@@ -113,5 +128,76 @@ object Ivf {
       .where(col("rnk") <= k)
       .select("q_id", "rnk", "c_id", "score")
       .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle mirroring [[topKApprox]] END-TO-END, training included:
+    * the `iters` Lloyd rounds are unrolled as chained CTEs — same stride
+    * init, same `argmax(v·c − |c|²/2)` assignment with the same
+    * (score DESC, cell DESC) tie-break, same [[MeanScale]]-quantized means
+    * (the quantization is what makes Spark's and DuckDB's float `avg`
+    * land on the same value), same empty-cell carry-over — then the same
+    * probe ranking, candidate join and rounded-cosine top-k. Everything
+    * deterministic, so the two engines replay the identical computation. */
+  def topKOracleSql(
+      numCells: Int = 16, nprobe: Int = 4, k: Int = 3,
+      iters: Int = 5, dim: Int = 64, queryPred: String = "id < 20"): String = {
+    // score of vector column `vc` against centroid row alias `c`
+    def score(vc: String) =
+      s"list_dot_product($vc, c.cv) - list_dot_product(c.cv, c.cv)/2.0"
+    val lloyd = (1 to iters).map { i =>
+      s"""
+      a$i AS (
+        SELECT id, v, cell FROM (
+          SELECT a.id, a.v, c.cell,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
+          FROM v a CROSS JOIN c${i - 1} c) WHERE rn = 1),
+      m$i AS (
+        SELECT cell, list(m ORDER BY pos) AS cv FROM (
+          SELECT cell, pos, round(avg(v[CAST(pos AS INT)]), $MeanScale) AS m
+          FROM (SELECT cell, v, unnest(generate_series(1, $dim)) AS pos FROM a$i)
+          GROUP BY cell, pos) GROUP BY cell),
+      c$i AS (
+        SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+        FROM c${i - 1} p LEFT JOIN m$i m USING (cell)),"""
+    }.mkString
+    val cos = VectorOps.cosineSql("eq.embedding", "ec.embedding")
+    s"""
+      WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      params AS (
+        SELECT greatest(count(*) // $numCells, 1) AS stride FROM v),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+        FROM (SELECT id, v FROM v, params
+              WHERE id % stride = 0 ORDER BY id LIMIT $numCells)),
+      $lloyd
+      idx AS (
+        SELECT c_id, cell FROM (
+          SELECT a.id AS c_id, c.cell,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
+          FROM v a CROSS JOIN c$iters c) WHERE rn = 1),
+      probes AS (
+        SELECT q_id, cell AS probe FROM (
+          SELECT q.id AS q_id, c.cell,
+                 row_number() OVER (PARTITION BY q.id
+                   ORDER BY ${score("q.v")} DESC, c.cell DESC) AS rn
+          FROM v q CROSS JOIN c$iters c WHERE q.$queryPred) WHERE rn <= $nprobe),
+      cand AS (
+        SELECT p.q_id, i.c_id
+        FROM probes p JOIN idx i ON i.cell = p.probe AND i.c_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.c_id, round($cos, 6) AS score
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings ec ON ec.vec_id = c.c_id),
+      ranked AS (
+        SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id)
+                 AS rnk
+        FROM scored)
+      SELECT q_id, rnk, c_id, score FROM ranked
+      WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 }

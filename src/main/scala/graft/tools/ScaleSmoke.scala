@@ -65,8 +65,8 @@ object ScaleSmoke {
     Dedup.minHashLshPairs(docs1.limit(500)).unpersist()
     Dedup.simHashPairs(docs1.limit(500)).unpersist()
     val embW = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").limit(200)
-    CosineLsh.nearDupPairs(embW, 0.45).unpersist()
-    CosineLsh.nearDupPairs(embW, 0.45, CosineLsh.bitsFor(copies * 2000L)).unpersist()
+    CosineLsh.nearDupPairs(embW, 0.45, Some(CosineLsh.BitsPerTable)).unpersist()
+    CosineLsh.nearDupPairs(embW, 0.45, Some(CosineLsh.bitsFor(copies * 2000L))).unpersist()
 
     val m1 = time("minhash_lsh 1x")(Dedup.minHashLshPairs(docs1))
     println(s"[scale]   pairs=${m1.count()}"); m1.unpersist()
@@ -89,13 +89,13 @@ object ScaleSmoke {
           s"slice(embedding, 1, $shift))").as("embedding"))
     }.reduce(_ unionAll _).write.mode("overwrite").parquet(s"$tmp/emb")
     val embN = spark.read.parquet(s"$tmp/emb")
-    // bucket resolution sized to the corpus (the scale rule under test)
-    val bits1 = CosineLsh.bitsFor(emb.count())
-    val bitsN = CosineLsh.bitsFor(embN.count())
-    println(s"[scale] cosine bits: 1x=$bits1 ${copies}x=$bitsN")
-    val c1 = time("cosine_lsh 1x")(CosineLsh.nearDupPairs(emb, 0.45, bits1))
+    // bucket resolution self-sizes on the query path (the scale rule
+    // under test): no bits passed on either run
+    println(s"[scale] cosine bits: 1x=${CosineLsh.bitsFor(emb.count())} " +
+      s"${copies}x=${CosineLsh.bitsFor(embN.count())}")
+    val c1 = time("cosine_lsh 1x")(CosineLsh.nearDupPairs(emb, 0.45))
     println(s"[scale]   pairs=${c1.count()}"); c1.unpersist()
-    val cN = time(s"cosine_lsh ${copies}x")(CosineLsh.nearDupPairs(embN, 0.45, bitsN))
+    val cN = time(s"cosine_lsh ${copies}x")(CosineLsh.nearDupPairs(embN, 0.45))
     println(s"[scale]   pairs=${cN.count()}"); cN.unpersist()
 
     spark.stop()
