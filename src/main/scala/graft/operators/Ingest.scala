@@ -40,6 +40,12 @@ final case class IngestReport(sourceRows: Long, ingestedRows: Long, destinationR
 object Ingest {
   val DefaultTagColumn = "dl_ingest_date"
 
+  /** History tables are key-bucketed BY DEFAULT: every future reconcile
+    * over them reads pre-clustered buckets and plans no Exchange (asserted
+    * in IngestSpec). 32 matches the local shuffle parallelism; at cluster
+    * scale size it like any bucket count (~target parallelism). */
+  val DefaultHistoryBuckets = 32
+
   private val TagFmt =
     DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss").withZone(ZoneOffset.UTC)
 
@@ -144,10 +150,10 @@ object Ingest {
       lastModifiedOverride: Option[Any] = None,
       lastIncrementalOverride: Option[Any] = None,
       outputPartitions: Seq[String] = Nil,
-      historyBuckets: Option[Int] = None,
+      historyBuckets: Option[Int] = Some(DefaultHistoryBuckets),
       format: String = "parquet",
       knownSourceRows: Option[Long] = None,
-      deltaOnlyReconcile: Boolean = false): IngestReport = {
+      deltaOnlyReconcile: Boolean = true): IngestReport = {
     val histTable = s"${table}_incremental"
     val sourceRows = knownSourceRows.getOrElse(source.count())
     val histExists = tableExists(spark, db, histTable)
@@ -171,11 +177,19 @@ object Ingest {
     try {
       val ingested = tagged.count()
       ensureDatabase(spark, db)
-      // The 100 TB mitigation: bucket the history by the reconcile keys so
-      // every future reconcile reads pre-clustered data and plans NO
-      // Exchange — the window dedup becomes a per-bucket sort instead of a
-      // full-history shuffle each run. Appends keep the bucket spec.
-      val writer = historyBuckets.foldLeft(
+      // The 100 TB mitigation (the default): bucket the history by the
+      // reconcile keys so every future reconcile reads pre-clustered data
+      // and plans NO Exchange — the window dedup becomes a per-bucket sort
+      // instead of a full-history shuffle each run. Appends must match the
+      // table's existing layout, so they derive the bucket count from the
+      // catalog (a pre-existing unbucketed history keeps appending plain).
+      val effectiveBuckets: Option[Int] =
+        if (histExists)
+          spark.sessionState.catalog
+            .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(histTable, Some(db)))
+            .bucketSpec.map(_.numBuckets)
+        else historyBuckets
+      val writer = effectiveBuckets.foldLeft(
         tagged.write.format(format).partitionBy(tagColumn))(
         (w, b) => w.bucketBy(b, keyColumns.head, keyColumns.tail: _*))
       if (histExists) writer.mode("append").saveAsTable(s"`$db`.`$histTable`")
@@ -183,12 +197,13 @@ object Ingest {
 
       // Reconcile (spark_loaders.py:225-239). Deterministic tie-break:
       // ingest tag desc (later batch wins), then key columns. The reference
-      // semantic rescans FULL history every run; with `deltaOnlyReconcile`
-      // (and an existing destination) only keys touched by this delta are
-      // reconciled — a semi-join the bucketed history answers without a
+      // semantic rescans FULL history every run; `deltaOnlyReconcile` (the
+      // default; equivalence spec-checked) reconciles only keys touched by
+      // this delta — a semi-join the bucketed history answers without a
       // shuffle — and every other key's current row is carried over from
       // the destination unchanged. Cost drops from O(history) to
-      // O(delta history + destination rewrite).
+      // O(delta history + destination rewrite). Pass `false` to force the
+      // reference's full-history rescan.
       val history = spark.table(s"`$db`.`$histTable`")
       def reconcileOf(h: DataFrame) = Reconcile.reconcile(
         h, keyColumns, lastModifiedColumn,

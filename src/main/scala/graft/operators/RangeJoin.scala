@@ -31,4 +31,36 @@ object RangeJoin {
       .where(col(time) >= col(start) && col(time) <= col(end))
       .drop("__bucket")
   }
+
+  /** As above, with the bucket width DERIVED from the intervals' own span
+    * statistics instead of caller-guessed — a wrong constant is the scale
+    * hazard here: too narrow and a long interval explodes into thousands
+    * of buckets, too wide and every join bucket is unselective. */
+  def intervalJoin(
+      points: DataFrame, intervals: DataFrame,
+      key: String, time: String, start: String, end: String): DataFrame =
+    intervalJoin(points, intervals, key, time, start, end,
+      derivedBucketWidth(intervals, start, end))
+
+  /** Derived width = max(median span, mean span / 8) — one tiny agg job
+    * over the intervals side (the smaller relation by construction).
+    *
+    * Two competing failure modes, each guarded by one term:
+    *  - too-narrow (the real blow-up): interval i explodes to span_i/w + 1
+    *    bucket rows. The mean/8 floor bounds TOTAL explode rows at
+    *    8·n + n by construction — even when the median is tiny or zero
+    *    (point intervals), where a median-only width degenerates to
+    *    per-microsecond buckets and billions of rows.
+    *  - too-wide (a selectivity loss, not a blow-up): the median term
+    *    keeps buckets near the typical span, so a long-tail outlier can't
+    *    drag the width up the way a mean-only rule would — it just pays
+    *    its own bounded span/w buckets. */
+  def derivedBucketWidth(intervals: DataFrame, start: String, end: String): Long = {
+    val row = intervals
+      .agg(expr(s"approx_percentile($end - $start, 0.5)"),
+        expr(s"avg($end - $start)"))
+      .head()
+    if (row.isNullAt(0)) 1L
+    else math.max(1L, math.max(row.getLong(0), math.ceil(row.getDouble(1) / 8.0).toLong))
+  }
 }

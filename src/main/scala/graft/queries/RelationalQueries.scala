@@ -226,9 +226,11 @@ object RelationalQueries {
 
     // Range (interval-containment) join: error events located inside the
     // user's browsing sessions (sessions built from click/view events,
-    // 30-min gap). Engine: bucketized equi-join (graft.operators.RangeJoin,
-    // 1-hour buckets) - no inequality-join nested loop; oracle: the
-    // declarative BETWEEN join.
+    // 8-hour gap — wide on purpose so the fixture's sparse per-user events
+    // form multi-event sessions). Engine: bucketized equi-join
+    // (graft.operators.RangeJoin) with the bucket width derived from the
+    // sessions' median span - no inequality-join nested loop, no guessed
+    // constant; oracle: the declarative BETWEEN join.
     "join_range" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
@@ -251,7 +253,7 @@ object RelationalQueries {
           .select("user_id", "us", "event_id")
         graft.operators.RangeJoin
           .intervalJoin(errors, sessions, key = "user_id", time = "us",
-            start = "start_us", end = "end_us", bucketWidth = 3600000000L)
+            start = "start_us", end = "end_us")
           .groupBy("user_id", "session_id", "start_us", "end_us")
           .agg(count(lit(1)).as("n_errors"))
           .orderBy("user_id", "session_id")

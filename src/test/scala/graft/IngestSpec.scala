@@ -139,6 +139,31 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "delta-only reconcile diverged from the full reconcile")
   }
 
+  test("DEFAULT merge path: history key-bucketed, repeat reconcile plans no Exchange") {
+    // No historyBuckets/deltaOnlyReconcile args: the 100 TB posture must
+    // hold without opting in.
+    def merge(src: DataFrame, tag: String) = Ingest.incrementalMerge(
+      spark, src, "ingest_test", "dflt", keyColumns = Seq("id"),
+      lastModifiedColumn = "last_modified", incrementalColumn = "id",
+      tag = tag, deletedColumn = Some("deleted"))
+    val b1 = rows((0 until 10).map(i =>
+      (i, s"v$i", ts("2024-01-01 10:00:00"), t0, "2024-01-01", None: Option[Int])): _*)
+    assert(merge(b1, "20240101T000000").destinationRows == 10)
+    val b2 = rows((3, "K", ts("2024-01-02 10:00:00"), t0, "2024-01-01", None: Option[Int]))
+    assert(merge(b2, "20240102T000000").destinationRows == 10)
+
+    val reconciled = operators.Reconcile.reconcile(
+      spark.table("ingest_test.dflt_incremental"),
+      keys = Seq("id"), lastModified = "last_modified",
+      tieBreak = Seq("dl_ingest_date", "id"))
+    reconciled.collect()
+    val plan = reconciled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"default-path reconcile still shuffles:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"default-path scan did not use bucketing:\n$plan")
+  }
+
   test("bucketed history: same merge results, reconcile plans no Exchange") {
     def merge(src: DataFrame, tag: String) = Ingest.incrementalMerge(
       spark, src, "ingest_test", "bucketed", keyColumns = Seq("id"),

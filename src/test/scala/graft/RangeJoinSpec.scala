@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.RangeJoin
@@ -26,6 +27,50 @@ class RangeJoinSpec extends AnyFunSuite {
     val expected = (for {
       (pk, t, pid) <- points
       (ik, s, e, iid) <- intervals
+      if pk == ik && t >= s && t <= e
+    } yield (pid, iid)).toSet
+    assert(got == expected)
+  }
+
+  test("derived width: long-interval skew keeps the explode factor bounded") {
+    val rnd = new scala.util.Random(43)
+    // 300 typical intervals (span ~80-120) + 3 pathological ones (span
+    // 100000): the MEDIAN-derived width must ignore the tail, where a
+    // mean-derived (or guessed-too-narrow) width would not.
+    val typical = (1 to 300).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (rnd.nextInt(10).toLong, s, s + 80 + rnd.nextInt(40).toLong, i.toLong)
+    }
+    val skewed = (301 to 303).map { i =>
+      (rnd.nextInt(10).toLong, 0L, 100000L, i.toLong)
+    }
+    val intervals = (typical ++ skewed).toDF("k", "start", "end", "iid")
+    val w = RangeJoin.derivedBucketWidth(intervals, "start", "end")
+    // near the typical span (median ~100, mean/8 ~137), NOT the tail-
+    // dragged mean (~1090) and NOT a degenerate narrow value
+    assert(w >= 80 && w <= 300, s"derived width $w not near the typical span")
+    // total exploded bucket rows stay O(n) + tail span/width
+    val explodedRows = intervals
+      .select(expr(s"sum(end DIV $w - start DIV $w + 1)")).head().getLong(0)
+    assert(explodedRows <= 300 * 3 + 3 * (100000 / w + 2),
+      s"explode factor unbounded: $explodedRows rows at width $w")
+
+    // all-point-intervals (span 0) must not degenerate to unit buckets
+    // when values are huge epochs — the mean/8 floor handles median 0
+    val zeros = (1 to 50).map(i => (1L, i * 1000000000L, i * 1000000000L, i.toLong))
+      .toDF("k", "start", "end", "iid")
+    assert(RangeJoin.derivedBucketWidth(zeros, "start", "end") == 1L)
+
+    val points = (1 to 500).map(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(100000).toLong, i.toLong)).toDF("k", "t", "pid")
+    val got = RangeJoin.intervalJoin(points, intervals, "k", "t", "start", "end")
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pts = points.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ivs = intervals.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (for {
+      (pk, t, pid) <- pts
+      (ik, s, e, iid) <- ivs
       if pk == ik && t >= s && t <= e
     } yield (pid, iid)).toSet
     assert(got == expected)

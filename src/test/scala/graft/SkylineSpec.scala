@@ -26,6 +26,29 @@ class SkylineSpec extends AnyFunSuite {
     assert(sky == expected)
   }
 
+  test("anti-correlated data (every point on the front) stays exact") {
+    // Worst case for any gather-based merge: nothing is dominated (for
+    // min-price/max-qty, points where BOTH dims increase together are
+    // mutually incomparable), so all n local survivors reach the global
+    // stage. The parallel merge must return every point — and not funnel
+    // them through one partition.
+    val n = 5000
+    val pts = (1 to n).map(i => (i.toDouble, i.toDouble))
+    val sky = Skyline.skyline2d(pts.toDF("price", "qty"), "price", "qty")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(sky == pts.toSet)
+  }
+
+  test("duplicate-mn columns keep only the best mx across partitions") {
+    // equal mn values must land in ONE range partition; a tie broken
+    // across partitions would let a dominated point survive the cut
+    val pts = Seq((1.0, 5.0), (1.0, 9.0), (2.0, 9.0), (2.0, 1.0), (3.0, 10.0))
+    val sky = Skyline.skyline2d(
+      pts.toDF("price", "qty").repartition(7), "price", "qty")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(sky == Set((1.0, 9.0), (3.0, 10.0)))
+  }
+
   test("result is invariant to input partitioning") {
     val df = spark.read.parquet(TestSpark.sf("sf0.001") + "/lineitem.parquet")
     def run(d: org.apache.spark.sql.DataFrame) =
