@@ -80,8 +80,10 @@ object StreamingIngest {
     * mode; state is one row per live key (the reconciled table itself),
     * which is the minimum any engine must hold for this semantic.
     *
-    * Ties go to the incumbent (strictly-greater wins), matching the batch
-    * reconcile's deterministic tie-break toward the earlier-ingested row. */
+    * Version ties go to the LATER arrival (`>=` wins): a later micro-batch
+    * overwrites state on an equal version, matching the batch reconcile's
+    * tie-break where the later ingest tag wins (`tag DESC`,
+    * [[graft.operators.Reconcile]] ordering in the merge strategy). */
   def mergeStream(
       events: DataFrame, keyCols: Seq[String], versionCol: String): DataFrame = {
     val spark = events.sparkSession
@@ -90,14 +92,25 @@ object StreamingIngest {
     val keyIdx = keyCols.map(events.schema.fieldIndex)
     val verIdx = events.schema.fieldIndex(versionCol)
     def version(r: Row): Long = if (r.isNullAt(verIdx)) Long.MinValue else r.getLong(verIdx)
+    // Collision-free composite key: each part is length-prefixed ("N" for
+    // SQL NULL, which stays distinct from the 4-char string "null"); the
+    // length prefix makes part boundaries unambiguous even for values that
+    // contain the separator, so ("ab","c") / ("a","bc") / null-vs-"null"
+    // all land in distinct state slots.
+    def encodedKey(r: Row): String =
+      keyIdx.map { i =>
+        if (r.isNullAt(i)) "N"
+        else { val v = String.valueOf(r.get(i)); s"${v.length}:$v" }
+      }.mkString("|")
     events
-      .groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(""))
+      .groupByKey(encodedKey _)
       .flatMapGroupsWithState[Row, Row](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
-          val incoming = rows.reduceOption((a, b) => if (version(b) > version(a)) b else a)
+          // within one micro-batch the later arrival also wins ties
+          val incoming = rows.reduceOption((a, b) => if (version(b) >= version(a)) b else a)
           (incoming, state.getOption) match {
-            case (Some(in), Some(cur)) if version(in) > version(cur) =>
+            case (Some(in), Some(cur)) if version(in) >= version(cur) =>
               state.update(in); Iterator.single(in)
             case (Some(in), None) =>
               state.update(in); Iterator.single(in)

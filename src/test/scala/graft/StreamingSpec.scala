@@ -88,6 +88,67 @@ class StreamingSpec extends AnyFunSuite {
       finalState.select("key", "ts", "event_id")).count() == 0)
   }
 
+  test("mergeStream keeps composite keys distinct (no concat collision, null != \"null\")") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ck").toString
+    // four DISTINCT composite keys that a separator-less (or naive
+    // String.valueOf) concat would collapse: ("ab","c") vs ("a","bc"),
+    // and (null,"c") vs ("null","c")
+    val b1 = Seq(
+      ("ab", "c", 100L, "p1"),
+      ("a", "bc", 100L, "p2"),
+      (null.asInstanceOf[String], "c", 100L, "p3"),
+      ("null", "c", 100L, "p4"))
+      .toDF("k1", "k2", "ts", "payload")
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+
+    val stream = StreamingIngest.mergeStream(
+      spark.readStream.schema(b1.schema).parquet(dir + "/*"),
+      keyCols = Seq("k1", "k2"), versionCol = "ts")
+    val q = StreamingIngest.toMemorySink(stream, "ck_out", "update").start()
+    try {
+      q.processAllAvailable()
+      // all four keys are distinct state slots -> all four rows emit
+      assert(spark.table("ck_out").count() == 4)
+      // an update to ("ab","c") must not touch ("a","bc")
+      Seq(("ab", "c", 200L, "p1v2")).toDF("k1", "k2", "ts", "payload")
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ck_out")
+    assert(out.count() == 5)
+    assert(out.where(col("payload") === "p1v2").count() == 1)
+    // every original payload emitted exactly once (no silent key merge)
+    assert(out.select("payload").distinct().count() == 5)
+  }
+
+  test("mergeStream version tie: later micro-batch overwrites, matching batch tag DESC") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-tie").toString
+    val mk = (p: String) => Seq(("k1", 100L, p)).toDF("key", "ts", "payload")
+    mk("first").write.mode("overwrite").parquet(dir + "/b1")
+    val stream = StreamingIngest.mergeStream(
+      spark.readStream.schema(mk("x").schema).parquet(dir + "/*"),
+      keyCols = Seq("key"), versionCol = "ts")
+    val q = StreamingIngest.toMemorySink(stream, "tie_out", "update").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tie_out").count() == 1)
+      // same key, SAME version from a later micro-batch: >= means the
+      // later arrival wins and re-emits (batch reconcile: tag DESC ->
+      // later ingest wins on equal last_modified)
+      mk("second").write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+      assert(spark.table("tie_out").where(col("payload") === "second").count() == 1)
+      // strictly-older version still loses: no emission
+      Seq(("k1", 50L, "stale")).toDF("key", "ts", "payload")
+        .write.mode("overwrite").parquet(dir + "/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("tie_out").count() == 2)
+    assert(spark.table("tie_out").where(col("payload") === "stale").isEmpty)
+  }
+
   test("streaming session_window matches the batch lag-based sessionization") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-sess").toString
