@@ -143,10 +143,13 @@ object MiscQueries {
 
     // Feature extraction through the mapPartitions decode stage. The stub
     // "decoder" is a 16-bin byte histogram normalized in float32; the bin
-    // COUNTS are recovered exactly by round(f * n_bytes) (count <= 577,
-    // so the float32 relative error can never reach 0.5), which makes the
-    // whole decode path integer-exact and oracle-checkable: DuckDB
-    // recomputes the histogram from unicode codepoints (ASCII corpus).
+    // COUNTS are recovered exactly by round(f * n_bytes): the float32
+    // quotient cnt/n_bytes has relative error < 2^-23, so the absolute
+    // error cnt*2^-23 stays under 0.5 for any document below ~4M chars —
+    // integer-exact independent of fixture sizes (MultimodalSpec pins a
+    // >2000-char doc). The oracle recomputes the histogram from unicode
+    // codepoints per-row (generate_series over the actual length, no
+    // hardcoded bound), so parity holds at any SF.
     "mm_features" -> QueryDef(
       fn = (s, d) => {
         val feats = Multimodal.extractFeatures(
@@ -162,8 +165,9 @@ object MiscQueries {
         WITH chars AS (
           SELECT doc_id AS media_id,
                  unicode(substr(text, CAST(i AS INT), 1)) % 16 AS bin
-          FROM documents, range(1, 2000) r(i)
-          WHERE i <= length(text)),
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)),
         bins AS (SELECT unnest(generate_series(0, 15)) AS bin),
         ids AS (SELECT DISTINCT media_id FROM chars)
         SELECT ids.media_id AS media_id, bins.bin AS bin,

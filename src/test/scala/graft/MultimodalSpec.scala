@@ -35,6 +35,22 @@ class MultimodalSpec extends AnyFunSuite {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("histogram count recovery is integer-exact for long docs (>2000 chars)") {
+    // mm_features recovers bin COUNTS via round(f * n_bytes); that must be
+    // exact for documents far beyond the current fixture's max length
+    // (float32 error cnt*2^-23 < 0.5 up to ~4M chars). Pin with a 5000-char
+    // doc so a fixture/SF growth can never silently break oracle parity.
+    val text = (0 until 5000).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+    val feats = Multimodal.extractFeatures(spark, Multimodal.mediaTable(docs)).collect()
+    assert(feats.length == 1 && feats.head.n_bytes == 5000L)
+    val recovered = feats.head.features.map(f => math.round(f * 5000L))
+    val expected = new Array[Long](16)
+    text.foreach(c => expected(c.toInt % 16) += 1L)
+    assert(recovered.toSeq == expected.toSeq)
+    assert(recovered.sum == 5000L)
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
