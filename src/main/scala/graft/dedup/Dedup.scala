@@ -173,20 +173,44 @@ object Dedup {
         round(col("i") / (col("na.n") + col("nb.n") - col("i")), 6).as("jaccard"))
   }
 
+  /** Minimum number of equal signature coordinates a candidate pair must
+    * show to reach the exact verify — the standard LSH two-stage filter.
+    * Signature agreement (fraction of equal minhashes) is an unbiased
+    * estimate of Jaccard with σ = sqrt(J(1-J)/k), so pairs whose agreement
+    * sits ≥0.3 below the threshold are overwhelmingly below it for real
+    * (at k=16, t=0.8 a true J=0.8 pair fails `agree ≥ 8` with p ≈ 2e-4);
+    * the false positives from a single lucky band are mostly ≤ r equal
+    * coordinates and die here without ever materializing shingles. */
+  def minAgree(k: Int, threshold: Double): Int =
+    math.max(1, math.ceil(k * math.max(0.0, threshold - 0.3)).toInt)
+
   /** Full MinHash-LSH near-dup pipeline: sign (scan-side, no shuffle) →
-    * band → candidate → exact-verify, keeping pairs with Jaccard >=
-    * threshold. The expensive shingle sets are materialized ONLY for docs
-    * that appear in a candidate pair (semi-join), so verify cost scales
-    * with collisions, not corpus size. */
+    * band → candidate → signature-agreement pre-filter → exact-verify,
+    * keeping pairs with Jaccard >= threshold. The expensive shingle sets
+    * are materialized ONLY for docs that survive the pre-filter
+    * (semi-join), so verify cost scales with *plausible* collisions, not
+    * corpus size and not raw band-bucket collisions. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // The band table feeds BOTH sides of the candidate self-join; persist
-    // or the signature scan runs twice (cheap now, but not free).
-    val bands = bandKeys(minHashSignatures(docs)).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    // Signatures feed banding AND both sides of the agreement filter;
+    // persist or the signature scan runs three times.
+    val sigs = minHashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandKeys(sigs).persist(StorageLevel.MEMORY_AND_DISK)
+    // Stage 1: raw band-bucket candidates. Stage 2: keep only pairs whose
+    // signature agreement is plausibly at the threshold — computed from
+    // the already-persisted signatures, zero extra corpus scans.
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = candidatePairs(bands)
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(agree >= lit(minAgree(NumHashes, threshold)))
+      .select("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // Shingle sets for candidate docs only; candDocs is tiny -> broadcast
-    // semi-join prunes the corpus before the explode.
+    // Shingle sets for surviving candidate docs only; candDocs is tiny ->
+    // broadcast semi-join prunes the corpus before the explode.
     val sh = shingles(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val result = jaccard(cand, sh)
@@ -194,6 +218,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize the (tiny) result while inputs are cached
+    sigs.unpersist(false)
     bands.unpersist(false)
     cand.unpersist(false)
     sh.unpersist(false)

@@ -53,6 +53,13 @@ object DedupQueries {
         s"min(CAST((CAST(h AS HUGEINT) * $a) % $TwoPow61 AS BIGINT)) AS m$i"
       }
       .mkString(", ")
+  // Signature-agreement sum for the LSH two-stage pre-filter: number of
+  // equal minhash coordinates between the two candidate docs.
+  private val agreeSumSql: String =
+    (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   private val bandSelects: String = {
     val r = Dedup.NumHashes / Dedup.NumBands
     (0 until Dedup.NumBands).map { j =>
@@ -86,9 +93,12 @@ object DedupQueries {
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
-    // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8.
-    // Oracle mirrors the engine's rolling-polynomial signatures and
-    // contiguous banding (see sigCols above).
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8 after a
+    // signature-agreement pre-filter (the LSH two-stage verify). Oracle
+    // mirrors the engine's rolling-polynomial signatures, contiguous
+    // banding, AND the agreement cut — both the CASE-sum and the minimum
+    // agreement are generated from the same Dedup constants the engine
+    // uses, so the two sides cannot drift.
     "dedup_minhash_lsh" -> QueryDef(
       fn = (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8),
       oracle = Some(s"""
@@ -98,11 +108,17 @@ object DedupQueries {
           SELECT doc_id, ${sigCols}
           FROM ph GROUP BY doc_id),
         bands AS ($bandSelects),
-        cand AS (
+        cand0 AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id),
+        cand AS (
+          SELECT c.doc_a, c.doc_b
+          FROM cand0 c
+          JOIN sigs sa ON sa.doc_id = c.doc_a
+          JOIN sigs sb ON sb.doc_id = c.doc_b
+          WHERE ($agreeSumSql) >= ${Dedup.minAgree(Dedup.NumHashes, 0.8)}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
           SELECT c.doc_a, c.doc_b, count(*) AS i
