@@ -98,6 +98,106 @@ object ScaleSmoke {
     val cN = time(s"cosine_lsh ${copies}x")(CosineLsh.nearDupPairs(embN, 0.45))
     println(s"[scale]   pairs=${cN.count()}"); cN.unpersist()
 
+    rangeJoinSection(spark, tmp, copies)
+    skylineSection(spark, copies)
+
     spark.stop()
+    println("[scale] ALL ASSERTIONS PASSED")
+  }
+
+  /** RangeJoin's derived bucket width under long-interval skew: 1-in-100
+    * intervals is 500x the typical span (the long-tail shape that wrecks a
+    * guessed constant). Asserts the explode factor stays within the
+    * mean/8-floor bound (≤ ~10 rows per interval) at BOTH scales, and that
+    * 10x data costs sub-quadratic time. The time horizon scales with n so
+    * interval density — and thus output volume per point — is
+    * scale-invariant, like a longer log of the same system. */
+  private def rangeJoinSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
+    import graft.operators.RangeJoin
+    val Hour = 3600000000L // µs
+    def gen(n: Long, slot: String): (DataFrame, DataFrame) = {
+      val horizon = n * Hour / 10
+      val iv = spark.range(n).select(
+        pmod(col("id"), lit(200)).as("key"),
+        pmod(hash(col("id"), lit(1)).cast("long") * lit(262147L), lit(horizon)).as("start"),
+        when(pmod(col("id"), lit(100)) === 0, lit(Hour * 500))
+          .otherwise(lit(Hour)).as("span"))
+        .select(col("key"), col("start"), (col("start") + col("span")).as("end"))
+      val pts = spark.range(4 * n).select(
+        pmod(col("id"), lit(200)).as("key"),
+        pmod(hash(col("id"), lit(2)).cast("long") * lit(524287L), lit(horizon)).as("t"),
+        col("id").as("point_id"))
+      iv.write.mode("overwrite").parquet(s"$tmp/iv_$slot")
+      pts.write.mode("overwrite").parquet(s"$tmp/pts_$slot")
+      (spark.read.parquet(s"$tmp/iv_$slot"), spark.read.parquet(s"$tmp/pts_$slot"))
+    }
+    def run(n: Long, slot: String): Double = {
+      val (iv, pts) = gen(n, slot)
+      val w = RangeJoin.derivedBucketWidth(iv, "start", "end")
+      // explode bound: sum(span_i/w + 1) <= 8n + n (+n DIV rounding)
+      val explodeRows = iv.select(
+        sum(expr(s"end DIV $w - start DIV $w + 1"))).head().getLong(0)
+      println(f"[scale] range_join n=$n width=${w / 1e6}%.0f s " +
+        f"explode=${explodeRows.toDouble / n}%.2f rows/interval")
+      require(explodeRows <= 10 * n,
+        s"explode bound violated: $explodeRows rows for $n intervals (width $w)")
+      val t0 = System.nanoTime()
+      val m = RangeJoin.intervalJoin(pts, iv, "key", "t", "start", "end", w).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] range_join n=$n matches=$m ${secs}%8.2f s")
+      secs
+    }
+    val n1 = 100000L
+    run(n1 / 100, "w") // warm codegen
+    val t1 = run(n1, "a")
+    val tN = run(n1 * copies, "b")
+    val ratio = tN / math.max(t1, 0.05)
+    println(f"[scale] range_join ${copies}x/1x time ratio ${ratio}%.1f")
+    require(ratio < copies * 1.5,
+      f"range_join scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
+  }
+
+  /** Skyline on worst-case data: mn == mx puts EVERY point on the Pareto
+    * front (nothing is dominated — the shape that turns a single-partition
+    * merge into a one-task O(n) bottleneck). Asserts the full front comes
+    * back, that no heavy stage ran single-task, and sub-quadratic time at
+    * 10x. */
+  private def skylineSection(spark: SparkSession, copies: Int): Unit = {
+    import graft.operators.Skyline
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val heavySingleTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val rows = si.taskMetrics.inputMetrics.recordsRead +
+          si.taskMetrics.shuffleReadMetrics.recordsRead
+        if (si.numTasks == 1 && rows > 100000) heavySingleTask.incrementAndGet()
+      }
+    }
+    def run(n: Long): Double = {
+      val pts = spark.range(n).select(
+        col("id").cast("double").as("price"), col("id").cast("double").as("qty"))
+      val t0 = System.nanoTime()
+      val sky = Skyline.skyline2d(pts, "price", "qty")
+      val cnt = sky.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      sky.unpersist()
+      println(f"[scale] skyline n=$n front=$cnt ${secs}%8.2f s")
+      require(cnt == n, s"worst-case front lost points: $cnt of $n")
+      secs
+    }
+    run(10000L) // warm codegen
+    spark.sparkContext.addSparkListener(listener)
+    val n1 = 500000L
+    val t1 = run(n1)
+    val tN = run(n1 * copies)
+    Thread.sleep(3000) // let the listener bus drain
+    spark.sparkContext.removeSparkListener(listener)
+    require(heavySingleTask.get() == 0,
+      s"${heavySingleTask.get()} heavy single-task stage(s) in the skyline merge")
+    val ratio = tN / math.max(t1, 0.05)
+    println(f"[scale] skyline ${copies}x/1x time ratio ${ratio}%.1f")
+    require(ratio < copies * 1.5,
+      f"skyline scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
   }
 }
