@@ -77,6 +77,43 @@ object DedupQueries {
                      AS i
             FROM documents WHERE length(text) >= ${Dedup.ShingleSize}))"""
 
+  // The full MinHash-LSH pipeline (signatures → bands → candidates →
+  // agreement pre-filter → exact Jaccard) as a CTE chain ending in
+  // `pairs(doc_a, doc_b, jaccard)`. Shared verbatim by the pair query and
+  // the clustering query so the two oracles can never diverge.
+  private def minhashPairsCtes(threshold: Double): String = s"""
+    $shingleCte,
+    ph AS (SELECT doc_id, $phExpr AS h FROM sh),
+    sigs AS (
+      SELECT doc_id, ${sigCols}
+      FROM ph GROUP BY doc_id),
+    bands AS ($bandSelects),
+    cand0 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    cand AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand0 c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+      WHERE ($agreeSumSql) >= ${Dedup.minAgree(Dedup.NumHashes, threshold)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh s1 ON s1.doc_id = c.doc_a
+      JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             round(i.i / (na.n + nb.n - i.i), 6) AS jaccard
+      FROM inter i
+      JOIN sizes na ON i.doc_a = na.doc_id
+      JOIN sizes nb ON i.doc_b = nb.doc_id
+      WHERE round(i.i / (na.n + nb.n - i.i), 6) >= $threshold)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup by canonical fingerprint: keeper id + copy count per
@@ -102,38 +139,35 @@ object DedupQueries {
     "dedup_minhash_lsh" -> QueryDef(
       fn = (s, d) => Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8),
       oracle = Some(s"""
-        WITH $shingleCte,
-        ph AS (SELECT doc_id, $phExpr AS h FROM sh),
-        sigs AS (
-          SELECT doc_id, ${sigCols}
-          FROM ph GROUP BY doc_id),
-        bands AS ($bandSelects),
-        cand0 AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id),
-        cand AS (
-          SELECT c.doc_a, c.doc_b
-          FROM cand0 c
-          JOIN sigs sa ON sa.doc_id = c.doc_a
-          JOIN sigs sb ON sb.doc_id = c.doc_b
-          WHERE ($agreeSumSql) >= ${Dedup.minAgree(Dedup.NumHashes, 0.8)}),
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-          SELECT c.doc_a, c.doc_b, count(*) AS i
-          FROM cand c
-          JOIN sh s1 ON s1.doc_id = c.doc_a
-          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
-          GROUP BY c.doc_a, c.doc_b)
-        SELECT i.doc_a, i.doc_b,
-               round(i.i / (na.n + nb.n - i.i), 6) AS jaccard
-        FROM inter i
-        JOIN sizes na ON i.doc_a = na.doc_id
-        JOIN sizes nb ON i.doc_b = nb.doc_id
-        WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.8
+        WITH ${minhashPairsCtes(0.8)}
+        SELECT doc_a, doc_b, jaccard FROM pairs
         ORDER BY doc_a, doc_b"""),
       bench = true),
+
+    // Duplicate-cluster assignment: connected components over the verified
+    // MinHash-LSH pairs — every doc in a near-dup pair labeled with the
+    // smallest doc_id reachable through pair edges (its cluster's
+    // canonical keeper). Engine: iterative min-label propagation over the
+    // pair relation; oracle: recursive CTE computing the same unique
+    // fixpoint.
+    "dedup_clusters" -> QueryDef(
+      fn = (s, d) =>
+        Dedup.connectedComponents(
+          Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8))
+          .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH RECURSIVE ${minhashPairsCtes(0.8)},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b)
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node
+        ORDER BY doc_id""")),
 
     // Word-3-gram Jaccard near-dup pairs: LSH candidates from scan-side
     // word MinHash (native WordMinHashSigs), exact Jaccard at 0.5.

@@ -83,6 +83,45 @@ object TextQueries {
         SELECT doc_id, lang, $langCaseSql AS lang_pred
         FROM documents ORDER BY doc_id""")),
 
+    // Gopher-style repetition signals: duplicate-token fraction and
+    // top-token fraction per document — the classic filters for
+    // low-quality repetitive text in training-data curation (public
+    // Gopher/MassiveText methodology). Shape: token explode (narrow) then
+    // a two-level aggregate — (doc, word) counts partial-aggregate
+    // map-side before the shuffle, and the second aggregate runs over the
+    // tiny distinct-words-per-doc relation, so cost is O(tokens) with no
+    // skew hazard; repetition is inherently a per-doc multiset statistic,
+    // which a scan-side regex cannot express.
+    "text_repetition" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+        toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max("c").as("top_c"))
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round((col("n_tokens") - col("n_distinct")).cast("double")
+              / col("n_tokens"), 6).as("dup_token_frac"),
+            round(col("top_c").cast("double") / col("n_tokens"), 6)
+              .as("top_token_frac"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        counts AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_token_frac,
+               round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
+        FROM counts GROUP BY doc_id ORDER BY doc_id""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>

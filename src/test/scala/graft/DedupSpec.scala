@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Unit coverage for the dedup building blocks that the DuckDB oracle
+  * can't isolate: connected-components cluster assignment over a pair
+  * relation. (The LSH pipelines themselves are oracle-checked end-to-end
+  * by the harness queries.) */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain: transitive closure collapses to the smallest id") {
+    // 1-2, 2-3, 3-4: near-dup transitivity — all one cluster keyed by 1
+    assert(cc((1L, 2L), (2L, 3L), (3L, 4L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("star and disjoint components keep separate labels") {
+    val got = cc((10L, 11L), (10L, 12L), (10L, 13L), // star around 10
+      (20L, 21L), // separate pair
+      (31L, 30L)) // reversed order: min must still win
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("long chain needs diameter rounds and still converges") {
+    // 50-node path graph: worst case for min-label propagation
+    val edges = (1L until 50L).map(i => (i, i + 1))
+    val got = cc(edges: _*)
+    assert(got.size == 50 && got.values.forall(_ == 1L))
+  }
+
+  test("empty pair relation yields an empty clustering") {
+    assert(cc() == Map.empty[Long, Long])
+  }
+
+  test("non-convergence within maxRounds raises instead of returning junk") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxRounds = 2).collect()
+    }
+  }
+}
