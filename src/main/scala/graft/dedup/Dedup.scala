@@ -195,13 +195,65 @@ object Dedup {
     // persist or the signature scan runs three times.
     val sigs = minHashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val bands = bandKeys(sigs).persist(StorageLevel.MEMORY_AND_DISK)
-    // Stage 1: raw band-bucket candidates. Stage 2: keep only pairs whose
-    // signature agreement is plausibly at the threshold — computed from
-    // the already-persisted signatures, zero extra corpus scans.
+    val result = verifiedPairs(docs, candidatePairs(bands), sigs, threshold)
+    sigs.unpersist(false)
+    bands.unpersist(false)
+    result
+  }
+
+  /** Incremental near-dup detection — the 100 TB production shape: dedup a
+    * DELTA batch against an already-ingested history WITHOUT re-hashing or
+    * re-joining the history against itself. Candidates come from two
+    * joins, delta-bands × history-bands (every collision) and delta-bands
+    * × delta-bands (ordered), so band work is O(delta × band-occupancy),
+    * never O(history²); history docs are touched again only if they share
+    * a band bucket with a delta doc. Returns exactly the pairs the full
+    * pipeline would emit that involve at least one delta doc (doc_a <
+    * doc_b, same verification). In production the history signatures/bands
+    * are persisted tables maintained by the ingest path (16 longs + 4
+    * band keys per doc) — pass them via `historySigs`/`historyBands` to
+    * skip the history scan entirely. */
+  def minHashLshPairsIncremental(
+      history: DataFrame, delta: DataFrame, threshold: Double = 0.8,
+      historySigs: Option[DataFrame] = None,
+      historyBands: Option[DataFrame] = None): DataFrame = {
+    val sigsH = historySigs.getOrElse(minHashSignatures(history))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsD = minHashSignatures(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsH = historyBands.getOrElse(bandKeys(sigsH))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsD = bandKeys(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
+    val dh = bandsD.as("a").join(bandsH.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val dd = bandsD.as("a").join(bandsD.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand0 = dh.union(dd).distinct()
+    val sigs = sigsH.union(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
+    val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
+    Seq(sigsH, sigsD, bandsH, bandsD, sigs).foreach(_.unpersist(false))
+    result
+  }
+
+  /** Shared verify tail of the MinHash pipelines: signature-agreement
+    * pre-filter, shingle materialization for surviving docs only, exact
+    * Jaccard, threshold cut. `sigs` must cover every doc id appearing in
+    * `cand0`. */
+  private def verifiedPairs(
+      docs: DataFrame, cand0: DataFrame, sigs: DataFrame,
+      threshold: Double): DataFrame = {
+    // Stage 1 candidates arrive raw from band buckets. Stage 2: keep only
+    // pairs whose signature agreement is plausibly at the threshold —
+    // computed from the already-persisted signatures, zero extra corpus
+    // scans.
     val agree = (0 until NumHashes)
       .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val cand = candidatePairs(bands)
+    val cand = cand0
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .where(agree >= lit(minAgree(NumHashes, threshold)))
@@ -218,8 +270,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize the (tiny) result while inputs are cached
-    sigs.unpersist(false)
-    bands.unpersist(false)
     cand.unpersist(false)
     sh.unpersist(false)
     result

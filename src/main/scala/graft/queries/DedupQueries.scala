@@ -144,6 +144,25 @@ object DedupQueries {
         ORDER BY doc_a, doc_b"""),
       bench = true),
 
+    // Incremental near-dup: odd doc_ids play the delta batch, even ids the
+    // already-ingested history. The engine only joins delta bands against
+    // (history ∪ delta) bands — O(delta × occupancy), never O(history²) —
+    // and must emit exactly the full pipeline's pairs that touch a delta
+    // doc, which is what the oracle selects from the SAME shared CTEs.
+    "dedup_minhash_incr" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.minHashLshPairsIncremental(
+          history = docs.where(col("doc_id") % 2 === 0),
+          delta = docs.where(col("doc_id") % 2 === 1),
+          threshold = 0.8)
+      },
+      oracle = Some(s"""
+        WITH ${minhashPairsCtes(0.8)}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+        ORDER BY doc_a, doc_b""")),
+
     // Duplicate-cluster assignment: connected components over the verified
     // MinHash-LSH pairs — every doc in a near-dup pair labeled with the
     // smallest doc_id reachable through pair edges (its cluster's

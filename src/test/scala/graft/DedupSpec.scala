@@ -39,6 +39,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 50 && got.values.forall(_ == 1L))
   }
 
+  test("incremental minhash equals the full pairs that touch the delta") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(TestSpark.sf("sf0.01") + "/documents.parquet")
+    val expected = Dedup.minHashLshPairs(docs, 0.8)
+      .where(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+    assert(expected.count() > 0, "fixture produced no delta-touching pairs")
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val delta = docs.where(col("doc_id") % 2 === 1)
+    val incr = Dedup.minHashLshPairsIncremental(history, delta, 0.8)
+    assert(incr.exceptAll(expected).isEmpty && expected.exceptAll(incr).isEmpty)
+    // the production path — precomputed history signatures/bands — must
+    // give the identical result
+    val sigsH = Dedup.minHashSignatures(history)
+    val incr2 = Dedup.minHashLshPairsIncremental(history, delta, 0.8,
+      historySigs = Some(sigsH), historyBands = Some(Dedup.bandKeys(sigsH)))
+    assert(incr2.exceptAll(expected).isEmpty && expected.exceptAll(incr2).isEmpty)
+  }
+
   test("empty pair relation yields an empty clustering") {
     assert(cc() == Map.empty[Long, Long])
   }
