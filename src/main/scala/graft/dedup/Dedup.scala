@@ -303,16 +303,35 @@ object Dedup {
     * for multi-hour jobs). No driver-side data beyond the per-round
     * change counter. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // The pair relation is orders of magnitude smaller than the corpus;
+    // size the iteration's partitioning to IT, not to the session's
+    // corpus-scale shuffle width — per-round job overhead otherwise
+    // dominates wall time (32-way shuffles over a few hundred rows).
+    val nPairs = pairs.count()
+    val parts = math.max(1, math.min((nPairs / 100000L).toInt + 1,
+      pairs.sparkSession.sparkContext.defaultParallelism))
     // undirected: propagate labels both ways
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .repartition(parts)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
+      .repartition(parts)
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence probe: labels only ever DECREASE under min-propagation,
+    // so the label sum is strictly monotone until the fixpoint — one tiny
+    // aggregate per round instead of a change-counting self-join.
+    // DECIMAL(38,0): 10^12 nodes x 10^12 ids must not wrap a long.
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxRounds) {
+    while (!converged && round < maxRounds) {
       // localCheckpoint(eager) materializes AND cuts the plan back to the
       // checkpointed blocks, keeping per-round planning cost constant
       val next = edges.join(labels, edges("b") === labels("node"))
@@ -320,14 +339,13 @@ object Dedup {
         .union(labels)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       round += 1
     }
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds")
     edges.unpersist(false)

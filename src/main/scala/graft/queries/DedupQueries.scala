@@ -188,6 +188,38 @@ object DedupQueries {
         FROM reach GROUP BY node
         ORDER BY doc_id""")),
 
+    // The payoff step: materialize the DEDUPLICATED corpus — every doc
+    // survives except cluster members that are not their cluster's
+    // canonical keeper (min doc_id). Engine: anti-join against the
+    // non-keeper rows of the clustering; cost is the clustering plus one
+    // broadcast anti-join over the (tiny) non-keeper set.
+    "dedup_apply" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val drop = Dedup.connectedComponents(
+          Dedup.minHashLshPairs(docs, threshold = 0.8))
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+        docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${minhashPairsCtes(0.8)},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        dropped AS (
+          SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM dropped)
+        ORDER BY doc_id""")),
+
     // Word-3-gram Jaccard near-dup pairs: LSH candidates from scan-side
     // word MinHash (native WordMinHashSigs), exact Jaccard at 0.5.
     // Signature minima run over the shingle MULTISET in the engine and the

@@ -122,6 +122,32 @@ object TextQueries {
                round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
         FROM counts GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Deterministic stratified sampling for training-data mixtures: keep
+    // 60% of English docs and 30% of everything else, selected by an
+    // md5-derived hash bucket of the doc id — reproducible across engines
+    // and runs (no RNG state), trivially parallel, and the standard way
+    // to draw a fixed mixture from a 100 TB corpus without a shuffle or a
+    // reservoir. Pure scan-side filter; codegen'd.
+    "sample_stratified" -> QueryDef(
+      fn = (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        t(s, d, "documents")
+          .withColumn("bucket", bucket)
+          .where(col("bucket") <
+            when(col("lang") === "en", lit(60)).otherwise(lit(30)))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                 % 100 AS bucket
+        FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                 % 100 < CASE WHEN lang = 'en' THEN 60 ELSE 30 END
+        ORDER BY doc_id""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
