@@ -210,6 +210,46 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE stream_sink CASCADE")
   }
 
+  test("near-dup admission sink drops duplicates against history and within batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-neardup").toString
+    def doc(id: Long, text: String) = (id, text, "en")
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "completely different content about spark structured streaming joins"
+    val tC = "a third unrelated document describing minhash banding at scale"
+    val tD = "fresh fourth text with novel words nowhere else in this corpus"
+    // batch 1: three distinct docs plus an in-batch exact dup of doc 2
+    val b1 = Seq(doc(1, tA), doc(2, tB), doc(3, tC), doc(4, tB))
+      .toDF("doc_id", "text", "lang")
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS neardup_sink")
+    spark.sql("DROP TABLE IF EXISTS neardup_sink.docs")
+    spark.sql("DROP TABLE IF EXISTS neardup_sink.docs_minhash_sigs")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toNearDupFilteredSink(
+      stream, "neardup_sink", "docs").start()
+    try {
+      q.processAllAvailable()
+      // 4 dropped (in-batch dup of 2); 1,2,3 admitted
+      assert(spark.table("neardup_sink.docs").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // batch 2: dup of history doc 1, one new doc, an in-batch dup of it
+      Seq(doc(11, tA), doc(12, tD), doc(13, tD)).toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // appends happened in the stream's cloned session; this session read
+    // the table mid-test and must refresh its cached file listing
+    spark.catalog.refreshTable("neardup_sink.docs")
+    assert(spark.table("neardup_sink.docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 12L))
+    // the standing LSH index covers exactly the admitted docs
+    assert(spark.table("neardup_sink.docs_minhash_sigs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 12L))
+    spark.sql("DROP DATABASE neardup_sink CASCADE")
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
