@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.text.TextAnalysis
 
 /** Text-analysis queries over `documents` (north-star: token counting,
@@ -121,6 +122,49 @@ object TextQueries {
                round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_token_frac,
                round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
         FROM counts GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Train/eval contamination check (GPT-3-style decontamination): find
+    // training docs sharing any exact word 5-gram with the held-out split
+    // (doc_id % 10 == 0 plays the benchmark). This is a different op from
+    // near-dup Jaccard — a single verbatim overlap is a hit regardless of
+    // overall similarity. 100 TB shape: benchmark suites are tiny compared
+    // to the corpus, so the eval n-gram set BROADCASTS and the train side
+    // is a pure scan→explode→broadcast-hash-join — the corpus is never
+    // shuffled. Joining on the md5 of the shingle keeps the broadcast and
+    // join keys fixed-width.
+    "text_contamination" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = Dedup.wordShingles(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0), n = 5)
+          .select(col("doc_id").as("train_doc_id"), md5(col("shingle")).as("h"))
+        val eval = Dedup.wordShingles(
+          docs.where(pmod(col("doc_id"), lit(10)) === 0), n = 5)
+          .select(col("doc_id").as("eval_doc_id"), md5(col("shingle")).as("h"))
+        train.join(broadcast(eval), Seq("h"))
+          .groupBy("train_doc_id", "eval_doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy("train_doc_id", "eval_doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)],
+                           toks[CAST(i+2 AS INT)], toks[CAST(i+3 AS INT)],
+                           toks[CAST(i+4 AS INT)]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 4)) AS i
+                FROM toks WHERE len(toks) >= 5))
+        SELECT s1.doc_id AS train_doc_id, s2.doc_id AS eval_doc_id,
+               count(*) AS n_shared
+        FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle
+        WHERE s1.doc_id % 10 <> 0 AND s2.doc_id % 10 = 0
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Deterministic stratified sampling for training-data mixtures: keep
     // 60% of English docs and 30% of everything else, selected by an

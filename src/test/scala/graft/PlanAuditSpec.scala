@@ -52,12 +52,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("single-table analytics stay in one whole-stage codegen pipeline") {
-    Seq("text_stats", "text_quality", "text_langid", "text_fingerprint")
+    Seq("text_stats", "text_quality", "text_langid", "text_fingerprint",
+      "sample_stratified")
       .foreach { q =>
         // codegen stages print as `*(n) Op` in executedPlan.toString
         assert(plans(q).contains("*(1)"),
           s"$q fell out of whole-stage codegen:\n${plans(q)}")
       }
+  }
+
+  test("contamination check broadcasts the benchmark n-gram set") {
+    // the 100 TB contract: the train corpus is never shuffled — the eval
+    // side broadcasts into a hash join
+    assert(plans("text_contamination").contains("BroadcastHashJoin"),
+      s"text_contamination does not broadcast the eval side:\n${plans("text_contamination")}")
   }
 
   test("metadata-only multimodal queries never read the payload bytes") {
