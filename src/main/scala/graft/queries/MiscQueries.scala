@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.mm.Multimodal
@@ -250,6 +251,60 @@ object MiscQueries {
             count(lit(1)).as("n"))
           .orderBy("l_returnflag"),
       oracle = None),
+
+    // KMV (k-minimum-values) distinct sketch — the deterministic,
+    // cross-engine-checkable counterpart to the HLL query above: hash
+    // every distinct (group, value), keep each group's k smallest hashes,
+    // estimate |D| as (k-1)·H/h_k with H the hash range. No RNG, no
+    // engine-internal sketch state, so the DuckDB oracle reproduces it
+    // bit-for-bit (IEEE double division + round on both sides). KMV
+    // sketches are mergeable (union of min-k sets), which is what a
+    // 100 TB rollup needs; here the min-k selection is one window over
+    // the distinct pairs — a single shuffle keyed by group.
+    "agg_kmv_distinct" -> QueryDef(
+      fn = (s, d) => {
+        val k = 64
+        val H = 281474976710656.0 // 2^48, the md5-prefix hash range
+        val distinctPairs = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("h",
+            conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("user_id"))
+        val kth = distinctPairs
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === k)
+          .select(col("event_type"), col("h").as("hk"))
+        distinctPairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_exact"))
+          .join(kth, Seq("event_type"), "left")
+          .select(col("event_type"), col("n_exact"),
+            round(
+              when(col("hk").isNull, col("n_exact").cast("double"))
+                .otherwise(lit((k - 1).toDouble * H) / col("hk")),
+              6).as("est"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (
+          SELECT event_type, user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM d),
+        r AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, user_id) AS rn
+          FROM h),
+        kth AS (SELECT event_type, h AS hk FROM r WHERE rn = 64),
+        n AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY 1)
+        SELECT n.event_type, n.n_exact,
+               round(CASE WHEN kth.hk IS NULL THEN CAST(n.n_exact AS DOUBLE)
+                          ELSE 63.0 * 281474976710656 / kth.hk END, 6) AS est
+        FROM n LEFT JOIN kth USING (event_type)
+        ORDER BY event_type""")),
 
     // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
     // O(len) winnowing fingerprint, the scale path for shingle hashing.
