@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.net.URI
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction — the table-maintenance operator a 100 TB lake
+  * cannot live without: incremental ingestion (one file set per batch,
+  * [[Ingest.incrementalAppend]]) and streaming sinks accrete thousands of
+  * small files per table, and scan cost degrades with file COUNT (driver
+  * listing, task scheduling, row-group overhead), not just bytes.
+  *
+  * `compact` rewrites a managed table into `ceil(totalBytes/targetBytes)`
+  * round-robin partitions — uniform output sizes by construction — through
+  * the same scratch-materialization dance the ingestion strategies use
+  * (never overwrite a table that may feed a concurrent read of itself),
+  * and verifies the row count survived before reporting.
+  *
+  * Deliberately NOT in the harness query set: compaction is a side-effecting
+  * maintenance action (CompactSpec covers it), not a query.
+  */
+object Compact {
+
+  final case class CompactReport(
+      filesBefore: Int, bytesBefore: Long, filesAfter: Int, rows: Long)
+
+  /** File count + total bytes behind a table, from the filesystem. */
+  def fileStats(spark: SparkSession, table: String): (Int, Long) = {
+    val files = spark.table(table).inputFiles
+    val conf = spark.sessionState.newHadoopConf()
+    val sizes = files.map { f =>
+      val p = new Path(new URI(f))
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }
+    (files.length, sizes.sum)
+  }
+
+  /** Output file count for a compaction: enough files to keep each near
+    * `targetBytes`, never zero. Parquet re-encoding usually shrinks the
+    * bytes further; the pre-compaction size is the conservative bound. */
+  def planFileCount(totalBytes: Long, targetBytes: Long): Int =
+    math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+
+  /** Compact `db`.`table` in place to ~`targetBytes` files. */
+  def compact(
+      spark: SparkSession, db: String, table: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet",
+      scratchDb: String = "spark_scratch"): CompactReport = {
+    val full = s"`$db`.`$table`"
+    val (files0, bytes0) = fileStats(spark, full)
+    val rows0 = spark.table(full).count()
+    val nFiles = planFileCount(bytes0, targetBytes)
+
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$scratchDb`")
+    val scratch = s"`$scratchDb`.`graft_${table}_compact`"
+    // round-robin repartition: uniform file sizes regardless of input skew
+    spark.table(full).repartition(nFiles)
+      .write.format(format).mode("overwrite").saveAsTable(scratch)
+    val staged = spark.table(scratch)
+    staged.write.mode("overwrite").insertInto(full)
+    spark.sql(s"DROP TABLE IF EXISTS $scratch")
+    spark.catalog.refreshTable(full)
+
+    val rows1 = spark.table(full).count()
+    if (rows1 != rows0)
+      throw new IllegalStateException(
+        s"compaction changed row count for $full: $rows0 -> $rows1")
+    CompactReport(files0, bytes0, spark.table(full).inputFiles.length, rows1)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Compact
+
+/** Small-files compaction: file-count math, in-place rewrite, row
+  * preservation. */
+class CompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("planFileCount: ceiling division, never zero") {
+    assert(Compact.planFileCount(0L, 128) == 1)
+    assert(Compact.planFileCount(1L, 128) == 1)
+    assert(Compact.planFileCount(128L, 128) == 1)
+    assert(Compact.planFileCount(129L, 128) == 2)
+    assert(Compact.planFileCount(1280L, 128) == 10)
+  }
+
+  test("compact rewrites a fragmented table into few files, same rows") {
+    GraftSession.tune(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS compact_db")
+    spark.sql("DROP TABLE IF EXISTS compact_db.frag")
+    // fragment: 40 tiny files from one small dataset
+    val events = spark.read
+      .parquet(TestSpark.sf("sf0.001") + "/events.parquet")
+    events.repartition(40)
+      .write.format("parquet").saveAsTable("compact_db.frag")
+    val (files0, bytes0) = Compact.fileStats(spark, "compact_db.frag")
+    assert(files0 == 40, s"fixture not fragmented: $files0 files")
+
+    val report = Compact.compact(
+      spark, "compact_db", "frag", targetBytes = bytes0) // one target file
+    assert(report.filesBefore == 40)
+    assert(report.filesAfter < 5, s"still fragmented: ${report.filesAfter}")
+    assert(report.rows == events.count())
+    // content identical (order-insensitive)
+    val after = spark.table("compact_db.frag")
+    assert(after.exceptAll(events).isEmpty && events.exceptAll(after).isEmpty)
+    spark.sql("DROP DATABASE compact_db CASCADE")
+  }
+}
