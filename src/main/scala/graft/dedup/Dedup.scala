@@ -302,13 +302,23 @@ object Dedup {
     * algorithm hazard; a reliable `checkpoint` dir is the durable variant
     * for multi-hour jobs). No driver-side data beyond the per-round
     * change counter. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  /** Size gate for [[connectedComponents]]: a pair relation at or below
+    * this count is clustered driver-side with union-find — the same
+    * size-based strategy switch as a broadcast join, and for the same
+    * reason: below the gate the data is megabytes and per-round job
+    * latency dominates any distributed plan. 2^20 pairs ≈ 16 MB. */
+  val LocalCcThreshold: Long = 1L << 20
+
+  def connectedComponents(
+      pairs: DataFrame, maxRounds: Int = 50,
+      localThreshold: Long = LocalCcThreshold): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     // The pair relation is orders of magnitude smaller than the corpus;
     // size the iteration's partitioning to IT, not to the session's
     // corpus-scale shuffle width — per-round job overhead otherwise
     // dominates wall time (32-way shuffles over a few hundred rows).
     val nPairs = pairs.count()
+    if (nPairs <= localThreshold) return localConnectedComponents(pairs)
     val parts = math.max(1, math.min((nPairs / 100000L).toInt + 1,
       pairs.sparkSession.sparkContext.defaultParallelism))
     // undirected: propagate labels both ways
@@ -350,6 +360,37 @@ object Dedup {
         s"connectedComponents did not converge in $maxRounds rounds")
     edges.unpersist(false)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Driver-side union-find for small pair relations (below
+    * [[LocalCcThreshold]]). Union-by-min keeps every root the smallest id
+    * of its component, so the result is the identical fixpoint the
+    * distributed propagation converges to. */
+  private def localConnectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // smaller root wins: the canonical keeper
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted
+      .map(n => (n, find(n)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** SimHash width: 60 bits = 4 bands × 15 bits. Width sets both

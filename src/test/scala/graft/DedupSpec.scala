@@ -12,9 +12,18 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def cc(pairs: (Long, Long)*): Map[Long, Long] =
-    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+  /** Run both strategies: the driver union-find (small side of the size
+    * gate) and the distributed propagation (localThreshold = 0) must
+    * agree on the identical fixpoint. */
+  private def cc(pairs: (Long, Long)*): Map[Long, Long] = {
+    val df = pairs.toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(df)
       .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(df, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "local union-find and distributed propagation disagree")
+    local
+  }
 
   test("chain: transitive closure collapses to the smallest id") {
     // 1-2, 2-3, 3-4: near-dup transitivity — all one cluster keyed by 1
@@ -64,7 +73,8 @@ class DedupSpec extends AnyFunSuite {
   test("non-convergence within maxRounds raises instead of returning junk") {
     val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(pairs, maxRounds = 2).collect()
+      Dedup.connectedComponents(pairs, maxRounds = 2, localThreshold = 0)
+        .collect()
     }
   }
 }
