@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -122,6 +123,64 @@ object TextQueries {
                round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup_token_frac,
                round(max(c) * 1.0 / sum(c), 6) AS top_token_frac
         FROM counts GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Document chunking: fixed-width sliding windows (200 chars, stride
+    // 150 — 50-char overlap) — the unit-of-work split every long-document
+    // pipeline needs before tokenization/embedding. Pure scan-side
+    // sequence+transform+posexplode; chunk content is reported as md5 to
+    // keep the result narrow.
+    "text_chunk" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents")
+          .where(length(col("text")) >= 1)
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(1, length(text), 150), s -> substring(text, s, 200))"))
+              .as(Seq("chunk_no", "chunk")))
+          .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_no"),
+      oracle = Some("""
+        SELECT doc_id, CAST((s - 1) // 150 AS BIGINT) AS chunk_no,
+               CAST(length(substr(text, CAST(s AS INT), 200)) AS BIGINT)
+                 AS chunk_len,
+               md5(substr(text, CAST(s AS INT), 200)) AS chunk_md5
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, length(text), 150)) AS s
+              FROM documents WHERE length(text) >= 1)
+        ORDER BY doc_id, chunk_no""")),
+
+    // Sequence packing (concat-and-split batch construction): documents
+    // are concatenated in deterministic order per language and split every
+    // 512 BPE tokens; each doc is assigned the training sequence where it
+    // STARTS (exclusive running token count DIV 512). One window over the
+    // scan — the same shape at any corpus size, partitioned by the
+    // grouping key.
+    "text_pack" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr("(cum - n_tokens) DIV 512").as("seq_id"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(text,
+                   '${TextAnalysis.BpePattern.replace("'", "''")}')) AS BIGINT)
+                   AS n_tokens
+          FROM documents)
+        SELECT doc_id, lang, n_tokens,
+               CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) // 512 AS BIGINT) AS seq_id
+        FROM toks ORDER BY doc_id""")),
 
     // Train/eval contamination check (GPT-3-style decontamination): find
     // training docs sharing any exact word 5-gram with the held-out split
