@@ -152,14 +152,20 @@ object StreamingIngest {
     * re-hashing the corpus), and exactly-once bookkeeping from the stream
     * checkpoint.
     *
-    * Maintains two managed tables: `db.table` (admitted docs + ingest tag)
-    * and `db.table_minhash_sigs` (their signatures, the standing LSH
-    * index). Rejection policy: a batch doc is dropped when it near-dup
-    * pairs with any history doc or with a smaller-id doc of its own batch
-    * (near-dup transitivity makes the chain case defensible).
-    * Requires `doc_id` and `text` columns.
+    * Maintains two managed tables, both partitioned by the ingest tag:
+    * `db.table` (admitted docs) and `db.table_minhash_sigs` (their
+    * signatures, the standing LSH index). The tag encodes the batch id,
+    * and writes use DYNAMIC PARTITION OVERWRITE of that tag — foreachBatch
+    * delivers at-least-once, so a retried batch must replace its own
+    * partition instead of appending duplicates (idempotent re-admission:
+    * history excludes the retried tag's rows only via overwrite, and the
+    * admission decision is deterministic given the same history).
+    * Rejection policy: a batch doc is dropped when it near-dup pairs with
+    * any history doc or with a smaller-id doc of its own batch (near-dup
+    * transitivity makes the chain case defensible). Requires `doc_id` and
+    * `text` columns.
     *
-    * The micro-batch appends run in the stream's cloned session: OTHER
+    * The micro-batch writes run in the stream's cloned session: OTHER
     * sessions already holding a cached relation for these tables must
     * `REFRESH TABLE` before re-reading — the standard Spark rule for
     * tables appended to from outside the reading session. */
@@ -171,51 +177,94 @@ object StreamingIngest {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
-          import graft.dedup.Dedup
-          val spark = batch0.sparkSession
-          val batch = batch0.persist()
-          val full = s"$db.$table"
-          val sigsTable = s"${full}_minhash_sigs"
-          val haveHistory = spark.catalog.tableExists(full)
-          val pairs =
-            if (haveHistory)
-              Dedup.minHashLshPairsIncremental(
-                spark.table(full).select(batch.columns.filter(_ != tagColumn)
-                  .map(col): _*),
-                batch, threshold,
-                historySigs = Some(spark.table(sigsTable)))
-            else Dedup.minHashLshPairs(batch, threshold)
-          val ids = batch.select(col("doc_id")).distinct()
-          val aIn = ids.select(col("doc_id").as("doc_a"))
-            .withColumn("a_in_batch", lit(true))
-          val bIn = ids.select(col("doc_id").as("doc_b"))
-            .withColumn("b_in_batch", lit(true))
-          // both sides in batch -> keep the smaller id; otherwise drop the
-          // batch-side doc whichever pair slot it landed in
-          val drops = pairs
-            .join(aIn, Seq("doc_a"), "left")
-            .join(bIn, Seq("doc_b"), "left")
-            .select(
-              when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
-                col("doc_b"))
-                .when(col("a_in_batch").isNotNull, col("doc_a"))
-                .otherwise(col("doc_b")).as("doc_id"))
-            .distinct()
-          val admitted = batch
-            .join(broadcast(drops), Seq("doc_id"), "left_anti")
-            .persist()
-          if (!admitted.isEmpty) {
-            admitted
-              .withColumn(tagColumn, lit(f"$tagPrefix%s_b$batchId%05d"))
-              .write.mode("append").format("parquet").saveAsTable(full)
-            Dedup.minHashSignatures(admitted)
-              .write.mode("append").format("parquet").saveAsTable(sigsTable)
-          }
-          admitted.unpersist()
-          batch.unpersist()
+          admitBatch(batch0, db, table, threshold,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
           ()
         }
     }
+
+  /** One micro-batch of the near-dup admission pipeline (the foreachBatch
+    * body of [[toNearDupFilteredSink]], factored out so retries and
+    * policies are directly testable). Idempotent for a given `tag`:
+    * re-running the same batch overwrites its own tag partition. */
+  private[graft] def admitBatch(
+      batch0: DataFrame, db: String, table: String, threshold: Double,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch0.sparkSession
+    val batch = batch0.persist()
+    val full = s"$db.$table"
+    val sigsTable = s"${full}_minhash_sigs"
+    val sigCols = "doc_id" +: (0 until Dedup.NumHashes).map(i => s"m$i")
+    val haveHistory = spark.catalog.tableExists(full)
+    val pairs =
+      if (haveHistory)
+        Dedup.minHashLshPairsIncremental(
+          // a RETRIED tag must not see its own previous attempt as history
+          spark.table(full).where(col(tagColumn) =!= lit(tag))
+            .select(batch.columns.filter(_ != tagColumn).map(col): _*),
+          batch, threshold,
+          historySigs = Some(
+            spark.table(sigsTable).where(col(tagColumn) =!= lit(tag))
+              .select(sigCols.map(col): _*)))
+      else Dedup.minHashLshPairs(batch, threshold)
+    val ids = batch.select(col("doc_id")).distinct()
+    val aIn = ids.select(col("doc_id").as("doc_a"))
+      .withColumn("a_in_batch", lit(true))
+    val bIn = ids.select(col("doc_id").as("doc_b"))
+      .withColumn("b_in_batch", lit(true))
+    // both sides in batch -> keep the smaller id; otherwise drop the
+    // batch-side doc whichever pair slot it landed in
+    val drops = pairs
+      .join(aIn, Seq("doc_a"), "left")
+      .join(bIn, Seq("doc_b"), "left")
+      .select(
+        when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
+          col("doc_b"))
+          .when(col("a_in_batch").isNotNull, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    // localCheckpoint severs the plan's reference to the history table:
+    // the tag-partition overwrite below would otherwise be rejected as
+    // overwrite-of-a-read-table (same hazard the ingest scratch dance
+    // guards; the admitted set is batch-sized, so a local materialization
+    // is the cheaper cure here)
+    val admitted = batch
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
+        full, tagColumn)
+      writeTagPartition(
+        Dedup.minHashSignatures(admitted).withColumn(tagColumn, lit(tag)),
+        sigsTable, tagColumn)
+    }
+    batch.unpersist()
+  }
+
+  /** First write creates the tag-partitioned table; later writes replace
+    * exactly the tags present in `df` (dynamic partition overwrite) — the
+    * idempotence mechanism for at-least-once micro-batch delivery. */
+  private def writeTagPartition(
+      df: DataFrame, table: String, tagColumn: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table))
+      df.write.partitionBy(tagColumn).format("parquet").saveAsTable(table)
+    else {
+      val cols = spark.table(table).columns
+      // the per-writer partitionOverwriteMode option is not honored on
+      // this insertInto path — scope the session conf instead
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.select(cols.map(col): _*)
+        .write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -100,6 +100,7 @@ object ScaleSmoke {
 
     rangeJoinSection(spark, tmp, copies)
     skylineSection(spark, copies)
+    ccSection(spark, copies)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
@@ -155,6 +156,48 @@ object ScaleSmoke {
     println(f"[scale] range_join ${copies}x/1x time ratio ${ratio}%.1f")
     require(ratio < copies * 1.5,
       f"range_join scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
+  }
+
+  /** Distributed connected components on graphs far beyond what the unit
+    * specs exercise: a random graph near the percolation threshold (n
+    * nodes, n edges — a giant component plus fragments, diameter
+    * O(log n)). At 1x the driver union-find is still reachable and serves
+    * as ground truth for the distributed propagation; at 10x only timing
+    * and convergence are asserted (sub-quadratic, bounded rounds via the
+    * maxRounds guard). */
+  private def ccSection(spark: SparkSession, copies: Int): Unit = {
+    import graft.dedup.Dedup
+    def edges(n: Long): DataFrame =
+      spark.range(n).select(
+        pmod(hash(col("id"), lit(7)).cast("long"), lit(n)).as("doc_a"),
+        pmod(hash(col("id"), lit(11)).cast("long"), lit(n)).as("doc_b"))
+        .where(col("doc_a") =!= col("doc_b"))
+    val n1 = 100000L
+    // ground truth: local union-find vs distributed propagation at 1x
+    val e1 = edges(n1).persist()
+    val local = Dedup.connectedComponents(e1).persist()
+    val t0 = System.nanoTime()
+    val dist = Dedup.connectedComponents(e1, localThreshold = 0).persist()
+    val t1secs = (System.nanoTime() - t0) / 1e9
+    val diff = local.as("l").join(dist.as("d"),
+        col("l.doc_id") === col("d.doc_id") &&
+          col("l.cluster_id") =!= col("d.cluster_id")).count()
+    require(diff == 0, s"distributed CC disagrees with union-find on $diff nodes")
+    println(f"[scale] cc n=$n1 clusters=${local.select("cluster_id").distinct().count()} " +
+      f"dist=${t1secs}%8.2f s (matches union-find)")
+    local.unpersist(); dist.unpersist(); e1.unpersist()
+    val eN = edges(n1 * copies).persist()
+    eN.count()
+    val t2 = System.nanoTime()
+    val distN = Dedup.connectedComponents(eN, localThreshold = 0).persist()
+    val nodesN = distN.count()
+    val tNsecs = (System.nanoTime() - t2) / 1e9
+    println(f"[scale] cc n=${n1 * copies} nodes=$nodesN ${tNsecs}%8.2f s")
+    distN.unpersist(); eN.unpersist()
+    val ratio = tNsecs / math.max(t1secs, 0.05)
+    println(f"[scale] cc ${copies}x/1x time ratio ${ratio}%.1f")
+    require(ratio < copies * 1.5,
+      f"cc scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
   }
 
   /** Skyline on worst-case data: mn == mx puts EVERY point on the Pareto

@@ -250,6 +250,34 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE neardup_sink CASCADE")
   }
 
+  test("near-dup admission batches are idempotent under retry") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS neardup_retry")
+    spark.sql("DROP TABLE IF EXISTS neardup_retry.docs")
+    spark.sql("DROP TABLE IF EXISTS neardup_retry.docs_minhash_sigs")
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota", "en"),
+      (2L, "some second body of text entirely unlike the first one", "en"))
+      .toDF("doc_id", "text", "lang")
+    StreamingIngest.admitBatch(b1, "neardup_retry", "docs", 0.8, tag = "t_b00000")
+    // at-least-once delivery: the SAME batch re-runs with the same tag —
+    // dynamic partition overwrite must leave no duplicates
+    StreamingIngest.admitBatch(b1, "neardup_retry", "docs", 0.8, tag = "t_b00000")
+    spark.catalog.refreshTable("neardup_retry.docs")
+    spark.catalog.refreshTable("neardup_retry.docs_minhash_sigs")
+    assert(spark.table("neardup_retry.docs").count() == 2)
+    assert(spark.table("neardup_retry.docs_minhash_sigs").count() == 2)
+    // the next batch still dedups correctly against the retried history
+    val b2 = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota", "en"))
+      .toDF("doc_id", "text", "lang")
+    StreamingIngest.admitBatch(b2, "neardup_retry", "docs", 0.8, tag = "t_b00001")
+    spark.catalog.refreshTable("neardup_retry.docs")
+    assert(spark.table("neardup_retry.docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("DROP DATABASE neardup_retry CASCADE")
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
