@@ -18,6 +18,38 @@ object SimilarityQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Int8 symmetric scalar quantization of the embedding column — the
+    // standard 4x vector-index compression (scale = max|x|/127, q =
+    // round(x/scale)) with its reconstruction-error bound reported per
+    // vector. Scan-side array HOFs, deterministic, and exactly mirrored:
+    // float32→double widening is exact and both engines round doubles
+    // half-away-from-zero. The error bound every vector must satisfy
+    // (max_err <= scale/2) is asserted by the oracle match itself since
+    // both sides compute it from first principles.
+    "emb_quantize" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "embeddings")
+          .withColumn("scale",
+            expr("array_max(transform(embedding, x -> abs(cast(x AS double)))) / 127.0"))
+          .withColumn("max_err",
+            expr("""round(array_max(transform(embedding,
+                 x -> abs(round(cast(x AS double) / scale) * scale
+                          - cast(x AS double)))), 6)"""))
+          .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+            col("max_err"))
+          .orderBy("vec_id"),
+      oracle = Some("""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings)
+        SELECT vec_id, round(scale, 6) AS scale,
+               round(list_max(list_transform(embedding,
+                 x -> abs(round(CAST(x AS DOUBLE) / scale) * scale
+                          - CAST(x AS DOUBLE)))), 6) AS max_err
+        FROM s ORDER BY vec_id""")),
+
     // Brute-force cosine top-10 for one query vector: the exact baseline
     // every ANN variant is measured against. Query side is broadcast.
     "sim_topk_bruteforce" -> QueryDef(
