@@ -32,6 +32,28 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE exp_src CASCADE")
   }
 
+  test("non-parquet storage format: orc export -> import round-trip") {
+    // the reference's -s/-f storage-format flags accept any Spark format;
+    // exercise a non-default one end-to-end
+    val out = Files.createTempDirectory("graft-export-orc").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS exp_orc")
+    spark.read.parquet(TestSpark.sf("sf0.001") + "/region.parquet")
+      .write.mode("overwrite").saveAsTable("exp_orc.region")
+    Catalog.exportTables(spark, Seq("exp_orc.region"), out, format = "orc")
+    // files on disk really are ORC
+    assert(spark.read.orc(s"$out/exp_orc.region").count() == 5)
+
+    spark.sql("DROP TABLE exp_orc.region")
+    val imported = Catalog.importTables(spark, out,
+      inputFormat = "orc", storageFormat = "orc")
+    assert(imported == Seq("exp_orc.region"))
+    val dest = spark.table("exp_orc.region")
+    assert(dest.count() == 5)
+    assert(spark.sql("SHOW CREATE TABLE exp_orc.region").head().getString(0)
+      .toLowerCase.contains("orc"))
+    spark.sql("DROP DATABASE exp_orc CASCADE")
+  }
+
   test("metadata export emits SHOW CREATE TABLE per table, upsert keeps latest") {
     spark.sql("CREATE DATABASE IF NOT EXISTS meta_src")
     spark.range(3).toDF("id").write.mode("overwrite").saveAsTable("meta_src.m1")
