@@ -345,24 +345,18 @@ object Dedup {
       // neighbor-min step: each node takes the min of its own and its
       // neighbors' labels. localCheckpoint(eager) materializes AND cuts
       // the plan back to the checkpointed blocks — constant per-round
-      // planning cost, and a clean base for the self-join below (a
-      // union-bearing plan self-joined trips Catalyst's union constraint
-      // rewrite).
-      val propagated = edges.join(labels, edges("b") === labels("node"))
+      // planning cost.
+      //
+      // Measured dead end, do not re-add: a pointer-doubling chase
+      // (label := label's label, O(log diameter) rounds) was 14x SLOWER
+      // here at 1M edges — the chase join's key distribution degenerates
+      // as components converge (a giant component hashes every row to one
+      // label), and the extra per-round shuffle + checkpoint swamps the
+      // round savings; dup-cluster graphs have tiny diameters anyway.
+      val next = edges.join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("lbl"))
         .union(labels)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      // pointer-doubling step: each node then jumps to its LABEL's label,
-      // halving remaining chain lengths — convergence in O(log diameter)
-      // rounds instead of O(diameter), at the cost of one self-join of
-      // the (pair-sized) label relation per round.
-      val roots = propagated.select(
-        col("node").as("root_node"), col("lbl").as("root_lbl"))
-      val next = propagated
-        .join(roots, col("lbl") === col("root_node"), "left")
-        .select(col("node"),
-          coalesce(col("root_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
