@@ -55,9 +55,21 @@ object Compact {
 
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$scratchDb`")
     val scratch = s"`$scratchDb`.`graft_${table}_compact`"
-    // round-robin repartition: uniform file sizes regardless of input skew
-    spark.table(full).repartition(nFiles)
-      .write.format(format).mode("overwrite").saveAsTable(scratch)
+    // Unpartitioned: round-robin repartition gives uniform file sizes
+    // regardless of input skew. Partitioned: repartition BY the partition
+    // columns, or every output task would hold rows of every partition
+    // and write files into each partition dir — multiplying file count
+    // instead of reducing it.
+    val partCols = spark.catalog.listColumns(s"$db.$table")
+      .collect().filter(_.isPartition).map(_.name).toSeq
+    val src = spark.table(full)
+    val arranged =
+      if (partCols.isEmpty) src.repartition(nFiles)
+      else src.repartition(nFiles, partCols.map(org.apache.spark.sql.functions.col): _*)
+    val writer =
+      if (partCols.isEmpty) arranged.write
+      else arranged.write.partitionBy(partCols: _*)
+    writer.format(format).mode("overwrite").saveAsTable(scratch)
     val staged = spark.table(scratch)
     staged.write.mode("overwrite").insertInto(full)
     spark.sql(s"DROP TABLE IF EXISTS $scratch")

@@ -18,6 +18,30 @@ class CompactSpec extends AnyFunSuite {
     assert(Compact.planFileCount(1280L, 128) == 10)
   }
 
+  test("compacting a partitioned table coalesces within partitions") {
+    GraftSession.tune(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS compact_db")
+    spark.sql("DROP TABLE IF EXISTS compact_db.part_frag")
+    val events = spark.read
+      .parquet(TestSpark.sf("sf0.001") + "/events.parquet")
+      .withColumn("bucket", (col("event_id") % 3).cast("string"))
+    // 10 files per partition value
+    events.repartition(10)
+      .write.partitionBy("bucket").format("parquet")
+      .saveAsTable("compact_db.part_frag")
+    val (files0, _) = Compact.fileStats(spark, "compact_db.part_frag")
+    assert(files0 >= 20, s"fixture not fragmented: $files0 files")
+
+    val report = Compact.compact(
+      spark, "compact_db", "part_frag", targetBytes = 1L << 30)
+    // one file per partition value, not one per (task x partition)
+    assert(report.filesAfter <= 3, s"still fragmented: ${report.filesAfter}")
+    assert(report.rows == events.count())
+    val after = spark.table("compact_db.part_frag")
+    assert(after.select("event_id").exceptAll(events.select("event_id")).isEmpty)
+    spark.sql("DROP DATABASE compact_db CASCADE")
+  }
+
   test("compact rewrites a fragmented table into few files, same rows") {
     GraftSession.tune(spark)
     spark.sql("CREATE DATABASE IF NOT EXISTS compact_db")
