@@ -275,6 +275,13 @@ object Dedup {
     result
   }
 
+  /** Size gate for [[connectedComponents]]: a pair relation at or below
+    * this count is clustered driver-side with union-find — the same
+    * size-based strategy switch as a broadcast join, and for the same
+    * reason: below the gate the data is megabytes and per-round job
+    * latency dominates any distributed plan. 2^20 pairs ≈ 16 MB. */
+  val LocalCcThreshold: Long = 1L << 20
+
   /** Duplicate-cluster assignment: connected components over a near-dup
     * pair relation (`doc_a`, `doc_b`), labeling every doc that appears in
     * a pair with the SMALLEST doc_id reachable through pair edges — the
@@ -302,13 +309,6 @@ object Dedup {
     * algorithm hazard; a reliable `checkpoint` dir is the durable variant
     * for multi-hour jobs). No driver-side data beyond the per-round
     * change counter. */
-  /** Size gate for [[connectedComponents]]: a pair relation at or below
-    * this count is clustered driver-side with union-find — the same
-    * size-based strategy switch as a broadcast join, and for the same
-    * reason: below the gate the data is megabytes and per-round job
-    * latency dominates any distributed plan. 2^20 pairs ≈ 16 MB. */
-  val LocalCcThreshold: Long = 1L << 20
-
   def connectedComponents(
       pairs: DataFrame, maxRounds: Int = 50,
       localThreshold: Long = LocalCcThreshold): DataFrame = {
