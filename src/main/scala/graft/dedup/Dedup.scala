@@ -233,7 +233,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand0 = dh.union(dd).distinct()
-    val sigs = sigsH.union(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
+    // by NAME: caller-provided history signature tables may order their
+    // columns differently than minHashSignatures emits them
+    val sigs = sigsH.unionByName(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
     val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
     Seq(sigsH, sigsD, bandsH, bandsD, sigs).foreach(_.unpersist(false))
     result
