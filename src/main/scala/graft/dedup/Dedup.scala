@@ -52,10 +52,15 @@ object Dedup {
 
   /** Distinct (doc_id, shingle) pairs over word `n`-grams: tokens are
     * maximal non-space runs of the lowercased text, shingle i is tokens
-    * [i, i+n) joined by one space. */
-  def wordShingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame = {
+    * [i, i+n) joined by one space. `dedup = false` skips the distinct —
+    * the explode stays a pure narrow map (no shuffle), for consumers that
+    * deduplicate later on a smaller relation (e.g. after a selective
+    * join). */
+  def wordShingles(
+      docs: DataFrame, textCol: String = "text", n: Int = 3,
+      dedup: Boolean = true): DataFrame = {
     val idx = (0 until n).map(j => s"toks[i - 1 + $j]").mkString(", ")
-    docs
+    val exploded = docs
       .select(col("doc_id"),
         expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("toks"))
       .where(size(col("toks")) >= n)
@@ -63,7 +68,7 @@ object Dedup {
         explode(expr(
           s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $idx))"))
           .as("shingle"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
   /** Per-doc MinHash signature over an arbitrary pre-shingled relation in

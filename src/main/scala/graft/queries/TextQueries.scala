@@ -188,19 +188,22 @@ object TextQueries {
     // near-dup Jaccard — a single verbatim overlap is a hit regardless of
     // overall similarity. 100 TB shape: benchmark suites are tiny compared
     // to the corpus, so the eval n-gram set BROADCASTS and the train side
-    // is a pure scan→explode→broadcast-hash-join — the corpus is never
-    // shuffled. Joining on the md5 of the shingle keeps the broadcast and
-    // join keys fixed-width.
+    // is a pure scan→explode→broadcast-hash-join — the corpus side is
+    // NEVER shuffled: its shingles stay raw (narrow explode, no distinct),
+    // and dedup happens after the join on the tiny matched set. Joining on
+    // the md5 of the shingle keeps the broadcast and join keys
+    // fixed-width.
     "text_contamination" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
         val train = Dedup.wordShingles(
-          docs.where(pmod(col("doc_id"), lit(10)) =!= 0), n = 5)
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0), n = 5, dedup = false)
           .select(col("doc_id").as("train_doc_id"), md5(col("shingle")).as("h"))
         val eval = Dedup.wordShingles(
           docs.where(pmod(col("doc_id"), lit(10)) === 0), n = 5)
           .select(col("doc_id").as("eval_doc_id"), md5(col("shingle")).as("h"))
         train.join(broadcast(eval), Seq("h"))
+          .select("train_doc_id", "eval_doc_id", "h").distinct()
           .groupBy("train_doc_id", "eval_doc_id")
           .agg(count(lit(1)).as("n_shared"))
           .orderBy("train_doc_id", "eval_doc_id")
