@@ -433,15 +433,59 @@ object Dedup {
         call_function("simhash_sig", lower(col(textCol)), lit(SimHashBits))
           .as("simhash"))
 
+  /** Banded form of [[simHash]]: one row per (doc, band) with the band's
+    * bit-slice value — the LSH bucketing relation for both the full and
+    * incremental pipelines (and the layout a production history table
+    * stores). */
+  def simHashBands(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val r = SimHashBits / SimHashBands
+    simHash(docs, textCol)
+      .withColumn("band", explode(expr(s"sequence(0, ${SimHashBands - 1})")))
+      .withColumn("band_val", expr(s"shiftright(simhash, band * $r) & ${(1 << r) - 1}"))
+  }
+
+  /** Incremental SimHash near-dup pairs — same delta-vs-history shape as
+    * [[minHashLshPairsIncremental]]: delta bands join (history ∪ delta)
+    * bands, so band work is O(delta × occupancy) and history is never
+    * self-joined. Emits exactly the full pipeline's pairs that involve a
+    * delta doc. Pass a persisted band table via `historyBands` to skip
+    * re-hashing the history. */
+  def simHashPairsIncremental(
+      history: DataFrame, delta: DataFrame, maxHamming: Int = 3,
+      historyBands: Option[DataFrame] = None): DataFrame = {
+    val bh = historyBands.getOrElse(simHashBands(history))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bd = simHashBands(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    def collide(l: DataFrame, r0: DataFrame, ordered: Boolean) = {
+      val cond0 = col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val")
+      val cond = if (ordered) cond0 && col("a.doc_id") < col("b.doc_id")
+      else cond0 && col("a.doc_id") =!= col("b.doc_id")
+      l.as("a").join(r0.as("b"), cond)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          // hamming is symmetric: safe to compute before the id ordering
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    }
+    val result = collide(bd, bh, ordered = false)
+      .union(collide(bd, bd, ordered = true))
+      .distinct()
+      .where(col("hamming") <= lit(maxHamming))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    bh.unpersist(false)
+    bd.unpersist(false)
+    result
+  }
+
   /** SimHash near-dup pairs: candidates share one of 4 15-bit bands, then
     * Hamming distance (bit_count of xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val r = SimHashBits / SimHashBands
-    val sh = simHash(docs)
     // Persisted: both sides of the self-join would otherwise re-run the
     // full token+vote pipeline. 4 rows/doc — small.
-    val banded = sh.withColumn("band", explode(expr(s"sequence(0, ${SimHashBands - 1})")))
-      .withColumn("band_val", expr(s"shiftright(simhash, band * $r) & ${(1 << r) - 1}"))
+    val banded = simHashBands(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")

@@ -269,39 +269,65 @@ object DedupQueries {
     "dedup_simhash" -> QueryDef(
       fn = (s, d) => Dedup.simHashPairs(t(s, d, "documents"), maxHamming = 3),
       oracle = Some(s"""
-        WITH words AS (
-          SELECT DISTINCT doc_id, w
-          FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
-                FROM documents)
-          WHERE w <> ''),
-        hashed AS (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(w), 1, ${Dedup.SimHashBits / 4}) AS BIGINT) AS h
-          FROM words),
-        votes AS (
-          SELECT doc_id, b,
-                 sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          FROM hashed, range(0, ${Dedup.SimHashBits}) r(b)
-          GROUP BY doc_id, b),
-        sims AS (
-          SELECT doc_id,
-                 CAST(sum(CASE WHEN v > 0
-                               THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
-                               ELSE 0 END) AS BIGINT) AS simhash
-          FROM votes GROUP BY doc_id),
-        banded AS (
-          SELECT doc_id, simhash, band,
-                 (simhash >> CAST(band * ${Dedup.SimHashBits / Dedup.SimHashBands} AS INT))
-                   & ${(1 << (Dedup.SimHashBits / Dedup.SimHashBands)) - 1} AS band_val
-          FROM sims, range(0, ${Dedup.SimHashBands}) r(band)),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS h_a, b.simhash AS h_b
-          FROM banded a JOIN banded b
-            ON a.band = b.band AND a.band_val = b.band_val
-           AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
-        FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3
+        WITH $simhashPairsCtes
+        SELECT doc_a, doc_b, hamming FROM spairs
+        ORDER BY doc_a, doc_b""")),
+
+    // Incremental SimHash: odd doc_ids are the delta, even the history —
+    // delta bands join (history ∪ delta) bands only, and the result must
+    // be exactly the full pipeline's delta-touching pairs (same shared
+    // CTEs, filtered).
+    "dedup_simhash_incr" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.simHashPairsIncremental(
+          history = docs.where(col("doc_id") % 2 === 0),
+          delta = docs.where(col("doc_id") % 2 === 1),
+          maxHamming = 3)
+      },
+      oracle = Some(s"""
+        WITH $simhashPairsCtes
+        SELECT doc_a, doc_b, hamming FROM spairs
+        WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
         ORDER BY doc_a, doc_b"""))
   )
+
+  // SimHash pipeline as a CTE chain ending in `spairs(doc_a, doc_b,
+  // hamming)` — shared by the full and incremental oracles.
+  private lazy val simhashPairsCtes: String = s"""
+    words AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''),
+    hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w), 1, ${Dedup.SimHashBits / 4}) AS BIGINT) AS h
+      FROM words),
+    votes AS (
+      SELECT doc_id, b,
+             sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, range(0, ${Dedup.SimHashBits}) r(b)
+      GROUP BY doc_id, b),
+    sims AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> CAST(band * ${Dedup.SimHashBits / Dedup.SimHashBands} AS INT))
+               & ${(1 << (Dedup.SimHashBits / Dedup.SimHashBands)) - 1} AS band_val
+      FROM sims, range(0, ${Dedup.SimHashBands}) r(band)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS h_a, b.simhash AS h_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id),
+    spairs AS (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+      FROM pairs WHERE bit_count(xor(h_a, h_b)) <= 3)"""
 }

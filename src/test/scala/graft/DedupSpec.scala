@@ -66,6 +66,22 @@ class DedupSpec extends AnyFunSuite {
     assert(incr2.exceptAll(expected).isEmpty && expected.exceptAll(incr2).isEmpty)
   }
 
+  test("incremental simhash equals the full pairs that touch the delta") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(TestSpark.sf("sf0.01") + "/documents.parquet")
+    val expected = Dedup.simHashPairs(docs, 3)
+      .where(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+    assert(expected.count() > 0, "fixture produced no delta-touching pairs")
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val delta = docs.where(col("doc_id") % 2 === 1)
+    val incr = Dedup.simHashPairsIncremental(history, delta, 3)
+    assert(incr.exceptAll(expected).isEmpty && expected.exceptAll(incr).isEmpty)
+    // precomputed history band table gives the identical result
+    val incr2 = Dedup.simHashPairsIncremental(history, delta, 3,
+      historyBands = Some(Dedup.simHashBands(history)))
+    assert(incr2.exceptAll(expected).isEmpty && expected.exceptAll(incr2).isEmpty)
+  }
+
   test("empty pair relation yields an empty clustering") {
     assert(cc() == Map.empty[Long, Long])
   }
