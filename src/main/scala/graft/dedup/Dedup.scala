@@ -225,8 +225,9 @@ object Dedup {
     val sigsH = historySigs.getOrElse(minHashSignatures(history))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigsD = minHashSignatures(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    // consumed exactly once (the dh join) — persisting would only add a
+    // materialization pass; it pipelines off persisted sigsH instead
     val bandsH = historyBands.getOrElse(bandKeys(sigsH))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsD = bandKeys(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
     val dh = bandsD.as("a").join(bandsH.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -242,7 +243,7 @@ object Dedup {
     // columns differently than minHashSignatures emits them
     val sigs = sigsH.unionByName(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
     val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
-    Seq(sigsH, sigsD, bandsH, bandsD, sigs).foreach(_.unpersist(false))
+    Seq(sigsH, sigsD, bandsD, sigs).foreach(_.unpersist(false))
     result
   }
 
