@@ -114,6 +114,31 @@ object SimilarityQueries {
       fn = (s, d) => CosineLsh.nearDupPairs(t(s, d, "embeddings"), threshold = 0.45,
         bits = Some(CosineLsh.BitsPerTable)),
       oracle = Some(CosineLsh.nearDupOracleSql(threshold = 0.45)),
-      bench = true)
+      bench = true),
+
+    // Semantic duplicate clusters: the same connected-components step the
+    // text pipeline uses, over the cosine near-dup pairs — embeddings
+    // whose mutual cosine chains above threshold collapse to one keeper.
+    "dedup_embedding_clusters" -> QueryDef(
+      fn = (s, d) =>
+        graft.dedup.Dedup.connectedComponents(
+          CosineLsh.nearDupPairs(t(s, d, "embeddings"), threshold = 0.45,
+              bits = Some(CosineLsh.BitsPerTable))
+            .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+          .select(col("doc_id").as("vec_id"), col("cluster_id"))
+          .orderBy("vec_id"),
+      oracle = Some(s"""
+        WITH RECURSIVE ${CosineLsh.nearDupPairsCtes(threshold = 0.45)},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION
+          SELECT id_b, id_a FROM vpairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.b)
+        SELECT node AS vec_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node
+        ORDER BY vec_id"""))
   )
 }

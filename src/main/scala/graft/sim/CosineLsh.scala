@@ -113,7 +113,10 @@ object CosineLsh {
   /** DuckDB oracle mirroring [[nearDupPairs]] bit-for-bit: bucket ids from
     * the same literal hyperplanes, same normalize-then-dot cosine, same
     * rounding and ordering. */
-  def nearDupOracleSql(threshold: Double): String = {
+  /** The near-dup pipeline as a CTE chain ending in
+    * `vpairs(id_a, id_b, score)` — shared by the pair oracle and the
+    * embedding-clustering oracle. */
+  def nearDupPairsCtes(threshold: Double): String = {
     val bucketSelects = tablePlanes().zipWithIndex.map { case (ps, t) =>
       val bits = ps.zipWithIndex.map { case (p, h) =>
         s"(CASE WHEN list_dot_product(v, ${planeSql(p)}) >= 0 THEN ${1L << h} ELSE 0 END)"
@@ -121,7 +124,7 @@ object CosineLsh {
       s"SELECT vec_id, $t AS tbl, $bits AS bucket FROM e"
     }.mkString(" UNION ALL ")
     s"""
-      WITH e AS (
+      e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
@@ -131,12 +134,18 @@ object CosineLsh {
       cand AS (
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         FROM ids a JOIN ids b
-          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      SELECT c.id_a, c.id_b, round(list_dot_product(na.nv, nb.nv), 6) AS score
-      FROM cand c
-      JOIN n na ON c.id_a = na.vec_id
-      JOIN n nb ON c.id_b = nb.vec_id
-      WHERE round(list_dot_product(na.nv, nb.nv), 6) >= $threshold
-      ORDER BY id_a, id_b"""
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      vpairs AS (
+        SELECT c.id_a, c.id_b, round(list_dot_product(na.nv, nb.nv), 6) AS score
+        FROM cand c
+        JOIN n na ON c.id_a = na.vec_id
+        JOIN n nb ON c.id_b = nb.vec_id
+        WHERE round(list_dot_product(na.nv, nb.nv), 6) >= $threshold)"""
   }
+
+  def nearDupOracleSql(threshold: Double): String =
+    s"""
+      WITH ${nearDupPairsCtes(threshold)}
+      SELECT id_a, id_b, score FROM vpairs
+      ORDER BY id_a, id_b"""
 }
