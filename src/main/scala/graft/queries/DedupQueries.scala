@@ -79,9 +79,10 @@ object DedupQueries {
 
   // The full MinHash-LSH pipeline (signatures → bands → candidates →
   // agreement pre-filter → exact Jaccard) as a CTE chain ending in
-  // `pairs(doc_a, doc_b, jaccard)`. Shared verbatim by the pair query and
-  // the clustering query so the two oracles can never diverge.
-  private def minhashPairsCtes(threshold: Double): String = s"""
+  // `pairs(doc_a, doc_b, jaccard)`. Shared verbatim by the pair query,
+  // the clustering queries, and the corpus report so the oracles can
+  // never diverge.
+  private[queries] def minhashPairsCtes(threshold: Double): String = s"""
     $shingleCte,
     ph AS (SELECT doc_id, $phExpr AS h FROM sh),
     sigs AS (

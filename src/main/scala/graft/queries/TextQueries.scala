@@ -254,6 +254,50 @@ object TextQueries {
                  % 100 < CASE WHEN lang = 'en' THEN 60 ELSE 30 END
         ORDER BY doc_id""")),
 
+    // The "data card" rollup every curation run ends with: per-language
+    // doc counts, token volume, and near-duplicate rate — composed from
+    // the dedup clustering (non-keeper docs) and the token counter. One
+    // pass over the corpus plus the pair-sized clustering; the oracle
+    // reuses the shared MinHash CTE chain end-to-end.
+    "corpus_report" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val dupDocs = Dedup.connectedComponents(
+          Dedup.minHashLshPairs(docs, threshold = 0.8))
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id"), lit(1L).as("is_dup"))
+        docs.join(broadcast(dupDocs), Seq("doc_id"), "left")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double") / col("n_docs"), 6)
+              .as("dup_frac"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${DedupQueries.minhashPairsCtes(0.8)},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.b),
+        dropped AS (
+          SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+                 AS n_tokens,
+               CAST(sum(CASE WHEN doc_id IN (SELECT node FROM dropped)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               round(sum(CASE WHEN doc_id IN (SELECT node FROM dropped)
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                 AS dup_frac
+        FROM documents GROUP BY lang ORDER BY lang""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
