@@ -124,6 +124,69 @@ object RelationalQueries {
         GROUP BY n_name ORDER BY revenue DESC, n_name"""),
       bench = true),
 
+    // TPC-H Q10 shape: returned-item revenue per customer — fact filtered
+    // on return flag, quarter-windowed orders, two broadcast dimensions,
+    // top-20 by exact-decimal revenue with a unique-key tie-break.
+    "q10_returned_items" -> QueryDef(
+      fn = (s, d) => {
+        val cust = t(s, d, "customer")
+        val nation = t(s, d, "nation")
+        val ord = t(s, d, "orders").where(
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        t(s, d, "lineitem").where(col("l_returnflag") === "R")
+          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      oracle = Some(s"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(sum($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING subselect over the
+    // fact feeds back as a (small, broadcast) semi-filter on the same
+    // fact, then joins customer/orders.
+    "q18_large_orders" -> QueryDef(
+      fn = (s, d) => {
+        val li = t(s, d, "lineitem")
+        val big = li.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast(dec)).as("sq"))
+          .where(col("sq") > 300)
+          .select(col("l_orderkey").as("big_orderkey"))
+        li.join(broadcast(big), col("l_orderkey") === col("big_orderkey"))
+          .join(broadcast(t(s, d, "orders")), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+          .agg(sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      oracle = Some("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // TPC-H Q14 shape: fact-to-mid-dimension equi-join (part broadcasts at
     // this SF; past the broadcast threshold AQE falls back to a shuffled
     // hash join) with a conditional-aggregate promo ratio in exact
