@@ -156,6 +156,44 @@ object RelationalQueries {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q7 shape: bilateral shipping volume — the same dimension
+    // (nation) joined twice under different roles, an OR-of-pairs
+    // predicate that only resolves after both joins, and a year-grouped
+    // exact-decimal rollup.
+    "q7_volume_shipping" -> QueryDef(
+      fn = (s, d) => {
+        val n1 = t(s, d, "nation").select(
+          col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = t(s, d, "nation").select(
+          col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "orders")), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+          .where(
+            (col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      oracle = Some(s"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+           OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     // TPC-H Q18 shape: large-volume orders — a HAVING subselect over the
     // fact feeds back as a (small, broadcast) semi-filter on the same
     // fact, then joins customer/orders.
