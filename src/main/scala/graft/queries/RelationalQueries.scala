@@ -156,6 +156,28 @@ object RelationalQueries {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q6 shape: the pure pushdown benchmark — a conjunctive range
+    // filter that must reach the parquet scan and a single exact-decimal
+    // aggregate, no joins, no shuffle beyond the final combine.
+    "q6_forecast_revenue" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .where(
+            col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(sum((col("l_extendedprice").cast(dec) * col("l_discount").cast(dec)))
+            .cast("double").as("revenue")),
+      oracle = Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""")),
+
     // TPC-H Q7 shape: bilateral shipping volume — the same dimension
     // (nation) joined twice under different roles, an OR-of-pairs
     // predicate that only resolves after both joins, and a year-grouped

@@ -42,7 +42,8 @@ class PlanAuditSpec extends AnyFunSuite {
   test("selective scans push filters into the parquet reader") {
     // q3/q5 filter on market segment / region; the predicate must reach
     // PushedFilters, not sit in a post-scan Filter only.
-    Seq("q3_top_revenue" -> "c_mktsegment", "q5_local_supplier" -> "r_name")
+    Seq("q3_top_revenue" -> "c_mktsegment", "q5_local_supplier" -> "r_name",
+      "q6_forecast_revenue" -> "l_quantity")
       .foreach { case (q, col) =>
         val pushed = plans(q).linesIterator
           .filter(_.contains("PushedFilters"))
