@@ -195,8 +195,8 @@ object RelationalQueries {
           .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
           .where(
-            (col("supp_nation") === "NATION_0" && col("cust_nation") === "NATION_1") ||
-            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_0"))
+            (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(sum(revenueTerm).cast("double").as("revenue"))
@@ -212,8 +212,8 @@ object RelationalQueries {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
-           OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+        WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // TPC-H Q18 shape: large-volume orders — a HAVING subselect over the
