@@ -156,6 +156,51 @@ object RelationalQueries {
         GROUP BY c_custkey, c_name, c_acctbal, n_name
         ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // Funnel / sequence analysis: per user, how many clicks convert —
+    // i.e. follow a view by the same user within 30 minutes. The
+    // match_recognize-class pattern expressed as one window pass: a
+    // running "last view time" with an UNBOUNDED..1 PRECEDING frame, then
+    // a conditional rollup — no self-join, one shuffle on the user key.
+    "events_funnel" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .where(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000").as("us"), col("event_type"))
+          .withColumn("last_view_us",
+            max(when(col("event_type") === "view", col("us"))).over(w))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+            sum(when(col("event_type") === "click" &&
+              col("last_view_us").isNotNull &&
+              col("us") - col("last_view_us") <= 1800000000L, 1L).otherwise(0L))
+              .as("n_conversions"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH vc AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+          FROM events WHERE event_type IN ('view', 'click')),
+        wlv AS (
+          SELECT user_id, event_type, us,
+                 max(CASE WHEN event_type = 'view' THEN us END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view_us
+          FROM vc)
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_views,
+               CAST(sum(CASE WHEN event_type = 'click'
+                              AND last_view_us IS NOT NULL
+                              AND us - last_view_us <= 1800000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions
+        FROM wlv GROUP BY user_id ORDER BY user_id""")),
+
     // TPC-H Q6 shape: the pure pushdown benchmark — a conjunctive range
     // filter that must reach the parquet scan and a single exact-decimal
     // aggregate, no joins, no shuffle beyond the final combine.
