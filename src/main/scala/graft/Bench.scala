@@ -51,16 +51,18 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts(ts.size / 2) }.sum
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    // stdout gets the COMPACT line (medians only): the driver tail-captures
+    // stdout with a small window, and the full line with per-query spreads
+    // overflowed it in rounds 3 and 4 (front-truncated JSON, "parsed": null).
+    // The full record, spreads included, goes to the file below.
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // Also land the line in a file: stdout tail-capture can truncate a
-    // long JSON line mid-stream (it ate 22 medians in round 3), and the
-    // perf record is too valuable to lose to a pipe buffer.
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, line + "\n")
+      java.nio.file.Files.writeString(out, full + "\n")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
     }
