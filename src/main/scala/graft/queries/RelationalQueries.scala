@@ -652,6 +652,39 @@ object RelationalQueries {
                ${DSUM.format("value")} AS sum_value
         FROM sessions GROUP BY user_id, session_id
         ORDER BY user_id, session_id"""),
-      bench = true)
+      bench = true),
+
+    // Cohort retention: users grouped by their first-activity day, counted
+    // on each later day they return (offsets 0..7). The product-analytics
+    // staple next to funnel/sessionize. Shape at scale: both the first-day
+    // aggregate and the distinct (user, day) relation shuffle on user_id,
+    // so the join is co-partitioned (one Exchange reused); the final
+    // (cohort, offset) aggregate is tiny. Day arithmetic stays in integer
+    // epoch-micros DIV — timezone-free and exact on both engines.
+    "events_retention" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+        val firsts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+        val active = ev.distinct()
+        active.join(firsts, "user_id")
+          .select(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"), col("user_id"))
+          .where(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        firsts AS (
+          SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, day FROM ev)
+        SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN firsts f USING (user_id)
+        WHERE a.day - f.cohort_day <= 7
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
   )
 }
