@@ -298,6 +298,93 @@ object TextQueries {
                  AS dup_frac
         FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // Corpus-level n-gram statistics: the top-20 word bigrams by occurrence
+    // — the vocabulary report every tokenizer/curation run wants. Shape:
+    // narrow shingle explode (no per-doc distinct), then a two-level
+    // aggregate — (bigram) counts partial-aggregate map-side before the
+    // shuffle, and the vocabulary relation after it is tiny (vocab², not
+    // corpus-sized), so the global top-k sort is a no-op at any corpus
+    // size. Deterministic total order: count DESC then the bigram itself.
+    "corpus_ngrams" -> QueryDef(
+      fn = (s, d) =>
+        Dedup.wordShingles(t(s, d, "documents"), n = 2, dedup = false)
+          .groupBy(col("shingle").as("bigram"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("n_occurrences").desc, col("bigram"))
+          .limit(20),
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)])
+                   AS bigram
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM toks WHERE len(toks) >= 2))
+        SELECT bigram, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM grams GROUP BY bigram
+        ORDER BY n_occurrences DESC, bigram LIMIT 20""")),
+
+    // TF-IDF keywords: top-3 terms per document by tf·idf — the classic
+    // relevance signal (quality scoring, topic tagging, search). tf is the
+    // in-doc frequency; idf = ln(N/df) over the corpus. Shape: token
+    // explode → (doc, term) counts (map-side partials), per-doc totals by
+    // window; document frequency aggregates the SAME (doc, term) relation
+    // down to the vocabulary (tiny) and broadcasts back; corpus size N is
+    // one count scalar. All ratios are int/int IEEE divisions + ln —
+    // bit-identical on both engines, so the score hash-matches.
+    "text_tfidf" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val tf = docs
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .withColumn("n_tok", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val byDoc = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("w"))
+        tf.join(broadcast(df), "w")
+          .select(col("doc_id"), col("w"),
+            round(col("c").cast("double") / col("n_tok")
+              * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+          .withColumn("rnk", row_number().over(byDoc).cast("long"))
+          .where(col("rnk") <= 3)
+          .select("doc_id", "rnk", "w", "tfidf")
+          .orderBy("doc_id", "rnk")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        tf AS (
+          SELECT doc_id, w, count(*) AS c,
+                 sum(count(*)) OVER (PARTITION BY doc_id) AS n_tok
+          FROM tok GROUP BY doc_id, w),
+        df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, w,
+                 round(c * 1.0 / n_tok * ln(CAST(n.n AS DOUBLE) / df.df), 6)
+                   AS tfidf
+          FROM tf JOIN df USING (w), n),
+        ranked AS (
+          SELECT doc_id, w, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, w) AS rnk
+          FROM scored)
+        SELECT doc_id, rnk, w, tfidf FROM ranked
+        WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
