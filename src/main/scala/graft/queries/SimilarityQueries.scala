@@ -116,6 +116,26 @@ object SimilarityQueries {
       oracle = Some(CosineLsh.nearDupOracleSql(threshold = 0.45)),
       bench = true),
 
+    // Incremental embedding near-dup: odd vec_ids play the delta batch,
+    // even ids the indexed history — delta buckets join (history ∪ delta)
+    // buckets only, O(delta × occupancy), and the result must be exactly
+    // the full pipeline's delta-touching pairs (same shared CTEs,
+    // filtered). Completes the incremental trio: minhash_incr,
+    // simhash_incr, embedding_incr.
+    "dedup_embedding_incr" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        CosineLsh.nearDupPairsIncremental(
+          history = emb.where(col("vec_id") % 2 === 0),
+          delta = emb.where(col("vec_id") % 2 === 1),
+          threshold = 0.45, bits = Some(CosineLsh.BitsPerTable))
+      },
+      oracle = Some(s"""
+        WITH ${CosineLsh.nearDupPairsCtes(threshold = 0.45)}
+        SELECT id_a, id_b, score FROM vpairs
+        WHERE id_a % 2 = 1 OR id_b % 2 = 1
+        ORDER BY id_a, id_b""")),
+
     // Semantic duplicate clusters: the same connected-components step the
     // text pipeline uses, over the cosine near-dup pairs — embeddings
     // whose mutual cosine chains above threshold collapse to one keeper.

@@ -107,6 +107,54 @@ object CosineLsh {
     result
   }
 
+  /** Incremental near-dup detection over embeddings — the same
+    * delta-vs-history shape as `Dedup.minHashLshPairsIncremental`: a new
+    * batch is checked against an already-indexed corpus WITHOUT re-joining
+    * the history against itself. Candidates come from delta-buckets ×
+    * history-buckets (every collision, canonicalized) plus delta-buckets ×
+    * delta-buckets (ordered), so bucket work is O(delta × occupancy),
+    * never O(history²). Returns exactly the full pipeline's pairs that
+    * involve at least one delta vector (id_a < id_b, same verification) —
+    * which is what the oracle selects from the shared CTE chain. In
+    * production the history side is the persisted (vec_id, nv, buckets)
+    * index maintained by the ingest path — pass it via `historyBuckets` to
+    * skip re-hashing the history entirely. */
+  def nearDupPairsIncremental(
+      history: DataFrame, delta: DataFrame, threshold: Double,
+      bits: Option[Int] = None,
+      historyBuckets: Option[DataFrame] = None): DataFrame = {
+    val b = bits.getOrElse(bitsFor(history.count() + delta.count()))
+    val baseH = historyBuckets.getOrElse(bucketed(history, b))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val baseD = bucketed(delta, b).persist(StorageLevel.MEMORY_AND_DISK)
+    def ids(base: DataFrame) = base.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val dh = ids(baseD).as("a").join(ids(baseH).as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"))
+    val dd = ids(baseD).as("a").join(ids(baseD).as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val cand = dh.union(dd).distinct()
+    // the verify joins look vectors up by id across BOTH batches
+    val all = baseH.unionByName(baseD)
+    val na = all.select(col("vec_id").as("id_a"), col("nv").as("nv_a"))
+    val nb = all.select(col("vec_id").as("id_b"), col("nv").as("nv_b"))
+    val result = cand.join(na, "id_a").join(nb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.dot(col("nv_a"), col("nv_b")), 6).as("score"))
+      .where(col("score") >= lit(threshold))
+      .orderBy("id_a", "id_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize while the bucketed bases are cached
+    baseH.unpersist(false)
+    baseD.unpersist(false)
+    result
+  }
+
   private def planeSql(p: Array[Double]): String =
     p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
