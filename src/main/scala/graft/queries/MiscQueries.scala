@@ -104,6 +104,22 @@ object MiscQueries {
         numCells = 16, nprobe = 4, k = 3, iters = 5)),
       bench = true),
 
+    // ANN via product quantization (PQ-Flat ADC): the memory-compression
+    // scale path — the corpus is stored as 8 codebook ids per vector and
+    // queries rank candidates by asymmetric (exact-query × codeword) dot
+    // products. Training/encoding/scoring are deterministic, so the oracle
+    // replays all of it: per-subspace Lloyd rounds as CTEs, same code
+    // assignment, same left-associated ADC sum; PqSpec additionally checks
+    // reconstruction quality and recall vs exact ranking.
+    "sim_ann_pq" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val books = graft.sim.Pq.trainCodebooks(emb)
+        graft.sim.Pq.topKApprox(emb, emb.where(col("vec_id") < 10), k = 3, books)
+      },
+      oracle = Some(graft.sim.Pq.topKOracleSql()),
+      bench = true),
+
     // Multimodal metadata pass: binary payload size + content hash; the
     // bytes themselves never leave the scan for this query shape.
     "mm_bytes" -> QueryDef(

@@ -17,10 +17,14 @@ class PlanAuditSpec extends AnyFunSuite {
       name -> df.queryExecution.executedPlan.toString
     }
 
-  /** Declared brute-force baselines: their O(N·Q) broadcast nested-loop is
-    * the point (Q is tiny and broadcast); the scale paths are sim_ann_lsh /
-    * sim_ann_ivf / CosineLsh. Nothing else may plan one. */
-  private val intendedBruteForce = Set("sim_knn_join", "sim_topk_bruteforce")
+  /** Declared linear-scan baselines: their O(N·Q) broadcast nested-loop is
+    * the point (Q is tiny and broadcast) — exact float scan for the two
+    * brute-force queries, 8-byte-code ADC scan for PQ-Flat (whose reason to
+    * exist is making exactly this scan memory-bound cheap; compose with IVF
+    * cells when even that is too much). The pruned scale paths are
+    * sim_ann_lsh / sim_ann_ivf / CosineLsh. Nothing else may plan one. */
+  private val intendedBruteForce =
+    Set("sim_knn_join", "sim_topk_bruteforce", "sim_ann_pq")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = plans.filter { case (name, p) =>
