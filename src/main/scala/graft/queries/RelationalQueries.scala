@@ -685,6 +685,45 @@ object RelationalQueries {
                count(DISTINCT a.user_id) AS n_users
         FROM active a JOIN firsts f USING (user_id)
         WHERE a.day - f.cohort_day <= 7
-        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""))
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")),
+
+    // Population z-score outliers per event type (|z| >= 3): the metric
+    // sanity gate in front of any events-derived training signal. One
+    // grouped aggregate (tiny: one row per event type, broadcast back) +
+    // one scan — no window, no second shuffle. Determinism: value is
+    // 2-decimal data, so sum(x) and sum(x²) accumulate EXACTLY in
+    // DECIMAL(18,4)/its product scale; both engines then derive
+    // mean/sd/z from identical doubles with the same expression tree.
+    "events_anomaly" -> QueryDef(
+      fn = (s, d) => {
+        val v = col("value").cast(dec)
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(v).cast("double").as("s"),
+          sum(v * v).cast("double").as("s2"))
+          .select(col("event_type"), (col("s") / col("n")).as("mean"),
+            sqrt((col("s2") - col("s") * col("s") / col("n")) / col("n")).as("sd"))
+        ev.join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+          .where(abs(col("z")) >= 3)
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+                 CAST(sum(CAST(value AS DECIMAL(18,4))
+                          * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+          FROM events GROUP BY event_type),
+        st AS (
+          SELECT event_type, s / n AS mean, sqrt((s2 - s*s/n)/n) AS sd FROM s)
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - st.mean)/st.sd, 6) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE abs(round((e.value - st.mean)/st.sd, 6)) >= 3
+        ORDER BY e.event_id"""))
   )
 }

@@ -101,9 +101,84 @@ object ScaleSmoke {
     rangeJoinSection(spark, tmp, copies)
     skylineSection(spark, copies)
     ccSection(spark, copies)
+    embeddingIncrSection(spark, tmp, copies)
+    pqSection(spark, tmp)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
+  }
+
+  /** Incremental embedding dedup: the contract (exactly the full
+    * pipeline's delta-touching pairs) checked empirically at 1x, then the
+    * Nx economics — a 5% delta against a PRECOMPUTED-bucket history (the
+    * stored-index production shape) must beat the full-corpus recompute
+    * outright; that gap is the whole point of the incremental path. */
+  private def embeddingIncrSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val bits1 = CosineLsh.bitsFor(emb1.count())
+    val isDelta = col("vec_id") % 20 === 0
+    val full1 = CosineLsh.nearDupPairs(emb1, 0.45, Some(bits1))
+    val expected = full1.where(col("id_a") % 20 === 0 || col("id_b") % 20 === 0)
+    val incr1 = CosineLsh.nearDupPairsIncremental(
+      emb1.where(!isDelta), emb1.where(isDelta), 0.45, Some(bits1))
+    val missing = expected.exceptAll(incr1).count()
+    val extra = incr1.exceptAll(expected).count()
+    require(missing == 0 && extra == 0,
+      s"incremental != delta-touching slice of full: missing=$missing extra=$extra")
+    println(s"[scale] emb_incr 1x: ${incr1.count()} pairs == full slice")
+    full1.unpersist(); incr1.unpersist()
+
+    val embN = spark.read.parquet(s"$tmp/emb")
+    val bitsN = CosineLsh.bitsFor(embN.count())
+    // the stored index: bucketed history, materialized once by ingest
+    val histBuckets = CosineLsh.bucketed(embN.where(!isDelta), bitsN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    histBuckets.count()
+    val t0 = System.nanoTime()
+    val fullN = CosineLsh.nearDupPairs(embN, 0.45, Some(bitsN))
+    val tFull = (System.nanoTime() - t0) / 1e9
+    fullN.unpersist()
+    val t1 = System.nanoTime()
+    val incrN = CosineLsh.nearDupPairsIncremental(
+      embN.where(!isDelta), embN.where(isDelta), 0.45, Some(bitsN),
+      historyBuckets = Some(histBuckets))
+    val tIncr = (System.nanoTime() - t1) / 1e9
+    incrN.unpersist(); histBuckets.unpersist()
+    println(f"[scale] emb_incr ${copies}x: full=${tFull}%.2f s incr=${tIncr}%.2f s")
+    require(tIncr < tFull,
+      f"5%% delta against a stored index (${tIncr}%.2f s) did not beat " +
+        f"the full recompute (${tFull}%.2f s)")
+  }
+
+  /** PQ encoding must stay a pure scan-side projection — zero Exchanges in
+    * the plan (the index write at 100 TB is embarrassingly parallel) — and
+    * cost linearly in the corpus. Codebooks are trained on the 1x corpus
+    * (the documented sample-training posture). */
+  private def pqSection(spark: SparkSession, tmp: String): Unit = {
+    import graft.sim.Pq
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val embN = spark.read.parquet(s"$tmp/emb")
+    val books = Pq.trainCodebooks(emb1)
+    val plan = Pq.encode(embN, books).queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"), s"PQ encode plans a shuffle:\n$plan")
+    // force full evaluation of the codes (a bare count would prune the
+    // projection down to the parquet row count)
+    def run(df: DataFrame, label: String): Double = {
+      val t0 = System.nanoTime()
+      val s = Pq.encode(df, books)
+        .agg(sum(element_at(col("codes"), 1))).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] pq_encode $label%-8s checksum=$s ${secs}%8.2f s")
+      secs
+    }
+    run(emb1.limit(500), "warm")
+    val n1 = emb1.count(); val nN = embN.count()
+    val t1 = run(emb1, "1x")
+    val tN = run(embN, s"${nN / n1}x")
+    val ratio = tN / math.max(t1, 0.05)
+    println(f"[scale] pq_encode ${nN / n1}x/1x time ratio ${ratio}%.1f")
+    require(ratio < (nN / n1) * 1.5,
+      f"pq_encode scaled super-linearly: ${ratio}%.1f x time for ${nN / n1}x data")
   }
 
   /** RangeJoin's derived bucket width under long-interval skew: 1-in-100
