@@ -120,6 +120,19 @@ object MiscQueries {
       oracle = Some(graft.sim.Pq.topKOracleSql()),
       bench = true),
 
+    // IVF-PQ: the composed production architecture — coarse cells prune
+    // the candidates (nprobe/numCells of the corpus per query), PQ codes
+    // compress the pruned scan (ADC ranking, floats never re-read). Both
+    // trainings replay in the oracle, so the composition is fully
+    // hash-checked end-to-end.
+    "sim_ann_ivfpq" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.IvfPq.topKApprox(emb, emb.where(col("vec_id") < 10), k = 3)
+      },
+      oracle = Some(graft.sim.IvfPq.topKOracleSql()),
+      bench = true),
+
     // Multimodal metadata pass: binary payload size + content hash; the
     // bytes themselves never leave the scan for this query shape.
     "mm_bytes" -> QueryDef(

@@ -93,7 +93,7 @@ object Ivf {
 
   /** The query's `nprobe` nearest cells, as an exploded (q_id, probe)
     * relation: scores against all k centroids, sort desc, slice. */
-  private def probeCells(
+  def probeCells(
       queries: DataFrame, centroids: Array[Array[Double]], nprobe: Int): DataFrame = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val half = c.map(x => x * x).sum / 2.0
@@ -130,6 +130,59 @@ object Ivf {
       .orderBy("q_id", "rnk")
   }
 
+  /** Coarse-quantizer oracle fragments — Lloyd training unrolled, corpus
+    * cell index `${p}idx(c_id, cell)`, and per-query probe cells
+    * `${p}probes(q_id, probe)` — everything downstream of a `v(id, v)`
+    * CTE the caller provides. `p` prefixes every CTE name so the chain
+    * composes with other generated chains (the PQ codebooks in
+    * [[Pq.codebookCtes]]) without collisions. */
+  def coarseCtes(
+      numCells: Int, nprobe: Int, iters: Int, dim: Int,
+      queryPred: String, p: String = ""): String = {
+    // score of vector column `vc` against centroid row alias `c`
+    def score(vc: String) =
+      s"list_dot_product($vc, c.cv) - list_dot_product(c.cv, c.cv)/2.0"
+    val lloyd = (1 to iters).map { i =>
+      s"""
+      ${p}a$i AS (
+        SELECT id, v, cell FROM (
+          SELECT a.id, a.v, c.cell,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
+          FROM v a CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1),
+      ${p}m$i AS (
+        SELECT cell, list(m ORDER BY pos) AS cv FROM (
+          SELECT cell, pos, round(avg(v[CAST(pos AS INT)]), $MeanScale) AS m
+          FROM (SELECT cell, v, unnest(generate_series(1, $dim)) AS pos
+                FROM ${p}a$i)
+          GROUP BY cell, pos) GROUP BY cell),
+      ${p}c$i AS (
+        SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+        FROM ${p}c${i - 1} p LEFT JOIN ${p}m$i m USING (cell)),"""
+    }.mkString
+    s"""
+      ${p}params AS (
+        SELECT greatest(count(*) // $numCells, 1) AS stride FROM v),
+      ${p}c0 AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+        FROM (SELECT id, v FROM v, ${p}params
+              WHERE id % stride = 0 ORDER BY id LIMIT $numCells)),
+      $lloyd
+      ${p}idx AS (
+        SELECT c_id, cell FROM (
+          SELECT a.id AS c_id, c.cell,
+                 row_number() OVER (PARTITION BY a.id
+                   ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
+          FROM v a CROSS JOIN ${p}c$iters c) WHERE rn = 1),
+      ${p}probes AS (
+        SELECT q_id, cell AS probe FROM (
+          SELECT q.id AS q_id, c.cell,
+                 row_number() OVER (PARTITION BY q.id
+                   ORDER BY ${score("q.v")} DESC, c.cell DESC) AS rn
+          FROM v q CROSS JOIN ${p}c$iters c WHERE q.$queryPred)
+        WHERE rn <= $nprobe)"""
+  }
+
   /** DuckDB oracle mirroring [[topKApprox]] END-TO-END, training included:
     * the `iters` Lloyd rounds are unrolled as chained CTEs — same stride
     * init, same `argmax(v·c − |c|²/2)` assignment with the same
@@ -141,49 +194,11 @@ object Ivf {
   def topKOracleSql(
       numCells: Int = 16, nprobe: Int = 4, k: Int = 3,
       iters: Int = 5, dim: Int = 64, queryPred: String = "id < 20"): String = {
-    // score of vector column `vc` against centroid row alias `c`
-    def score(vc: String) =
-      s"list_dot_product($vc, c.cv) - list_dot_product(c.cv, c.cv)/2.0"
-    val lloyd = (1 to iters).map { i =>
-      s"""
-      a$i AS (
-        SELECT id, v, cell FROM (
-          SELECT a.id, a.v, c.cell,
-                 row_number() OVER (PARTITION BY a.id
-                   ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
-          FROM v a CROSS JOIN c${i - 1} c) WHERE rn = 1),
-      m$i AS (
-        SELECT cell, list(m ORDER BY pos) AS cv FROM (
-          SELECT cell, pos, round(avg(v[CAST(pos AS INT)]), $MeanScale) AS m
-          FROM (SELECT cell, v, unnest(generate_series(1, $dim)) AS pos FROM a$i)
-          GROUP BY cell, pos) GROUP BY cell),
-      c$i AS (
-        SELECT p.cell, coalesce(m.cv, p.cv) AS cv
-        FROM c${i - 1} p LEFT JOIN m$i m USING (cell)),"""
-    }.mkString
     val cos = VectorOps.cosineSql("eq.embedding", "ec.embedding")
     s"""
       WITH v AS (
         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      params AS (
-        SELECT greatest(count(*) // $numCells, 1) AS stride FROM v),
-      c0 AS (
-        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
-        FROM (SELECT id, v FROM v, params
-              WHERE id % stride = 0 ORDER BY id LIMIT $numCells)),
-      $lloyd
-      idx AS (
-        SELECT c_id, cell FROM (
-          SELECT a.id AS c_id, c.cell,
-                 row_number() OVER (PARTITION BY a.id
-                   ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
-          FROM v a CROSS JOIN c$iters c) WHERE rn = 1),
-      probes AS (
-        SELECT q_id, cell AS probe FROM (
-          SELECT q.id AS q_id, c.cell,
-                 row_number() OVER (PARTITION BY q.id
-                   ORDER BY ${score("q.v")} DESC, c.cell DESC) AS rn
-          FROM v q CROSS JOIN c$iters c WHERE q.$queryPred) WHERE rn <= $nprobe),
+      ${coarseCtes(numCells, nprobe, iters, dim, queryPred)},
       cand AS (
         SELECT p.q_id, i.c_id
         FROM probes p JOIN idx i ON i.cell = p.probe AND i.c_id <> p.q_id),

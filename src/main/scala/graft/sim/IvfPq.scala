@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the composition of the two ANN scale paths — [[Ivf]] coarse
+  * cells PRUNE the candidate set (only `nprobe/numCells` of the corpus is
+  * touched per query) and [[Pq]] codes COMPRESS what remains (candidates
+  * are ranked by ADC against 8-byte codes, never their floats). This is
+  * the architecture every billion-vector index runs in production
+  * (Jégou et al. 2011's IVFADC); at 100 TB the index is the corpus
+  * partitioned by cell with a code column, queries route to their probed
+  * partitions, and the float vectors are only ever read again for an
+  * optional exact re-rank of the final short list.
+  *
+  * Both trainings are deterministic, so the DuckDB oracle replays the
+  * whole thing: coarse Lloyd rounds, per-subspace codebook Lloyd rounds,
+  * cell routing, code assignment and the ADC ranking, end-to-end.
+  * (Production refinement not modeled here: IVFADC quantizes the RESIDUAL
+  * v − centroid(cell) instead of v itself, which tightens ADC error for
+  * clustered data; on the uniform test corpus it changes nothing
+  * structural — the plumbing and the oracle replay are identical.)
+  */
+object IvfPq {
+
+  /** Approximate top-k: one scan-side projection builds the (cell, codes)
+    * index row per vector; probed-cell equi-join prunes; ADC ranks. */
+  def topKApprox(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numCells: Int = 16, nprobe: Int = 4, coarseIters: Int = 5): DataFrame = {
+    val centroids = Ivf.trainCentroids(corpus, numCells, coarseIters)
+    val books = Pq.trainCodebooks(corpus)
+    val v = col("embedding").cast("array<double>")
+    val idx = corpus.select(col("vec_id").as("c_id"),
+      Ivf.cellCol(v, centroids).as("cell"),
+      array((0 until Pq.NumSubspaces).map(m =>
+        Ivf.cellCol(Pq.subVector(v, m), books(m))): _*).as("codes"))
+    val q = Ivf.probeCells(
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      centroids, nprobe)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_score").desc, col("c_id"))
+    idx.join(q, col("cell") === col("probe") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(Pq.adcScore(col("q_emb"), col("codes"), books), 6).as("approx_score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "approx_score")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** DuckDB oracle: the [[Ivf.coarseCtes]] chain (prefixed `ivf_`) routes
+    * and probes, the [[Pq.codebookCtes]] chain (prefixed `pq_`) encodes,
+    * and the ADC sum ranks the pruned candidates — train → route → encode
+    * → rank replayed end-to-end. */
+  def topKOracleSql(
+      numCells: Int = 16, nprobe: Int = 4, topK: Int = 3,
+      coarseIters: Int = 5, dim: Int = 64, queryPred: String = "id < 10"): String = {
+    val (codeJoins, dotSum) = Pq.adcJoinsSql(Pq.Iters, "pq_")
+    s"""
+      WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ${Ivf.coarseCtes(numCells, nprobe, coarseIters, dim, queryPred, "ivf_")},
+      ${Pq.codebookCtes(Pq.CodebookSize, Pq.Iters, "pq_")},
+      cand AS (
+        SELECT p.q_id, i.c_id
+        FROM ivf_probes p JOIN ivf_idx i
+          ON i.cell = p.probe AND i.c_id <> p.q_id),
+      scored AS (
+        SELECT q_id, c_id, round($dotSum, 6) AS approx_score
+        FROM cand
+        $codeJoins),
+      ranked AS (
+        SELECT q_id, c_id, approx_score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY approx_score DESC, c_id) AS rnk
+        FROM scored)
+      SELECT q_id, rnk, c_id, approx_score FROM ranked
+      WHERE rnk <= $topK ORDER BY q_id, rnk"""
+  }
+}

@@ -141,21 +141,20 @@ object Pq {
       .orderBy("q_id", "rnk")
   }
 
-  /** DuckDB oracle mirroring train → encode → ADC-rank END-TO-END: the
-    * per-subspace Lloyd rounds are unrolled as chained CTEs (same stride
-    * seeds sliced per subspace, same argmax assignment with ties toward
-    * the larger cell, same [[Ivf.MeanScale]]-quantized means, same
-    * empty-cell carry-over), then the same code assignment and the same
-    * left-associated sum of per-subspace dots. */
-  def topKOracleSql(
-      k: Int = CodebookSize, iters: Int = Iters, topK: Int = 3,
-      queryPred: String = "id < 10"): String = {
+  /** Per-subspace codebook oracle fragments — stride seeds sliced per
+    * subspace, Lloyd rounds unrolled, and the final code assignment
+    * `${px}s{m}_code(id, cell)` with codewords in `${px}s{m}_c{iters}` and
+    * query slices in `${px}s{m}_v` — everything downstream of a `v(id, v)`
+    * CTE the caller provides. `px` prefixes every CTE name so the chain
+    * composes with the coarse-quantizer chain ([[Ivf.coarseCtes]]). */
+  def codebookCtes(
+      k: Int = CodebookSize, iters: Int = Iters, px: String = ""): String = {
     def score(vc: String) =
       s"list_dot_product($vc, c.cv) - list_dot_product(c.cv, c.cv)/2.0"
     def lo(m: Int) = m * SubDim + 1
     def hi(m: Int) = (m + 1) * SubDim
     val perSub = (0 until NumSubspaces).map { m =>
-      val p = s"s$m"
+      val p = s"${px}s$m"
       val lloyd = (1 to iters).map { i =>
         s"""
       ${p}_a$i AS (
@@ -176,7 +175,7 @@ object Pq {
       }.mkString
       s"""
       ${p}_v AS (SELECT id, v[${lo(m)}:${hi(m)}] AS v FROM v),
-      ${p}_c0 AS (SELECT cell, v[${lo(m)}:${hi(m)}] AS cv FROM seeds),
+      ${p}_c0 AS (SELECT cell, v[${lo(m)}:${hi(m)}] AS cv FROM ${px}seeds),
       $lloyd
       ${p}_code AS (
         SELECT id, cell FROM (
@@ -185,28 +184,52 @@ object Pq {
                    ORDER BY ${score("a.v")} DESC, c.cell DESC) AS rn
           FROM ${p}_v a CROSS JOIN ${p}_c$iters c) WHERE rn = 1)"""
     }.mkString(",")
-    val codeJoins = (0 until NumSubspaces).map { m =>
-      s"""JOIN s${m}_code k$m ON k$m.id = t.id
-        JOIN s${m}_c$iters b$m ON b$m.cell = k$m.cell
-        JOIN s${m}_v q$m ON q$m.id = q.id"""
+    s"""
+      ${px}params AS (
+        SELECT greatest(count(*) // $k, 1) AS stride FROM v),
+      ${px}seeds AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
+        FROM (SELECT id, v FROM v, ${px}params
+              WHERE id % stride = 0 ORDER BY id LIMIT $k)),
+      $perSub"""
+  }
+
+  /** The ADC scoring joins and left-associated dot sum over the
+    * [[codebookCtes]] relations, for a candidate alias exposing
+    * `q_id`/`c_id`. */
+  private[sim] def adcJoinsSql(iters: Int, px: String = ""): (String, String) = {
+    val joins = (0 until NumSubspaces).map { m =>
+      s"""JOIN ${px}s${m}_code k$m ON k$m.id = c_id
+        JOIN ${px}s${m}_c$iters b$m ON b$m.cell = k$m.cell
+        JOIN ${px}s${m}_v q$m ON q$m.id = q_id"""
     }.mkString("\n        ")
     val dotSum = (0 until NumSubspaces)
       .map(m => s"list_dot_product(q$m.v, b$m.cv)").mkString(" + ")
+    (joins, dotSum)
+  }
+
+  /** DuckDB oracle mirroring train → encode → ADC-rank END-TO-END: the
+    * per-subspace Lloyd rounds are unrolled as chained CTEs (same stride
+    * seeds sliced per subspace, same argmax assignment with ties toward
+    * the larger cell, same [[Ivf.MeanScale]]-quantized means, same
+    * empty-cell carry-over), then the same code assignment and the same
+    * left-associated sum of per-subspace dots. */
+  def topKOracleSql(
+      k: Int = CodebookSize, iters: Int = Iters, topK: Int = 3,
+      queryPred: String = "id < 10"): String = {
+    val (codeJoins, dotSum) = adcJoinsSql(iters)
     s"""
       WITH v AS (
         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      params AS (
-        SELECT greatest(count(*) // $k, 1) AS stride FROM v),
-      seeds AS (
-        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
-        FROM (SELECT id, v FROM v, params
-              WHERE id % stride = 0 ORDER BY id LIMIT $k)),
-      $perSub,
-      scored AS (
-        SELECT q.id AS q_id, t.id AS c_id, round($dotSum, 6) AS approx_score
+      ${codebookCtes(k, iters)},
+      cand AS (
+        SELECT q.id AS q_id, t.id AS c_id
         FROM v q JOIN v t ON t.id <> q.id
-        $codeJoins
         WHERE q.$queryPred),
+      scored AS (
+        SELECT q_id, c_id, round($dotSum, 6) AS approx_score
+        FROM cand
+        $codeJoins),
       ranked AS (
         SELECT q_id, c_id, approx_score,
                row_number() OVER (PARTITION BY q_id
