@@ -68,16 +68,21 @@ object Ivf {
       require(centroids.length == k,
         s"ivf init: got ${centroids.length} seeds for k=$k (ids not dense?)")
 
+      val dim = centroids(0).length
       for (_ <- 1 to iters) {
-        val assigned = v.withColumn("cell", cellCol(col("v"), centroids))
-        val means: Map[Int, Array[Double]] = assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(round(avg("x"), MeanScale).as("m"))
+        // One avg per coordinate, grouped by the assignment — NO explode:
+        // an exploded formulation invites Catalyst to collapse the cell
+        // argmax above the Generate and recompute it per coordinate (64x;
+        // measured 4.5 s/round on 5k vectors vs ~0.3 s for this shape).
+        // The k x dim result is identical: round(avg(v[i]), MeanScale).
+        val means: Map[Int, Array[Double]] = v
+          .groupBy(cellCol(col("v"), centroids).as("cell"))
+          .agg(round(avg(element_at(col("v"), 1)), MeanScale).as("m0"),
+            (1 until dim).map(i =>
+              round(avg(element_at(col("v"), i + 1)), MeanScale).as(s"m$i")): _*)
           .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cell, rows) =>
-            cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-          }
+          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toArray)
+          .toMap
         centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
       }
       centroids
