@@ -242,6 +242,86 @@ object StreamingIngest {
     batch.unpersist()
   }
 
+  /** Streaming SEMANTIC near-dup admission: the embedding-space twin of
+    * [[toNearDupFilteredSink]] — each micro-batch of vectors is checked
+    * against the admitted corpus with the same incremental cosine-LSH
+    * pipeline the batch path uses
+    * ([[graft.sim.CosineLsh.nearDupPairsIncremental]]), and only
+    * semantically novel vectors are appended. Maintains `db.table`
+    * (admitted vectors) and `db.table_emb_buckets` (their normalized
+    * vectors + LSH bucket ids — the standing index, so history is never
+    * re-hashed). Same tag-partition dynamic-overwrite idempotence and the
+    * same drop policy (smaller id wins within a batch; history always
+    * wins). Requires `vec_id` and `embedding` columns. */
+  def toEmbeddingDedupSink(
+      vecs: DataFrame, db: String, table: String,
+      threshold: Double = 0.45,
+      bits: Int = graft.sim.CosineLsh.BitsPerTable,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          admitEmbeddingBatch(batch0, db, table, threshold, bits,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+          ()
+        }
+    }
+
+  /** One micro-batch of the embedding admission pipeline (the foreachBatch
+    * body of [[toEmbeddingDedupSink]], factored out for direct retry
+    * testing). Idempotent for a given `tag`. */
+  private[graft] def admitEmbeddingBatch(
+      batch0: DataFrame, db: String, table: String, threshold: Double,
+      bits: Int, tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.sim.CosineLsh
+    val spark = batch0.sparkSession
+    val batch = batch0.persist()
+    val full = s"$db.$table"
+    val idxTable = s"${full}_emb_buckets"
+    val haveHistory = spark.catalog.tableExists(full)
+    val pairs =
+      if (haveHistory)
+        CosineLsh.nearDupPairsIncremental(
+          // a RETRIED tag must not see its own previous attempt as history
+          spark.table(full).where(col(tagColumn) =!= lit(tag))
+            .select(batch.columns.filter(_ != tagColumn).map(col): _*),
+          batch, threshold, Some(bits),
+          historyBuckets = Some(
+            spark.table(idxTable).where(col(tagColumn) =!= lit(tag))
+              .select("vec_id", "nv", "buckets")))
+      else CosineLsh.nearDupPairs(batch, threshold, Some(bits))
+    val ids = batch.select(col("vec_id")).distinct()
+    val aIn = ids.select(col("vec_id").as("id_a"))
+      .withColumn("a_in_batch", lit(true))
+    val bIn = ids.select(col("vec_id").as("id_b"))
+      .withColumn("b_in_batch", lit(true))
+    // pairs come id_a < id_b: both in batch -> keep the smaller id;
+    // otherwise drop the batch-side slot
+    val drops = pairs
+      .join(aIn, Seq("id_a"), "left")
+      .join(bIn, Seq("id_b"), "left")
+      .select(
+        when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
+          col("id_b"))
+          .when(col("a_in_batch").isNotNull, col("id_a"))
+          .otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    // sever the plan's reference to the history table before the
+    // tag-partition overwrite (same hazard as admitBatch)
+    val admitted = batch
+      .join(broadcast(drops), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
+        full, tagColumn)
+      writeTagPartition(
+        CosineLsh.bucketed(admitted, bits).withColumn(tagColumn, lit(tag)),
+        idxTable, tagColumn)
+    }
+    batch.unpersist()
+  }
+
   /** First write creates the tag-partitioned table; later writes replace
     * exactly the tags present in `df` (dynamic partition overwrite) — the
     * idempotence mechanism for at-least-once micro-batch delivery. */

@@ -278,6 +278,73 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE neardup_retry CASCADE")
   }
 
+  test("embedding admission sink drops semantic dups against history and within batch") {
+    import spark.implicits._
+    // one-hot 64-dim vectors: same direction => cosine 1.0 (dup at any
+    // threshold), different axes => cosine 0.0 (never a dup)
+    def vec(hot: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = scale; a
+    }
+    val dir = Files.createTempDirectory("graft-stream-embdup").toString
+    val b1 = Seq((1L, vec(0, 1f)), (2L, vec(1, 1f)), (3L, vec(2, 1f)),
+      (4L, vec(1, 2f))) // same direction as vec 2: in-batch dup
+      .toDF("vec_id", "embedding")
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS embdup_sink")
+    spark.sql("DROP TABLE IF EXISTS embdup_sink.vecs")
+    spark.sql("DROP TABLE IF EXISTS embdup_sink.vecs_emb_buckets")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toEmbeddingDedupSink(
+      stream, "embdup_sink", "vecs").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("embdup_sink.vecs").select("vec_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // batch 2: dup of history vec 1, one novel axis, an in-batch dup of it
+      Seq((11L, vec(0, 3f)), (12L, vec(3, 1f)), (13L, vec(3, 5f)))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("embdup_sink.vecs")
+    assert(spark.table("embdup_sink.vecs").select("vec_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 12L))
+    // the standing bucket index covers exactly the admitted vectors
+    spark.catalog.refreshTable("embdup_sink.vecs_emb_buckets")
+    assert(spark.table("embdup_sink.vecs_emb_buckets").select("vec_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 12L))
+    spark.sql("DROP DATABASE embdup_sink CASCADE")
+  }
+
+  test("embedding admission batches are idempotent under retry") {
+    import spark.implicits._
+    def vec(hot: Int, scale: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(hot) = scale; a
+    }
+    spark.sql("CREATE DATABASE IF NOT EXISTS embdup_retry")
+    spark.sql("DROP TABLE IF EXISTS embdup_retry.vecs")
+    spark.sql("DROP TABLE IF EXISTS embdup_retry.vecs_emb_buckets")
+    val b1 = Seq((1L, vec(0, 1f)), (2L, vec(1, 1f))).toDF("vec_id", "embedding")
+    StreamingIngest.admitEmbeddingBatch(
+      b1, "embdup_retry", "vecs", 0.45, bits = 6, tag = "t_b00000")
+    // at-least-once delivery: the SAME batch re-runs with the same tag
+    StreamingIngest.admitEmbeddingBatch(
+      b1, "embdup_retry", "vecs", 0.45, bits = 6, tag = "t_b00000")
+    spark.catalog.refreshTable("embdup_retry.vecs")
+    spark.catalog.refreshTable("embdup_retry.vecs_emb_buckets")
+    assert(spark.table("embdup_retry.vecs").count() == 2)
+    assert(spark.table("embdup_retry.vecs_emb_buckets").count() == 2)
+    // the next batch still dedups against the retried history
+    val b2 = Seq((11L, vec(1, 4f))).toDF("vec_id", "embedding")
+    StreamingIngest.admitEmbeddingBatch(
+      b2, "embdup_retry", "vecs", 0.45, bits = 6, tag = "t_b00001")
+    spark.catalog.refreshTable("embdup_retry.vecs")
+    assert(spark.table("embdup_retry.vecs").select("vec_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("DROP DATABASE embdup_retry CASCADE")
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
