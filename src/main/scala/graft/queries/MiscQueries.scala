@@ -133,6 +133,19 @@ object MiscQueries {
       oracle = Some(graft.sim.IvfPq.topKOracleSql()),
       bench = true),
 
+    // IVF-PQ + exact re-rank: the full production retrieval stack — ADC
+    // shortlist (10/query) from the compressed pruned scan, then exact
+    // cosine over ONLY those rows (floats re-read for a broadcast-sized
+    // set). Re-rank scores are exact cosines, so any true neighbor the
+    // shortlist caught ranks correctly.
+    "sim_ann_ivfpq_rerank" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.IvfPq.topKReranked(emb, emb.where(col("vec_id") < 10),
+          k = 3, shortlist = 10)
+      },
+      oracle = Some(graft.sim.IvfPq.rerankedOracleSql(topK = 3, shortlist = 10))),
+
     // Multimodal metadata pass: binary payload size + content hash; the
     // bytes themselves never leave the scan for this query shape.
     "mm_bytes" -> QueryDef(

@@ -50,16 +50,39 @@ object IvfPq {
       .orderBy("q_id", "rnk")
   }
 
-  /** DuckDB oracle: the [[Ivf.coarseCtes]] chain (prefixed `ivf_`) routes
-    * and probes, the [[Pq.codebookCtes]] chain (prefixed `pq_`) encodes,
-    * and the ADC sum ranks the pruned candidates — train → route → encode
-    * → rank replayed end-to-end. */
-  def topKOracleSql(
-      numCells: Int = 16, nprobe: Int = 4, topK: Int = 3,
-      coarseIters: Int = 5, dim: Int = 64, queryPred: String = "id < 10"): String = {
+  /** The refinement stage production stacks put on top: take the ADC
+    * shortlist (`shortlist` per query) and re-rank it by EXACT cosine —
+    * the float vectors are read again only for shortlist rows (a tiny
+    * broadcast-semi of the corpus scan), which is the whole economics of
+    * IVF-PQ: approximate math over everything, exact math over almost
+    * nothing. */
+  def topKReranked(
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int = 10,
+      numCells: Int = 16, nprobe: Int = 4, coarseIters: Int = 5): DataFrame = {
+    import graft.functions.VectorOps
+    val sl = topKApprox(corpus, queries, shortlist, numCells, nprobe, coarseIters)
+      .select("q_id", "c_id")
+    val cv = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val qv = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    cv.join(broadcast(sl), "c_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("c_id"),
+        VectorOps.cosineRounded(col("c_emb"), col("q_emb")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "score")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Shared WITH-body: route, encode, ADC-score, rank. Ends at
+    * `ranked(q_id, c_id, approx_score, rnk)`. */
+  private def rankedCtes(
+      numCells: Int, nprobe: Int, coarseIters: Int, dim: Int,
+      queryPred: String): String = {
     val (codeJoins, dotSum) = Pq.adcJoinsSql(Pq.Iters, "pq_")
-    s"""
-      WITH v AS (
+    s"""v AS (
         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       ${Ivf.coarseCtes(numCells, nprobe, coarseIters, dim, queryPred, "ivf_")},
       ${Pq.codebookCtes(Pq.CodebookSize, Pq.Iters, "pq_")},
@@ -75,8 +98,42 @@ object IvfPq {
         SELECT q_id, c_id, approx_score,
                row_number() OVER (PARTITION BY q_id
                  ORDER BY approx_score DESC, c_id) AS rnk
-        FROM scored)
+        FROM scored)"""
+  }
+
+  /** DuckDB oracle: the [[Ivf.coarseCtes]] chain (prefixed `ivf_`) routes
+    * and probes, the [[Pq.codebookCtes]] chain (prefixed `pq_`) encodes,
+    * and the ADC sum ranks the pruned candidates — train → route → encode
+    * → rank replayed end-to-end. */
+  def topKOracleSql(
+      numCells: Int = 16, nprobe: Int = 4, topK: Int = 3,
+      coarseIters: Int = 5, dim: Int = 64, queryPred: String = "id < 10"): String =
+    s"""
+      WITH ${rankedCtes(numCells, nprobe, coarseIters, dim, queryPred)}
       SELECT q_id, rnk, c_id, approx_score FROM ranked
+      WHERE rnk <= $topK ORDER BY q_id, rnk"""
+
+  /** DuckDB oracle for [[topKReranked]]: same chain, then the exact-cosine
+    * re-rank of the ADC shortlist. */
+  def rerankedOracleSql(
+      topK: Int = 3, shortlist: Int = 10,
+      numCells: Int = 16, nprobe: Int = 4,
+      coarseIters: Int = 5, dim: Int = 64, queryPred: String = "id < 10"): String = {
+    val cos = graft.functions.VectorOps.cosineSql("eq.embedding", "ec.embedding")
+    s"""
+      WITH ${rankedCtes(numCells, nprobe, coarseIters, dim, queryPred)},
+      rr AS (
+        SELECT r.q_id, r.c_id, round($cos, 6) AS score
+        FROM ranked r
+        JOIN embeddings eq ON eq.vec_id = r.q_id
+        JOIN embeddings ec ON ec.vec_id = r.c_id
+        WHERE r.rnk <= $shortlist),
+      rr2 AS (
+        SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY score DESC, c_id) AS rnk
+        FROM rr)
+      SELECT q_id, rnk, c_id, score FROM rr2
       WHERE rnk <= $topK ORDER BY q_id, rnk"""
   }
 }

@@ -54,6 +54,26 @@ class IvfPqSpec extends AnyFunSuite {
     assert(recall > 0.1, s"recall@10 = $recall")
   }
 
+  test("re-ranked results use exact cosines over the ADC shortlist only") {
+    val rr = IvfPq.topKReranked(emb, emb.where(col("vec_id") < 10),
+      k = 3, shortlist = 10).persist()
+    // training is deterministic, so recomputing the shortlist reproduces it
+    val shortlist = IvfPq.topKApprox(emb, emb.where(col("vec_id") < 10), k = 10)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = rr.select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(shortlist), "re-rank invented a candidate")
+    // and the reported scores are EXACT cosines, not ADC approximations
+    val cv = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val qv = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wrong = rr.join(cv, "c_id").join(qv, "q_id")
+      .where(col("score") =!= VectorOps.cosineRounded(col("c_emb"), col("q_emb")))
+      .count()
+    rr.unpersist()
+    assert(wrong == 0, s"$wrong re-ranked scores diverge from exact cosine")
+  }
+
   test("composed index row carries the same codes PQ assigns standalone") {
     val books = Pq.trainCodebooks(emb)
     val standalone = Pq.encode(emb, books)
