@@ -75,4 +75,39 @@ object TextAnalysis {
     * trimmed text. Exact-dedup key robust to formatting noise. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** PII patterns for pre-training scrubbing (lookahead-free so they run
+    * identically under Java regex and RE2). Deliberately high-recall /
+    * low-precision — redacting a false positive costs a token, leaking a
+    * true positive costs an incident. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Phone/ID-like digit runs: 9+ chars of digits with common separators,
+    * digit-anchored on both ends, optional leading +. */
+  val PhoneRe = "\\+?\\d[\\d\\s().-]{7,}\\d"
+
+  /** Redact emails, IPv4 addresses and phone/ID-like digit runs with typed
+    * placeholders. Order matters and is part of the spec: emails first
+    * (their local part may contain digits), then IPs (dotted digit runs
+    * would otherwise be eaten as "phones"), then the digit-run catch-all.
+    * Pure codegen'd regexp_replace chain — scales with the scan like every
+    * other builder here. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-class PII hit counts (for scrub-rate reporting on data cards).
+    * Counted on the same precedence chain as [[redactPii]], so a dotted
+    * quad counts as one IP, not also a phone. */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_email"),
+      regexp_count(afterEmail, lit(Ipv4Re)).as("n_ip"),
+      regexp_count(afterIp, lit(PhoneRe)).as("n_phone"))
+  }
 }
