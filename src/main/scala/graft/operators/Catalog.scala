@@ -31,9 +31,11 @@ object Catalog {
       spark: SparkSession,
       tables: Seq[String],
       outDir: String,
-      format: String = "parquet"): Unit =
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): Unit =
     tables.foreach { t =>
-      spark.table(t).write.format(format).mode(SaveMode.Overwrite)
+      spark.table(t).write.format(format).options(options)
+        .mode(SaveMode.Overwrite)
         .save(s"$outDir/$t")
     }
 

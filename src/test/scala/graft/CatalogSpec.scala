@@ -54,6 +54,39 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE exp_orc CASCADE")
   }
 
+  test("text storage formats: json export round-trip, csv export readable") {
+    // json preserves nested types self-describingly; csv is the
+    // lowest-common-denominator interchange (flat schemas only) — both
+    // are reference -s/-f values a user could pass
+    val out = Files.createTempDirectory("graft-export-text").toString
+    spark.sql("CREATE DATABASE IF NOT EXISTS exp_txt")
+    spark.read.parquet(TestSpark.sf("sf0.001") + "/region.parquet")
+      .write.mode("overwrite").saveAsTable("exp_txt.region")
+    Catalog.exportTables(spark, Seq("exp_txt.region"), out, format = "json")
+    val asJson = spark.read.json(s"$out/exp_txt.region")
+    assert(asJson.count() == 5)
+
+    spark.sql("DROP TABLE exp_txt.region")
+    val imported = Catalog.importTables(spark, out,
+      inputFormat = "json", storageFormat = "json")
+    assert(imported == Seq("exp_txt.region"))
+    val dest = spark.table("exp_txt.region")
+    assert(dest.count() == 5)
+    // json loses no rows or key values (column order/types may relax)
+    assert(dest.select("r_regionkey").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(0L, 1L, 2L, 3L, 4L)))
+
+    // csv: export with header and read back by it
+    spark.read.parquet(TestSpark.sf("sf0.001") + "/region.parquet")
+      .write.mode("overwrite").saveAsTable("exp_txt.region_csv")
+    Catalog.exportTables(spark, Seq("exp_txt.region_csv"), out, format = "csv",
+      options = Map("header" -> "true"))
+    val asCsv = spark.read.option("header", "true")
+      .csv(s"$out/exp_txt.region_csv")
+    assert(asCsv.count() == 5 && asCsv.columns.contains("r_name"))
+    spark.sql("DROP DATABASE exp_txt CASCADE")
+  }
+
   test("metadata export emits SHOW CREATE TABLE per table, upsert keeps latest") {
     spark.sql("CREATE DATABASE IF NOT EXISTS meta_src")
     spark.range(3).toDF("id").write.mode("overwrite").saveAsTable("meta_src.m1")
