@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
@@ -384,6 +385,48 @@ object TextQueries {
           FROM scored)
         SELECT doc_id, rnk, w, tfidf FROM ranked
         WHERE rnk <= 3 ORDER BY doc_id, rnk""")),
+
+    // Unigram LM quality scoring — the perplexity-filtering proxy (CCNet
+    // methodology, public): per-doc mean log-probability under the
+    // corpus's own unigram distribution; low scores flag gibberish /
+    // vocabulary outliers. Shape: token explode → corpus unigram counts
+    // (vocabulary-sized, broadcast back) → per-doc mean. Determinism:
+    // ln(c/total) is IEEE-identical on both engines from integer inputs;
+    // each token's logp is rounded to 6 dp and accumulated EXACTLY in
+    // DECIMAL(18,6), so the per-doc sum can't drift with accumulation
+    // order; the mean divides once at the end.
+    "text_unigram_logprob" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+        val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = toks.count()
+        toks.join(broadcast(cnt), "w")
+          .select(col("doc_id"),
+            round(log(col("c").cast("double") / lit(total.toDouble)), 6)
+              .cast(DecimalType(18, 6)).as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT count(*) AS n FROM tok),
+        lp AS (
+          SELECT t.doc_id,
+                 CAST(round(ln(CAST(c AS DOUBLE) / n), 6) AS DECIMAL(18,6))
+                   AS lp
+          FROM tok t JOIN cnt USING (w), tot)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
