@@ -146,6 +146,18 @@ object MiscQueries {
       },
       oracle = Some(graft.sim.IvfPq.rerankedOracleSql(topK = 3, shortlist = 10))),
 
+    // Residual IVF-PQ (IVFADC, the paper's architecture): PQ codebooks
+    // trained on v - centroid(cell) residuals; a candidate scores as
+    // dot(q, centroid) + sum of residual-codeword dots. Same end-to-end
+    // oracle replay — coarse training, residual derivation, codebook
+    // training, routing, encoding and ranking.
+    "sim_ann_ivfadc" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.IvfPq.topKResidual(emb, emb.where(col("vec_id") < 10), k = 3)
+      },
+      oracle = Some(graft.sim.IvfPq.residualOracleSql())),
+
     // Multimodal metadata pass: binary payload size + content hash; the
     // bytes themselves never leave the scan for this query shape.
     "mm_bytes" -> QueryDef(

@@ -156,7 +156,8 @@ object Pq {
     * CTE the caller provides. `px` prefixes every CTE name so the chain
     * composes with the coarse-quantizer chain ([[Ivf.coarseCtes]]). */
   def codebookCtes(
-      k: Int = CodebookSize, iters: Int = Iters, px: String = ""): String = {
+      k: Int = CodebookSize, iters: Int = Iters, px: String = "",
+      src: String = "v"): String = {
     def score(vc: String) =
       s"list_dot_product($vc, c.cv) - list_dot_product(c.cv, c.cv)/2.0"
     def lo(m: Int) = m * SubDim + 1
@@ -182,7 +183,7 @@ object Pq {
         FROM ${p}_c${i - 1} p LEFT JOIN ${p}_m$i m USING (cell)),"""
       }.mkString
       s"""
-      ${p}_v AS (SELECT id, v[${lo(m)}:${hi(m)}] AS v FROM v),
+      ${p}_v AS (SELECT id, v[${lo(m)}:${hi(m)}] AS v FROM $src),
       ${p}_c0 AS (SELECT cell, v[${lo(m)}:${hi(m)}] AS cv FROM ${px}seeds),
       $lloyd
       ${p}_code AS (
@@ -194,22 +195,25 @@ object Pq {
     }.mkString(",")
     s"""
       ${px}params AS (
-        SELECT greatest(count(*) // $k, 1) AS stride FROM v),
+        SELECT greatest(count(*) // $k, 1) AS stride FROM $src),
       ${px}seeds AS (
         SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
-        FROM (SELECT id, v FROM v, ${px}params
+        FROM (SELECT id, v FROM $src, ${px}params
               WHERE id % stride = 0 ORDER BY id LIMIT $k)),
       $perSub"""
   }
 
   /** The ADC scoring joins and left-associated dot sum over the
     * [[codebookCtes]] relations, for a candidate alias exposing
-    * `q_id`/`c_id`. */
+    * `q_id`/`c_id`. Query slices always come from the RAW `v` CTE — with
+    * residual codebooks ([[IvfPq.topKResidual]]) the `${px}s{m}_v` slices
+    * hold residuals, and ADC keeps the query side exact by definition. */
   private[sim] def adcJoinsSql(iters: Int, px: String = ""): (String, String) = {
     val joins = (0 until NumSubspaces).map { m =>
+      val (lo, hi) = (m * SubDim + 1, (m + 1) * SubDim)
       s"""JOIN ${px}s${m}_code k$m ON k$m.id = c_id
         JOIN ${px}s${m}_c$iters b$m ON b$m.cell = k$m.cell
-        JOIN ${px}s${m}_v q$m ON q$m.id = q_id"""
+        JOIN (SELECT id, v[$lo:$hi] AS v FROM v) q$m ON q$m.id = q_id"""
     }.mkString("\n        ")
     val dotSum = (0 until NumSubspaces)
       .map(m => s"list_dot_product(q$m.v, b$m.cv)").mkString(" + ")

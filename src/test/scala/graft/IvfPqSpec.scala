@@ -32,18 +32,23 @@ class IvfPqSpec extends AnyFunSuite {
     assert(escaped.count() == 0, "candidate outside its query's probed cells")
   }
 
-  test("recall@10 vs exact inner product beats chance at the pruned volume") {
+  /** Exact inner-product top-k pairs for queries vec_id < 20. */
+  private def bruteTopK(k: Int): Set[(Long, Long)] = {
     val q = emb.where(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
-    val exact = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         round(VectorOps.dot(col("c_emb"), col("q_emb")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 10)
+      .where(col("rnk") <= k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("recall@10 vs exact inner product beats chance at the pruned volume") {
+    val exact = bruteTopK(10)
     val got = IvfPq.topKApprox(emb, emb.where(col("vec_id") < 20), k = 10,
       nprobe = 6)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -72,6 +77,29 @@ class IvfPqSpec extends AnyFunSuite {
       .count()
     rr.unpersist()
     assert(wrong == 0, s"$wrong re-ranked scores diverge from exact cosine")
+  }
+
+  test("residual IVFADC keeps the pruning invariant and beats chance") {
+    val centroids = Ivf.trainCentroids(emb, k = 16, iters = 5)
+    val rr = IvfPq.topKResidual(emb, emb.where(col("vec_id") < 20), k = 10,
+      nprobe = 6).persist()
+    // pruning invariant: candidates only from probed cells
+    val cells = Ivf.index(emb, centroids).select(col("c_id"), col("cell"))
+    val probes = Ivf.probeCells(
+      emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      centroids, nprobe = 6).select(col("q_id"), col("probe"))
+    val escaped = rr.join(cells, "c_id")
+      .join(probes,
+        rr("q_id") === probes("q_id") && col("cell") === probes("probe"),
+        "left_anti")
+    assert(escaped.count() == 0, "candidate outside its query's probed cells")
+    // recall: same bar as the raw-vector composition
+    val exact = bruteTopK(10)
+    val got = rr.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    rr.unpersist()
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall@10 = $recall")
   }
 
   test("composed index row carries the same codes PQ assigns standalone") {
