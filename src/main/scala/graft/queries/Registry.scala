@@ -6,6 +6,7 @@ object Registry {
   def all: Map[String, QueryDef] =
     IngestQueries.defs ++
       RelationalQueries.defs ++
+      TpchDeepQueries.defs ++
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
