@@ -360,6 +360,46 @@ object MiscQueries {
         FROM n LEFT JOIN kth USING (event_type)
         ORDER BY event_type""")),
 
+    // Z-order (Morton) layout key over (user_id, event-hour): interleaving
+    // the low 16 bits of both dimensions gives a single sort key under
+    // which rows close in EITHER dimension land in the same file — so
+    // parquet min/max footer stats prune multi-dimensional predicates
+    // (user range AND time range) that a single-column sort can only
+    // prune on one axis. The write-side layout op is
+    // `repartitionByRange($"zval").sortWithinPartitions("zval")` before
+    // the sink; this query checks the key itself: 64 shift-mask-or terms,
+    // all codegen'd integer ops, zero UDFs — the identical formula is
+    // generated into the oracle SQL from the same loop, so engine and
+    // oracle cannot drift.
+    "layout_zorder" -> QueryDef(
+      fn = (s, d) => {
+        val x = col("user_id").bitwiseAND(lit(65535L))
+        // ts is epoch-nanos (nanosAsLong); hours so 16 bits span ~7 years
+        val y = expr("ts DIV 3600000000000").bitwiseAND(lit(65535L))
+        val z = (0 until 16).map { i =>
+          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 3600000000000").as("hr"), z.as("zval"))
+          .orderBy("zval", "event_id")
+      },
+      oracle = Some {
+        val zSql = (0 until 16).map { i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""
+        WITH xy AS (
+          SELECT event_id, user_id,
+                 epoch_us(ts) // 3600000000 AS hr,
+                 user_id & 65535 AS x,
+                 (epoch_us(ts) // 3600000000) & 65535 AS y
+          FROM events)
+        SELECT event_id, user_id, hr, $zSql AS zval
+        FROM xy ORDER BY zval, event_id"""
+      }),
+
     // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
     // O(len) winnowing fingerprint, the scale path for shingle hashing.
     "text_rolling_fp" -> QueryDef(

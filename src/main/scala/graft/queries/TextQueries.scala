@@ -255,6 +255,67 @@ object TextQueries {
                  % 100 < CASE WHEN lang = 'en' THEN 60 ELSE 30 END
         ORDER BY doc_id""")),
 
+    // Temperature-resampled language mixture: each language is kept at
+    // rate min(1, sqrt(64/count_lang)) — dominant languages downsample
+    // toward a fixed per-language budget, rare ones pass through, the
+    // T=2 special case of count^(1-1/T) mixture reweighting (sqrt and
+    // double division are IEEE-exact on both engines, so the rates are
+    // bit-identical — no cross-language summation whose order could
+    // drift). Per-doc acceptance reuses the md5 hash-bucket trick above:
+    // reproducible, stateless, scan-side. The per-language rates are a
+    // language-sized aggregate broadcast back onto the corpus.
+    "sample_temperature" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val rates = docs.groupBy("lang")
+          .agg(least(lit(1.0), sqrt(lit(64.0) / count(lit(1)))).as("rate"))
+        val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").cast("double") / 65536.0
+        docs.join(broadcast(rates), "lang")
+          .where(frac < col("rate"))
+          .select(col("doc_id"), col("lang"), col("rate"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH rates AS (
+          SELECT lang, least(1.0, sqrt(64.0 / count(*))) AS rate
+          FROM documents GROUP BY lang)
+        SELECT doc_id, d.lang AS lang, rate
+        FROM documents d JOIN rates USING (lang)
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                / 65536.0 < rate
+        ORDER BY doc_id""")),
+
+    // Corpus-level quality gate: drop documents scoring below the corpus
+    // mean quality. The threshold is an exact-decimal mean (bit-identical
+    // across engines — no percentile interpolation to drift), computed as
+    // a one-row distributed aggregate and pulled to the driver as a
+    // literal (the watermark-pull pattern), so the filter itself stays a
+    // broadcast-free codegen'd scan. At 100 TB the same shape holds: one
+    // cheap global agg job, then a pure filter pass.
+    "quality_gate" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents").select(
+          col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        val thr: Double = scored
+          .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("t"))
+          .head.getDouble(0)
+        scored.where(col("quality") >= lit(thr)).orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id,
+                 round(CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+                         / $tokSql * 0.5
+                       + least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.5,
+                       6) AS quality
+          FROM documents)
+        SELECT doc_id, quality FROM scored
+        WHERE quality >= (SELECT CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                                   / count(*) FROM scored)
+        ORDER BY doc_id""")),
+
     // The "data card" rollup every curation run ends with: per-language
     // doc counts, token volume, and near-duplicate rate — composed from
     // the dedup clustering (non-keeper docs) and the token counter. One
