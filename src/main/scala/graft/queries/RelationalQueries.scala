@@ -547,6 +547,56 @@ object RelationalQueries {
                             AND o.o_orderpriority = '1-URGENT')
         ORDER BY c_custkey""")),
 
+    // Bloom-pruned shuffle join: the dimension side's keyset becomes a
+    // literal bit table that pre-filters the fact AT THE SCAN, so only
+    // possibly-matching rows are shuffled — the 100 TB shape for joins
+    // whose dimension side exceeds the broadcast threshold but whose
+    // keyset fits a few MB of bits. Deliberately a SHUFFLE join (no
+    // broadcast hint): with a broadcast the hash table would already
+    // filter map-side and the Bloom would be redundant. No false
+    // negatives, so the oracle is the PLAIN join — the Bloom is pure
+    // physical pruning, invisible in the result (BloomSpec asserts the
+    // pruning itself).
+    "join_bloom_pruned" -> QueryDef(
+      fn = (s, d) => {
+        val ord = t(s, d, "orders").where(
+          col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00")))
+        val pruned = graft.operators.BloomJoin.pruneFact(
+          t(s, d, "lineitem"), "l_orderkey", ord.select("o_orderkey"), "o_orderkey")
+        pruned.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(revenueTerm).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some(s"""
+        SELECT o_orderpriority, count(*) AS n_lines,
+               CAST(sum($revenueSql) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Equi-width histogram: integer bucket arithmetic (floor of a double
+    // division) — deterministic binning on both engines, the standard
+    // first look at any column's distribution before choosing partition
+    // or salt boundaries.
+    "agg_histogram" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("l_extendedprice")), 2).as("lo"),
+            round(max(col("l_extendedprice")), 2).as("hi"))
+          .orderBy("bucket"),
+      oracle = Some("""
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+               count(*) AS n,
+               round(min(l_extendedprice), 2) AS lo,
+               round(max(l_extendedprice), 2) AS hi
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Window ranking: top-3 orders per customer, fully tie-broken.
     "window_topk_per_group" -> QueryDef(
       fn = (s, d) => {

@@ -36,11 +36,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("TPC-H-shaped joins broadcast their dimension side") {
-    Seq("q3_top_revenue", "q5_local_supplier", "join_semi", "join_anti")
+    Seq("q3_top_revenue", "q5_local_supplier", "join_semi", "join_anti",
+      "q8_market_share", "q17_small_qty_revenue", "q19_disjunctive_revenue")
       .foreach { q =>
         assert(plans(q).contains("BroadcastHashJoin"),
           s"$q does not broadcast its dimension side:\n${plans(q)}")
       }
+  }
+
+  test("correlated-EXISTS TPC-H shapes plan semi/anti joins, not subqueries") {
+    // q4: one semi; q21: a semi AND an anti, both keyed on l_orderkey
+    assert(plans("q4_priority_count").contains("LeftSemi"),
+      s"q4 did not plan a semi join:\n${plans("q4_priority_count")}")
+    assert(plans("q21_waiting_supplier").contains("LeftSemi") &&
+      plans("q21_waiting_supplier").contains("LeftAnti"),
+      s"q21 did not plan semi+anti joins:\n${plans("q21_waiting_supplier")}")
   }
 
   test("selective scans push filters into the parquet reader") {
@@ -58,7 +68,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("single-table analytics stay in one whole-stage codegen pipeline") {
     Seq("text_stats", "text_quality", "text_langid", "text_fingerprint",
-      "sample_stratified")
+      "sample_stratified", "layout_zorder")
       .foreach { q =>
         // codegen stages print as `*(n) Op` in executedPlan.toString
         assert(plans(q).contains("*(1)"),
