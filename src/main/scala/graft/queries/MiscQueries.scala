@@ -360,6 +360,62 @@ object MiscQueries {
         FROM n LEFT JOIN kth USING (event_type)
         ORDER BY event_type""")),
 
+    // One-scan data profiling: null count, exact distinct count, and
+    // min/max for a column set, unpivoted to one row per column — the
+    // "what's in this table" pass every ingestion pipeline runs before
+    // trusting a new source. All columns profile in a single aggregate
+    // (Spark plans the multi-DISTINCT via Expand: one scan, #distinct-agg
+    // replicas shuffled — at 100 TB switch the distinct counters to
+    // approx_count_distinct and the scan stays single-pass with no
+    // Expand). Numeric min/max stay typed doubles; strings profile
+    // lexicographically in their own columns — no cross-type casts whose
+    // formatting could drift between engines.
+    "profile_table" -> QueryDef(
+      fn = (s, d) => {
+        val wide = t(s, d, "lineitem").agg(
+          sum(col("l_quantity").isNull.cast("long")).as("q_nulls"),
+          count_distinct(col("l_quantity")).as("q_dist"),
+          min(col("l_quantity")).as("q_min"),
+          max(col("l_quantity")).as("q_max"),
+          sum(col("l_extendedprice").isNull.cast("long")).as("p_nulls"),
+          count_distinct(col("l_extendedprice")).as("p_dist"),
+          min(col("l_extendedprice")).as("p_min"),
+          max(col("l_extendedprice")).as("p_max"),
+          sum(col("l_returnflag").isNull.cast("long")).as("f_nulls"),
+          count_distinct(col("l_returnflag")).as("f_dist"),
+          min(col("l_returnflag")).as("f_min"),
+          max(col("l_returnflag")).as("f_max"))
+        wide.select(expr("""stack(3,
+            'l_extendedprice', p_nulls, p_dist, p_min, p_max, NULL, NULL,
+            'l_quantity',      q_nulls, q_dist, q_min, q_max, NULL, NULL,
+            'l_returnflag',    f_nulls, f_dist, CAST(NULL AS DOUBLE),
+                               CAST(NULL AS DOUBLE), f_min, f_max)
+          AS (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"""))
+          .orderBy("col_name")
+      },
+      oracle = Some("""
+        WITH w AS (
+          SELECT count(*) FILTER (WHERE l_quantity IS NULL) AS q_nulls,
+                 count(DISTINCT l_quantity) AS q_dist,
+                 min(l_quantity) AS q_min, max(l_quantity) AS q_max,
+                 count(*) FILTER (WHERE l_extendedprice IS NULL) AS p_nulls,
+                 count(DISTINCT l_extendedprice) AS p_dist,
+                 min(l_extendedprice) AS p_min, max(l_extendedprice) AS p_max,
+                 count(*) FILTER (WHERE l_returnflag IS NULL) AS f_nulls,
+                 count(DISTINCT l_returnflag) AS f_dist,
+                 min(l_returnflag) AS f_min, max(l_returnflag) AS f_max
+          FROM lineitem)
+        SELECT 'l_extendedprice' AS col_name, p_nulls AS n_nulls,
+               p_dist AS n_distinct, p_min AS min_num, p_max AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM w
+        UNION ALL
+        SELECT 'l_quantity', q_nulls, q_dist, q_min, q_max, NULL, NULL FROM w
+        UNION ALL
+        SELECT 'l_returnflag', f_nulls, f_dist, CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), f_min, f_max FROM w
+        ORDER BY col_name""")),
+
     // Z-order (Morton) layout key over (user_id, event-hour): interleaving
     // the low 16 bits of both dimensions gives a single sort key under
     // which rows close in EITHER dimension land in the same file — so
@@ -373,13 +429,9 @@ object MiscQueries {
     // oracle cannot drift.
     "layout_zorder" -> QueryDef(
       fn = (s, d) => {
-        val x = col("user_id").bitwiseAND(lit(65535L))
         // ts is epoch-nanos (nanosAsLong); hours so 16 bits span ~7 years
-        val y = expr("ts DIV 3600000000000").bitwiseAND(lit(65535L))
-        val z = (0 until 16).map { i =>
-          shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-            shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        }.reduce(_ + _)
+        val z = graft.operators.Layout.zorderKey(
+          col("user_id"), expr("ts DIV 3600000000000"))
         t(s, d, "events")
           .select(col("event_id"), col("user_id"),
             expr("ts DIV 3600000000000").as("hr"), z.as("zval"))

@@ -201,6 +201,34 @@ object RelationalQueries {
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_conversions
         FROM wlv GROUP BY user_id ORDER BY user_id""")),
 
+    // Event-transition mining: per-user consecutive event-type bigrams —
+    // the Markov-chain first look at behavioral data (what follows what).
+    // One window pass (lag/lead over the per-user ordering the
+    // sessionizers already use) feeding a grouped count; at 100 TB this
+    // is one shuffle by user plus one by transition pair, both
+    // partial-aggregated map-side.
+    "events_transitions" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      },
+      oracle = Some("""
+        SELECT event_type AS from_type, to_type, count(*) AS n
+        FROM (SELECT event_type,
+                     lead(event_type, 1) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_type
+              FROM events)
+        WHERE to_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
+
     // TPC-H Q6 shape: the pure pushdown benchmark — a conjunctive range
     // filter that must reach the parquet scan and a single exact-decimal
     // aggregate, no joins, no shuffle beyond the final combine.

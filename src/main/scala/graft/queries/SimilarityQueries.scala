@@ -50,6 +50,40 @@ object SimilarityQueries {
                           - CAST(x AS DOUBLE)))), 6) AS max_err
         FROM s ORDER BY vec_id""")),
 
+    // Per-label mean embedding: the class-centroid aggregation behind
+    // label-balanced sampling, centroid-distance outlier filters, and
+    // IVF seeding from labels. One hash aggregate over the corpus with 64
+    // per-coordinate means (map-side combine does the heavy lifting —
+    // the shuffled state is labels × 64 doubles, independent of corpus
+    // size). Means are rounded to 6 decimals on both sides so double
+    // accumulation order can't perturb the comparison — the same
+    // quantization the k-means trainers use. Output is unpivoted to one
+    // scalar row per (label, coordinate): the harness comparator hashes
+    // scalar cells, not nested lists.
+    "emb_centroids_by_label" -> QueryDef(
+      fn = (s, d) => {
+        val v = col("embedding").cast("array<double>")
+        val dim = graft.sim.CosineLsh.Dim
+        t(s, d, "embeddings")
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(j =>
+              round(avg(element_at(v, j + 1)), 6)): _*).as("centroid"))
+          .select(col("label"), col("n"),
+            posexplode(col("centroid")).as(Seq("pos0", "m")))
+          .select(col("label").cast("long").as("label"), col("n"),
+            (col("pos0") + 1).cast("long").as("pos"), col("m"))
+          .orderBy("label", "pos")
+      },
+      oracle = Some(s"""
+        SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+               CAST(pos AS BIGINT) AS pos,
+               round(avg(v[CAST(pos AS INT)]), 6) AS m
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+                     unnest(generate_series(1, ${graft.sim.CosineLsh.Dim})) AS pos
+              FROM embeddings)
+        GROUP BY label, pos ORDER BY label, pos""")),
+
     // Brute-force cosine top-10 for one query vector: the exact baseline
     // every ANN variant is measured against. Query side is broadcast.
     "sim_topk_bruteforce" -> QueryDef(

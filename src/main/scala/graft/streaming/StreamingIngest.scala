@@ -72,6 +72,35 @@ object StreamingIngest {
       .groupBy(col("user_id"), session_window(col("event_time"), gap))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream event-time interval join: every click pairs with the
+    * same user's views from the preceding `horizon`. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH
+    * directions, which is exactly what lets the engine age out buffered
+    * rows instead of holding each side forever — the state-bounding
+    * contract of stream-stream joins. The batch analog is the funnel /
+    * range-join family (`events_funnel`, `join_range`); StreamingSpec
+    * pins the equivalence on replayed data. */
+  def correlateStreams(
+      views: DataFrame, clicks: DataFrame,
+      horizon: String = "30 minutes", lateness: String = "30 minutes"): DataFrame = {
+    val v = views
+      .withColumn("view_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("view_time", lateness)
+      .select(col("user_id").as("v_user"), col("view_time"),
+        col("event_id").as("view_id"))
+    val c = clicks
+      .withColumn("click_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("click_time", lateness)
+      .select(col("user_id").as("c_user"), col("click_time"),
+        col("event_id").as("click_id"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+      col("view_time") <= col("click_time") &&
+      col("view_time") >= col("click_time") - expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_time"), col("view_time"))
+  }
+
   /** Streaming latest-per-key reconcile — the merge strategy's window
     * dedup ([[graft.operators.Reconcile]]) as continuously-maintained
     * state via `flatMapGroupsWithState`: state holds each key's current

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+import graft.sources.Tables
+
+/** Z-order layout: the clustered write preserves the data exactly, and
+  * its per-file min/max boxes prune a box predicate on the axis a
+  * single-column sort cannot prune. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val numFiles = 8
+
+  // events with hour normalized to 0 so the 16-bit Morton window holds
+  // regardless of the fixture's absolute epoch range
+  private lazy val ev = {
+    val raw = Tables.load(spark, TestSpark.sf("sf0.001"), "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 3600000000000").as("hr_abs"))
+    val h0 = raw.agg(min("hr_abs")).head.getLong(0)
+    raw.select(col("event_id"), col("user_id"),
+      (col("hr_abs") - h0).as("hr"))
+  }
+
+  private def fileBoxes(path: String) =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("hr").as("hlo"), max("hr").as("hhi"))
+      .collect()
+
+  test("z-ordered write round-trips the rows exactly") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    Layout.zorderWrite(ev, "user_id", "hr", s"$dir/z", numFiles)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == ev.count())
+    assert(back.except(ev).count() == 0 && ev.except(back).count() == 0)
+  }
+
+  test("z-order prunes the time axis where a user-sorted layout cannot") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    Layout.zorderWrite(ev, "user_id", "hr", s"$dir/z", numFiles)
+    // baseline: the same data clustered by user only
+    ev.repartitionByRange(numFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$dir/u")
+
+    // a narrow hr box (1/8 of the span) — the axis user-sort ignores
+    val r = ev.agg(min("hr"), max("hr")).head
+    val (hlo, hhi) = (r.getLong(0), r.getLong(1))
+    val qlo = hlo + (hhi - hlo) * 3 / 8
+    val qhi = hlo + (hhi - hlo) * 4 / 8
+    def touched(path: String): Int =
+      fileBoxes(path).count(b =>
+        b.getAs[Long]("hlo") <= qhi && b.getAs[Long]("hhi") >= qlo)
+
+    val zTouched = touched(s"$dir/z")
+    val uTouched = touched(s"$dir/u")
+    // user-sorted files each span ~the whole hr range: no pruning at all
+    assert(uTouched == numFiles,
+      s"user-sorted layout unexpectedly prunes hr ($uTouched/$numFiles)")
+    // the z-ordered layout must skip at least a third of the files
+    assert(zTouched <= numFiles * 2 / 3,
+      s"z-order gives no hr pruning: $zTouched of $numFiles files touch a 1/8 box")
+  }
+}

@@ -13,6 +13,7 @@ class RegistrySpec extends AnyFunSuite {
     val maps = Seq(
       graft.queries.IngestQueries.defs,
       graft.queries.RelationalQueries.defs,
+      graft.queries.TpchDeepQueries.defs,
       graft.queries.TextQueries.defs,
       graft.queries.DedupQueries.defs,
       graft.queries.SimilarityQueries.defs,

@@ -358,4 +358,36 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("dedup_out").count() == staticEvents.count())
   }
+
+  test("stream-stream interval join matches the batch join on replayed data") {
+    val dir = Files.createTempDirectory("graft-stream-join").toString
+    staticEvents.write.mode("overwrite").parquet(dir)
+    def src() = StreamingIngest.appendStream(
+      spark, dir, staticEvents.schema, tag = "t")
+    val joined = StreamingIngest.correlateStreams(
+      views = src().where(col("event_type") === "view"),
+      clicks = src().where(col("event_type") === "click"))
+    val q = StreamingIngest.toMemorySink(joined, "sj_out", "append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batch = {
+      val ev = staticEvents
+        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("t").as("view_time"),
+          col("event_id").as("view_id"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("t").as("click_time"),
+          col("event_id").as("click_id"))
+      c.join(v,
+        col("c_user") === col("v_user") &&
+        col("view_time") <= col("click_time") &&
+        col("view_time") >= col("click_time") - expr("INTERVAL 30 minutes"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+          col("click_time"), col("view_time"))
+    }
+    val streamed = spark.table("sj_out")
+    assert(streamed.count() > 0, "interval join produced no pairs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
