@@ -286,6 +286,30 @@ object TextQueries {
                 / 65536.0 < rate
         ORDER BY doc_id""")),
 
+    // Exact-count per-group sampling: exactly N docs per language,
+    // selected by md5-hash rank — the deterministic way to carve a
+    // fixed-size eval set out of a 100 TB corpus (rate-based sampling
+    // above gives proportions; this gives exact counts). One window per
+    // group ordered by the hash (uniform, reproducible, no RNG state),
+    // doc_id tie-break makes the rank total.
+    "sample_fixed_per_group" -> QueryDef(
+      fn = (s, d) => {
+        val h = md5(col("doc_id").cast("string"))
+        val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 20)
+          .select(col("doc_id"), col("lang"), col("rnk"))
+          .orderBy("lang", "rnk")
+      },
+      oracle = Some("""
+        SELECT doc_id, lang, rnk FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+          FROM documents)
+        WHERE rnk <= 20 ORDER BY lang, rnk""")),
+
     // Corpus-level quality gate: drop documents scoring below the corpus
     // mean quality. The threshold is an exact-decimal mean (bit-identical
     // across engines — no percentile interpolation to drift), computed as

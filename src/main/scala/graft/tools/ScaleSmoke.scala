@@ -103,9 +103,42 @@ object ScaleSmoke {
     ccSection(spark, copies)
     embeddingIncrSection(spark, tmp, copies)
     pqSection(spark, tmp)
+    bloomSection(spark, copies)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
+  }
+
+  /** Bloom join pruning at scale: the bit table self-sizes with the keyset
+    * (capped at 8 MB — driver-safe by construction), the false-positive
+    * rate stays low as both sides grow 10x, and build+probe time grows
+    * ~linearly. The fact side never shuffles: pass-through is a scan-side
+    * filter, measured here as selectivity. */
+  private def bloomSection(spark: SparkSession, copies: Int): Unit = {
+    import graft.operators.BloomJoin
+    def run(nFact: Long, nDim: Long): (Double, Double) = {
+      // dim keys are a 1% sample of the fact key domain
+      val dim = spark.range(nDim).select((col("id") * 100L).as("k"))
+      val fact = spark.range(nFact).select(col("id").as("k"))
+      val t0 = System.nanoTime()
+      val bits = BloomJoin.buildBits(dim, "k", BloomJoin.sizeFor(nDim))
+      val passed = fact.where(BloomJoin.mightContain(col("k"), bits)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val trueMatches = nFact / 100 // every 100th fact key is a dim key
+      val fpRate = (passed - trueMatches).toDouble / (nFact - trueMatches)
+      println(f"[scale] bloom fact=$nFact dim=$nDim passed=$passed " +
+        f"fp=${fpRate * 100}%.2f%% bits=${bits.length * 64} ${secs}%8.2f s")
+      require(passed >= trueMatches, "bloom dropped true matches")
+      require(fpRate < 0.05, f"false-positive rate ${fpRate * 100}%.1f%% too high")
+      (secs, fpRate)
+    }
+    run(100000L, 1000L) // warm codegen
+    val (t1, _) = run(1000000L, 10000L)
+    val (tN, _) = run(1000000L * copies, 10000L * copies)
+    val ratio = tN / math.max(t1, 0.05)
+    println(f"[scale] bloom ${copies}x/1x time ratio ${ratio}%.1f")
+    require(ratio < copies * 1.5,
+      f"bloom scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
   }
 
   /** Incremental embedding dedup: the contract (exactly the full
