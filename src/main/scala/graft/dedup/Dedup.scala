@@ -505,4 +505,26 @@ object Dedup {
     banded.unpersist(false)
     result
   }
+
+  /** Bloom-accelerated incremental exact dedup: the delta documents whose
+    * canonical fingerprint does NOT already appear in history. A Bloom
+    * filter over the history fingerprints (built distributed, a few MB of
+    * bits — [[graft.operators.BloomJoin]]) splits the delta at the scan:
+    * Bloom misses are DEFINITELY new (no false negatives) and skip the
+    * history entirely; only Bloom hits — true duplicates plus ~1% false
+    * positives — are anti-joined against history. At 100 TB this turns
+    * "join every delta row against the full history" into "join ~the
+    * duplicate fraction of the delta", with results EXACTLY equal to the
+    * plain anti-join (the `dedup_exact_delta` oracle is that anti-join). */
+  def exactDeltaNew(history: DataFrame, delta: DataFrame): DataFrame = {
+    import graft.operators.BloomJoin
+    import graft.text.TextAnalysis
+    val hFp = history.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val bits = BloomJoin.buildBits(hFp, "fp", BloomJoin.sizeFor(hFp.count()))
+    val d = delta.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val definiteNew = d.where(!BloomJoin.mightContain(col("fp"), bits))
+    val maybeDup = d.where(BloomJoin.mightContain(col("fp"), bits))
+      .join(hFp.distinct(), Seq("fp"), "left_anti")
+    definiteNew.unionByName(maybeDup)
+  }
 }

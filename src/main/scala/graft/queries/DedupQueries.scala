@@ -131,6 +131,32 @@ object DedupQueries {
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
+    // Incremental exact dedup, Bloom-accelerated: delta docs (ids ending
+    // in 0) that are new vs the history (everything else) by canonical
+    // fingerprint. The Bloom filter splits the delta scan-side — misses
+    // never touch the history; only hits anti-join — and since Bloom
+    // filters have no false negatives the result equals the plain
+    // anti-join, which is exactly what the oracle runs.
+    "dedup_exact_delta" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.exactDeltaNew(
+          history = docs.where(col("doc_id") % 5 =!= 0),
+          delta = docs.where(col("doc_id") % 5 === 0))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents d
+        WHERE doc_id % 5 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM documents h
+            WHERE h.doc_id % 5 <> 0
+              AND md5(trim(regexp_replace(lower(h.text), '\s+', ' ', 'g')))
+                  = md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))))
+        ORDER BY doc_id""")),
+
     // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8 after a
     // signature-agreement pre-filter (the LSH two-stage verify). Oracle
     // mirrors the engine's rolling-polynomial signatures, contiguous

@@ -606,6 +606,38 @@ object RelationalQueries {
           AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Fuzzy self-join via deletion neighborhoods (the SymSpell trick):
+    // two strings are within edit distance 1 iff they share a variant in
+    // {self} ∪ {one char deleted} — so candidates come from an EQUI-join
+    // on exploded variants (|s|+1 per string, linear), then exact
+    // levenshtein verifies (shared-deletion pairs can be distance 2).
+    // The 100 TB fuzzy-match shape: never a cross join with an edit-
+    // distance predicate — the oracle runs that quadratic form over the
+    // (small) distinct-name relation to prove the pruned path exact.
+    "join_fuzzy_names" -> QueryDef(
+      fn = (s, d) => {
+        val names = t(s, d, "part").select("p_name").distinct()
+        val variants = names.select(col("p_name"), explode(expr(
+          """array_distinct(concat(array(p_name),
+             transform(sequence(1, length(p_name)),
+               i -> concat(substring(p_name, 1, i-1),
+                           substring(p_name, i+1, length(p_name))))))"""))
+          .as("v"))
+        variants.as("a")
+          .join(variants.as("b"),
+            col("a.v") === col("b.v") && col("a.p_name") < col("b.p_name"))
+          .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+          .distinct()
+          .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+          .orderBy("name_a", "name_b")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM n a JOIN n b
+          ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+        ORDER BY name_a, name_b""")),
+
     // Equi-width histogram: integer bucket arithmetic (floor of a double
     // division) — deterministic binning on both engines, the standard
     // first look at any column's distribution before choosing partition
