@@ -657,6 +657,58 @@ object RelationalQueries {
                round(max(l_extendedprice), 2) AS hi
         FROM lineitem GROUP BY 1 ORDER BY 1""")),
 
+    // ntile + first_value in one per-customer window: quartile bucketing
+    // and best-order reference — the ranking-bucket shapes (ntile's
+    // uneven-remainder semantics match across engines once the ORDER BY
+    // is total).
+    "window_ntile_quartiles" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            first_value(col("o_orderkey")).over(w).as("cheapest_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               first_value(o_orderkey) OVER w AS cheapest_order
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // Set operations with SET semantics (distinct): customers active in
+    // 1996 but not 1997 (EXCEPT → anti over distinct), and in both
+    // (INTERSECT → semi over distinct). Spark's except/intersect are the
+    // DISTINCT forms, matching the SQL operators exactly.
+    "set_except_active" -> QueryDef(
+      fn = (s, d) => {
+        def active(yr: Int) = t(s, d, "orders")
+          .where(year(col("o_orderdate")) === yr)
+          .select("o_custkey").distinct()
+        active(1996).except(active(1997)).orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ORDER BY o_custkey""")),
+
+    "set_intersect_active" -> QueryDef(
+      fn = (s, d) => {
+        def active(yr: Int) = t(s, d, "orders")
+          .where(year(col("o_orderdate")) === yr)
+          .select("o_custkey").distinct()
+        active(1996).intersect(active(1997)).orderBy("o_custkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ORDER BY o_custkey""")),
+
     // Window ranking: top-3 orders per customer, fully tie-broken.
     "window_topk_per_group" -> QueryDef(
       fn = (s, d) => {
