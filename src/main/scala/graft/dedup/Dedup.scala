@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -504,6 +505,68 @@ object Dedup {
     result.count()
     banded.unpersist(false)
     result
+  }
+
+  /** Word-gram width for [[duplicatedSpanStats]]: long enough that random
+    * token runs rarely collide even over a small vocabulary, short enough
+    * to catch copied passages well below document length. */
+  val SpanGramSize = 8
+
+  /** Exact duplicated-substring coverage (the within-corpus exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — public methodology): mark every word
+    * `w`-gram whose content occurs at least `minCount` times corpus-wide,
+    * merge each document's marked windows into maximal spans
+    * (gaps-and-islands over window positions), and report per-doc span
+    * count, duplicated-token coverage, and coverage ratio — the signal an
+    * exact-substring removal pass acts on.
+    *
+    * 100 TB posture: the gram relation is one row per token (narrow
+    * explode, no distinct), shuffled ONCE on a 128-bit content hash to
+    * count occurrences — the same linear-shuffle cost class as suffix-array
+    * construction, with md5 keeping the shuffle key 32 bytes regardless of
+    * gram width. The repeated-gram table that joins back is only the
+    * duplicated tail, and span merging is one window per doc partitioned
+    * by doc_id. No stage is quadratic in corpus size.
+    */
+  def duplicatedSpanStats(
+      docs: DataFrame, textCol: String = "text",
+      w: Int = SpanGramSize, minCount: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("toks"))
+    val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    // (doc_id, start, gram-hash) for every window position (1-based).
+    val grams = toks
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(toks) - ${w - 1}), i -> md5(concat_ws(' ', slice(toks, i, $w))))"))
+          .as(Seq("pos", "gh")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("gh"))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("gh")
+    val spans = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("e"))
+    // Gaps-and-islands: a new span starts where the window clears the
+    // running coverage (adjacent windows merge — coverage is contiguous).
+    val order = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val prevMax = max(col("e")).over(
+      order.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = spans
+      .withColumn("brk",
+        when(col("start") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("e")) - min(col("start")) + 1).as("covered"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+    base.join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
+          .as("dup_ratio"))
   }
 
   /** Bloom-accelerated incremental exact dedup: the delta documents whose

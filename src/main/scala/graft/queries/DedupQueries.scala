@@ -291,6 +291,59 @@ object DedupQueries {
         WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // Exact duplicated-substring coverage (Lee et al. ACL'22 within-corpus
+    // exact-substring dedup): word-8-grams occurring >= 2 times corpus-wide
+    // are merged per doc into maximal spans (gaps-and-islands); reports
+    // per-doc span count / covered tokens / coverage ratio. The oracle
+    // replays the identical gram hashing, duplicate cut, and island merge.
+    "dedup_span_stats" -> QueryDef(
+      fn = (s, d) => Dedup.duplicatedSpanStats(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+        grams AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS start,
+                 md5(array_to_string(
+                       list_slice(toks, CAST(i AS INT),
+                                  CAST(i + ${Dedup.SpanGramSize - 1} AS INT)), ' ')) AS gh
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - ${Dedup.SpanGramSize - 1})) AS i
+                FROM toks WHERE len(toks) >= ${Dedup.SpanGramSize})),
+        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+        spans AS (
+          SELECT doc_id, start, start + ${Dedup.SpanGramSize - 1} AS e
+          FROM grams WHERE gh IN (SELECT gh FROM dup)),
+        flagged AS (
+          SELECT doc_id, start, e,
+                 CASE WHEN start > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM spans),
+        islands AS (
+          SELECT doc_id, start, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM flagged),
+        isl_agg AS (
+          SELECT doc_id, isl, max(e) - min(start) + 1 AS covered
+          FROM islands GROUP BY doc_id, isl),
+        doc_agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(covered) AS BIGINT) AS dup_tokens
+          FROM isl_agg GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(d.n_spans, 0) AS n_spans,
+               coalesce(d.dup_tokens, 0) AS dup_tokens,
+               round(coalesce(d.dup_tokens, 0) * 1.0 / b.n_tokens, 6) AS dup_ratio
+        FROM base b LEFT JOIN doc_agg d USING (doc_id)
+        ORDER BY doc_id""")),
+
     // SimHash near-dup pairs: 60-bit simhash, 4x15-bit LSH bands,
     // Hamming <= 3 (layout generated from Dedup.SimHashBits/Bands).
     "dedup_simhash" -> QueryDef(

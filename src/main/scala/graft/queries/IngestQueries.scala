@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Reconcile
@@ -88,6 +89,40 @@ object IngestQueries {
                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
               FROM orders)
         WHERE rn = 1 AND deleted IS NULL ORDER BY o_custkey""")),
+
+    // Extension of W1: slowly-changing-dimension type-2 merge — instead of
+    // keeping only the latest version per key (the reference's reconcile),
+    // keep EVERY version as a validity interval: valid_from = its own
+    // last_modified, valid_to = the next version's (null while current).
+    // One window per key — the same single-shuffle cost class as the
+    // latest-per-key reconcile, and at 100 TB it runs over the same
+    // key-bucketed history layout.
+    "merge_scd2" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate"))
+          .withColumn("version", row_number().over(w).cast("long"))
+          .withColumn("valid_to",
+            lead(col("o_orderdate"), 1).over(w).cast("date"))
+          .withColumn("is_current",
+            when(col("valid_to").isNull, 1L).otherwise(0L))
+          .withColumn("valid_from", col("o_orderdate").cast("date"))
+          .drop("o_orderdate")
+          .orderBy("o_custkey", "version")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS valid_from,
+               CAST(row_number() OVER w AS BIGINT) AS version,
+               CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+               CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, version""")),
 
     // K6 + W1 — the full merge shape: UNION ALL over time (two tagged
     // batches into the `_incremental` history), then reconcile. Late batch

@@ -679,6 +679,51 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // Pivot (wide cross-tab): order counts per priority x status, with the
+    // status domain pinned explicitly (`pivot(col, values)`) so the plan is
+    // a single groupBy — no extra distinct-values job and a stable column
+    // set at any scale. Absent combinations surface as 0, matching SQL's
+    // FILTER-ed counts.
+    "agg_pivot" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority"),
+      oracle = Some("""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // Relative-rank windows: percent_rank + cume_dist of order value within
+    // each priority class. Both are exact small-integer ratios ((rank-1)/
+    // (n-1), peers/n), so doubles are bit-identical across engines; rounded
+    // to 6 anyway to keep the oracle contract uniform.
+    "window_percent_rank" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey""")),
+
     // Set operations with SET semantics (distinct): customers active in
     // 1996 but not 1997 (EXCEPT → anti over distinct), and in both
     // (INTERSECT → semi over distinct). Spark's except/intersect are the

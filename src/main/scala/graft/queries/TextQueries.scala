@@ -310,6 +310,65 @@ object TextQueries {
           FROM documents)
         WHERE rnk <= 20 ORDER BY lang, rnk""")),
 
+    // Per-source document cap: keep the top 10 docs per source by quality
+    // (doc_id tie-break) — the standard crawl-curation guard against any
+    // single domain dominating the mixture. One window per source over the
+    // scored scan; at 100 TB the same shape holds, partitioned by the
+    // source key (high cardinality, no skew hazard — each partition is one
+    // domain's docs).
+    "sample_source_cap" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 10)
+          .orderBy("source", "rnk")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, source, quality, rnk FROM (
+          SELECT doc_id, source, quality,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id) AS rnk
+          FROM (SELECT doc_id, source,
+                       round(CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+                               / $tokSql * 0.5
+                             + least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.5,
+                             6) AS quality
+                FROM documents))
+        WHERE rnk <= 10 ORDER BY source, rnk""")),
+
+    // Deterministic train/val/test split: an md5 bucket of the doc id maps
+    // 90% of docs to train, 5% to val, 5% to test — reproducible across
+    // engines/runs and stable under corpus growth (a doc's split never
+    // changes when other docs arrive, unlike rank-based splits). Reported
+    // as per-language split counts; the assignment itself is a scan-side
+    // codegen'd expression.
+    "split_assign" -> QueryDef(
+      fn = (s, d) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        t(s, d, "documents")
+          .withColumn("split",
+            when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split")
+      },
+      oracle = Some("""
+        SELECT lang,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM (SELECT lang,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                          AS BIGINT) % 100 AS b
+              FROM documents)
+        GROUP BY 1, 2 ORDER BY lang, split""")),
+
     // Corpus-level quality gate: drop documents scoring below the corpus
     // mean quality. The threshold is an exact-decimal mean (bit-identical
     // across engines — no percentile interpolation to drift), computed as

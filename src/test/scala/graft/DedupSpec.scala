@@ -93,4 +93,28 @@ class DedupSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  test("duplicated-span stats: cross-doc, within-doc, clean, and short docs") {
+    // doc 1/2 share a 10-token prefix (8-gram windows at starts 1..3 →
+    // one merged island covering tokens 1..10); doc 3 repeats its own
+    // 8-gram block (two disjoint islands); doc 4 is clean; doc 5 is too
+    // short to form a single 8-gram.
+    val p = (1 to 10).map("p" + _).mkString(" ")
+    val x = (1 to 8).map("x" + _).mkString(" ")
+    val docs = Seq(
+      (1L, p + " u1 u2 u3"),
+      (2L, p + " v1 v2 v3"),
+      (3L, x + " f1 f2 f3 f4 f5 " + x),
+      (4L, (1 to 12).map("q" + _).mkString(" ")),
+      (5L, "s1 s2 s3")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 13L, 1L, 10L, 0.769231),
+      (2L, 13L, 1L, 10L, 0.769231),
+      (3L, 21L, 2L, 16L, 0.761905),
+      (4L, 12L, 0L, 0L, 0.0),
+      (5L, 3L, 0L, 0L, 0.0)))
+  }
 }
