@@ -532,9 +532,65 @@ object Dedup {
   def duplicatedSpanStats(
       docs: DataFrame, textCol: String = "text",
       w: Int = SpanGramSize, minCount: Int = 2): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("toks"))
+    val toks = tokenArrays(docs, textCol)
     val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val perDoc = mergedSpans(toks, w, minCount)
+      .select(col("doc_id"), (col("e") - col("s") + 1).as("covered"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** The removal pass [[duplicatedSpanStats]] measures: drop every token
+    * covered by a duplicated span and reassemble each document from its
+    * surviving tokens (reported as a count + md5, keeping the result
+    * narrow). A document that is entirely duplicated text survives as the
+    * empty string — the aggressive variant of Lee et al.'s removal; a
+    * keep-one-occurrence policy is a different corpus-level choice, not a
+    * per-doc one.
+    *
+    * 100 TB posture: coverage positions explode to at most one row per
+    * token; the kept-token anti-join is co-partitioned on (doc, position);
+    * reassembly is one collect_list bounded by document length — the same
+    * unit of work any per-doc transform has. Nothing exceeds the linear
+    * gram shuffle the stats pass already pays. */
+  def removeDuplicatedSpans(
+      docs: DataFrame, textCol: String = "text",
+      w: Int = SpanGramSize, minCount: Int = 2): DataFrame = {
+    val toks = tokenArrays(docs, textCol)
+    val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val covered = mergedSpans(toks, w, minCount)
+      .select(col("doc_id"), explode(expr("sequence(s, e)")).as("pos"))
+    val tokPos = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    val cleaned = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' '))")
+          .as("clean_md5"))
+    base.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** Lowercased whitespace tokens as an array column — shared head of the
+    * span pipelines. */
+  private def tokenArrays(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')").as("toks"))
+
+  /** Maximal duplicated spans per document: (doc_id, s, e) in 1-based
+    * token positions. Windows whose `w`-gram content occurs >= `minCount`
+    * times corpus-wide are merged when overlapping or adjacent
+    * (gaps-and-islands over one per-doc window). */
+  private def mergedSpans(toks: DataFrame, w: Int, minCount: Int): DataFrame = {
     // (doc_id, start, gram-hash) for every window position (1-based).
     val grams = toks
       .where(size(col("toks")) >= w)
@@ -552,21 +608,14 @@ object Dedup {
     val order = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val prevMax = max(col("e")).over(
       order.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = spans
+    spans
       .withColumn("brk",
         when(col("start") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
       .withColumn("isl", sum(col("brk")).over(
         order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("isl"))
-      .agg((max(col("e")) - min(col("start")) + 1).as("covered"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
-    base.join(islands, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
-          .as("dup_ratio"))
+      .agg(min(col("start")).as("s"), max(col("e")).as("e"))
+      .select("doc_id", "s", "e")
   }
 
   /** Bloom-accelerated incremental exact dedup: the delta documents whose

@@ -300,48 +300,47 @@ object DedupQueries {
       fn = (s, d) => Dedup.duplicatedSpanStats(t(s, d, "documents"))
         .orderBy("doc_id"),
       oracle = Some(s"""
-        WITH toks AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\\s+'),
-                             x -> x <> '') AS toks
-          FROM documents),
-        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
-        grams AS (
-          SELECT doc_id, CAST(i AS BIGINT) AS start,
-                 md5(array_to_string(
-                       list_slice(toks, CAST(i AS INT),
-                                  CAST(i + ${Dedup.SpanGramSize - 1} AS INT)), ' ')) AS gh
-          FROM (SELECT doc_id, toks,
-                       unnest(generate_series(1, len(toks) - ${Dedup.SpanGramSize - 1})) AS i
-                FROM toks WHERE len(toks) >= ${Dedup.SpanGramSize})),
-        dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
-        spans AS (
-          SELECT doc_id, start, start + ${Dedup.SpanGramSize - 1} AS e
-          FROM grams WHERE gh IN (SELECT gh FROM dup)),
-        flagged AS (
-          SELECT doc_id, start, e,
-                 CASE WHEN start > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY start
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                      THEN 1 ELSE 0 END AS brk
-          FROM spans),
-        islands AS (
-          SELECT doc_id, start, e,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-          FROM flagged),
-        isl_agg AS (
-          SELECT doc_id, isl, max(e) - min(start) + 1 AS covered
-          FROM islands GROUP BY doc_id, isl),
+        WITH $spanIslandCtes,
         doc_agg AS (
           SELECT doc_id, count(*) AS n_spans,
-                 CAST(sum(covered) AS BIGINT) AS dup_tokens
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
           FROM isl_agg GROUP BY doc_id)
         SELECT b.doc_id, b.n_tokens,
                coalesce(d.n_spans, 0) AS n_spans,
                coalesce(d.dup_tokens, 0) AS dup_tokens,
                round(coalesce(d.dup_tokens, 0) * 1.0 / b.n_tokens, 6) AS dup_ratio
         FROM base b LEFT JOIN doc_agg d USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // The removal pass the stats measure: reassemble each doc from tokens
+    // NOT covered by a duplicated span (md5 of the cleaned text keeps the
+    // result narrow; fully-duplicated docs survive as md5('')). Shares the
+    // island CTE chain with dedup_span_stats verbatim.
+    "dedup_span_clean" -> QueryDef(
+      fn = (s, d) => Dedup.removeDuplicatedSpans(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH $spanIslandCtes,
+        covered AS (
+          SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM isl_agg),
+        tok_pos AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM toks)),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM tok_pos t
+          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.pos IS NULL),
+        agg AS (
+          SELECT doc_id, count(*) AS kept_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(a.kept_tokens, 0) AS kept_tokens,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM base b LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id""")),
 
     // SimHash near-dup pairs: 60-bit simhash, 4x15-bit LSH bands,
@@ -371,6 +370,47 @@ object DedupQueries {
         WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
         ORDER BY doc_a, doc_b"""))
   )
+
+  // Exact-substring span pipeline as a CTE chain ending in `isl_agg
+  // (doc_id, isl, s, e)` (merged duplicated spans, 1-based inclusive token
+  // positions) plus `toks`/`base` — shared by the stats and removal
+  // oracles so the two can't drift. Mirrors Dedup.mergedSpans exactly:
+  // md5 over the space-joined w-gram, >= 2 corpus-wide occurrences,
+  // overlap-or-adjacent island merge.
+  private lazy val spanIslandCtes: String = s"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT),
+                              CAST(i + ${Dedup.SpanGramSize - 1} AS INT)), ' ')) AS gh
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - ${Dedup.SpanGramSize - 1})) AS i
+            FROM toks WHERE len(toks) >= ${Dedup.SpanGramSize})),
+    dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+    spans AS (
+      SELECT doc_id, start, start + ${Dedup.SpanGramSize - 1} AS e
+      FROM grams WHERE gh IN (SELECT gh FROM dup)),
+    flagged AS (
+      SELECT doc_id, start, e,
+             CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM spans),
+    islands AS (
+      SELECT doc_id, start, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged),
+    isl_agg AS (
+      SELECT doc_id, isl, min(start) AS s, max(e) AS e
+      FROM islands GROUP BY doc_id, isl)"""
 
   // SimHash pipeline as a CTE chain ending in `spairs(doc_a, doc_b,
   // hamming)` — shared by the full and incremental oracles.

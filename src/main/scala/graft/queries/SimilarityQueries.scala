@@ -84,6 +84,42 @@ object SimilarityQueries {
               FROM embeddings)
         GROUP BY label, pos ORDER BY label, pos""")),
 
+    // Hard-negative mining for contrastive training: for each probe
+    // vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    // near-misses a metric-learning loss needs. Probe set is broadcast
+    // (tiny by construction: a training batch); the corpus side is one
+    // scan + per-probe window, so cost is O(corpus × probes) exact — the
+    // verified baseline the IVF/PQ indexes accelerate when the probe set
+    // grows.
+    "sim_hard_negatives" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val probes = emb.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id"))
+        emb.where(col("vec_id") >= 10)
+          .crossJoin(broadcast(probes))
+          .where(col("label") =!= col("q_label"))
+          .select(col("q_id"), col("vec_id"),
+            VectorOps.cosineRounded(col("embedding"), col("q_emb")).as("score"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .orderBy("q_id", "rnk")
+      },
+      oracle = Some(s"""
+        SELECT q_id, vec_id, score, rnk FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 round(${cosSql("e.embedding", "q.embedding")}, 6) AS score,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(${cosSql("e.embedding", "q.embedding")}, 6) DESC,
+                            e.vec_id) AS rnk
+          FROM embeddings e
+          JOIN embeddings q ON q.vec_id < 10 AND e.vec_id >= 10
+                           AND e.label <> q.label)
+        WHERE rnk <= 3 ORDER BY q_id, rnk""")),
+
     // Brute-force cosine top-10 for one query vector: the exact baseline
     // every ANN variant is measured against. Query side is broadcast.
     "sim_topk_bruteforce" -> QueryDef(

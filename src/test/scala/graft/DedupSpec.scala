@@ -116,5 +116,27 @@ class DedupSpec extends AnyFunSuite {
       (3L, 21L, 2L, 16L, 0.761905),
       (4L, 12L, 0L, 0L, 0.0),
       (5L, 3L, 0L, 0L, 0.0)))
+
+    // Removal pass on the same corpus: every island token is dropped and
+    // the doc is reassembled from the survivors in position order.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val clean = Dedup.removeDuplicatedSpans(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(clean == Seq(
+      (1L, 13L, 3L, md5hex("u1 u2 u3")),
+      (2L, 13L, 3L, md5hex("v1 v2 v3")),
+      (3L, 21L, 5L, md5hex("f1 f2 f3 f4 f5")),
+      (4L, 12L, 12L, md5hex((1 to 12).map("q" + _).mkString(" "))),
+      (5L, 3L, 3L, md5hex("s1 s2 s3"))))
+
+    // A fully-duplicated doc pair survives as the empty string.
+    val full = Seq((1L, x), (2L, x)).toDF("doc_id", "text")
+    val gone = Dedup.removeDuplicatedSpans(full)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(gone == Seq(
+      (1L, 8L, 0L, md5hex("")), (2L, 8L, 0L, md5hex(""))))
   }
 }
