@@ -580,6 +580,51 @@ object Dedup {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  /** Incremental [[duplicatedSpanStats]] — the delta-vs-history shape the
+    * other dedup pipelines have: span coverage for DELTA documents only,
+    * using the history's gram-count table instead of re-scanning history
+    * text. A delta gram is duplicated when history count + delta count
+    * reaches `minCount`, which is exactly the full pipeline's corpus-wide
+    * cut, so results equal the full run filtered to delta docs. In
+    * production the count table is maintained by the ingest path (pass it
+    * via `historyGramCounts`: one (hash, count) row per distinct history
+    * gram); only delta grams shuffle per batch — O(delta), never
+    * O(history). */
+  def duplicatedSpanStatsIncremental(
+      history: DataFrame, delta: DataFrame, textCol: String = "text",
+      w: Int = SpanGramSize, minCount: Int = 2,
+      historyGramCounts: Option[DataFrame] = None): DataFrame = {
+    val toksD = tokenArrays(delta, textCol)
+    val base = toksD.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val gramsD = windowGrams(toksD, w)
+    val hCounts = historyGramCounts.getOrElse(spanGramCounts(history, textCol, w))
+    val dup = gramsD.groupBy("gh").agg(count(lit(1)).as("dc"))
+      .join(hCounts, Seq("gh"), "left")
+      .where(col("dc") + coalesce(col("hc"), lit(0L)) >= minCount)
+      .select("gh")
+    val spans = gramsD.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("e"))
+    val perDoc = mergeIslands(spans)
+      .select(col("doc_id"), (col("e") - col("s") + 1).as("covered"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
+          .as("dup_ratio"))
+  }
+
+  /** The persisted index [[duplicatedSpanStatsIncremental]] consumes: one
+    * (gh, hc) row per distinct history gram hash. An ingest path maintains
+    * it additively — counts for a new batch are computed the same way and
+    * merged by summing per hash. */
+  def spanGramCounts(
+      docs: DataFrame, textCol: String = "text", w: Int = SpanGramSize): DataFrame =
+    windowGrams(tokenArrays(docs, textCol), w)
+      .groupBy("gh").agg(count(lit(1)).as("hc"))
+
   /** Lowercased whitespace tokens as an array column — shared head of the
     * span pipelines. */
   private def tokenArrays(docs: DataFrame, textCol: String): DataFrame =
@@ -591,20 +636,28 @@ object Dedup {
     * times corpus-wide are merged when overlapping or adjacent
     * (gaps-and-islands over one per-doc window). */
   private def mergedSpans(toks: DataFrame, w: Int, minCount: Int): DataFrame = {
-    // (doc_id, start, gram-hash) for every window position (1-based).
-    val grams = toks
+    val grams = windowGrams(toks, w)
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select("gh")
+    mergeIslands(
+      grams.join(dupGrams, Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("e")))
+  }
+
+  /** (doc_id, start, gram-hash) for every `w`-token window (1-based). */
+  private def windowGrams(toks: DataFrame, w: Int): DataFrame =
+    toks
       .where(size(col("toks")) >= w)
       .select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(1, size(toks) - ${w - 1}), i -> md5(concat_ws(' ', slice(toks, i, $w))))"))
           .as(Seq("pos", "gh")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"), col("gh"))
-    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("c"))
-      .where(col("c") >= minCount).select("gh")
-    val spans = grams.join(dupGrams, Seq("gh"), "left_semi")
-      .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("e"))
-    // Gaps-and-islands: a new span starts where the window clears the
-    // running coverage (adjacent windows merge — coverage is contiguous).
+
+  /** Gaps-and-islands merge of (doc_id, start, e) windows: a new island
+    * starts where the window clears the running coverage (overlapping or
+    * adjacent windows merge — coverage is contiguous). */
+  private def mergeIslands(spans: DataFrame): DataFrame = {
     val order = Window.partitionBy(col("doc_id")).orderBy(col("start"))
     val prevMax = max(col("e")).over(
       order.rowsBetween(Window.unboundedPreceding, -1))

@@ -312,6 +312,33 @@ object DedupQueries {
         FROM base b LEFT JOIN doc_agg d USING (doc_id)
         ORDER BY doc_id""")),
 
+    // Incremental exact-substring coverage: odd doc_ids are the delta,
+    // even the history — the engine touches only delta grams plus the
+    // history's (hash, count) table, never history text, and must equal
+    // the full corpus-wide pipeline filtered to delta docs (a delta doc's
+    // coverage depends only on gram TOTALS, which history counts supply).
+    "dedup_span_incr" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.duplicatedSpanStatsIncremental(
+          history = docs.where(col("doc_id") % 2 === 0),
+          delta = docs.where(col("doc_id") % 2 === 1))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $spanIslandCtes,
+        doc_agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+          FROM isl_agg GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(d.n_spans, 0) AS n_spans,
+               coalesce(d.dup_tokens, 0) AS dup_tokens,
+               round(coalesce(d.dup_tokens, 0) * 1.0 / b.n_tokens, 6) AS dup_ratio
+        FROM base b LEFT JOIN doc_agg d USING (doc_id)
+        WHERE b.doc_id % 2 = 1
+        ORDER BY doc_id""")),
+
     // The removal pass the stats measure: reassemble each doc from tokens
     // NOT covered by a duplicated span (md5 of the cleaned text keeps the
     // result narrow; fully-duplicated docs survive as md5('')). Shares the

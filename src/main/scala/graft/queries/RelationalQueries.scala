@@ -679,6 +679,108 @@ object RelationalQueries {
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // Correlation per group WITHOUT order-sensitive double accumulation:
+    // all five second-moment sums run in exact DECIMAL (2-decimal inputs →
+    // 8-decimal products, exact at any accumulation order), then the
+    // Pearson formula is one deterministic double expression over the
+    // exact sums — the same trick dsum uses, extended to second moments.
+    // Shape: a single hash aggregate; the shuffled state per group is six
+    // numbers regardless of corpus size.
+    "agg_corr" -> QueryDef(
+      fn = (s, d) => {
+        // Per-row products stay in the input double domain — exact here
+        // (<= 4 decimal places, magnitudes far below 2^53) — then are
+        // cast to DECIMAL(28,4) for order-independent summation. A
+        // decimal×decimal product would overflow DuckDB's int64-backed
+        // DECIMAL(18) physical type oracle-side.
+        val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+        def dsum28(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(28, 4))).cast("double")
+        val n = count(lit(1)).cast("double")
+        val (sx, sy) = (dsum28(x), dsum28(y))
+        val (sxy, sxx, syy) = (dsum28(x * y), dsum28(x * x), dsum28(y * y))
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some {
+        def s28(e: String) = s"CAST(sum(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+        val (nD, sx, sy) = ("CAST(count(*) AS DOUBLE)",
+          s28("l_quantity"), s28("l_extendedprice"))
+        val (sxy, sxx, syy) = (s28("l_quantity * l_extendedprice"),
+          s28("l_quantity * l_quantity"),
+          s28("l_extendedprice * l_extendedprice"))
+        s"""
+        SELECT l_returnflag, count(*) AS n,
+               round(($nD * $sxy - $sx * $sy)
+                     / sqrt(($nD * $sxx - $sx * $sx)
+                            * ($nD * $syy - $sy * $sy)),
+                     6) AS corr_qty_price
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+      }),
+
+    // RANGE-framed window (value-based frame, not row-based): trailing
+    // 1-hour event-value sum per user in epoch-micros. Peers at the same
+    // timestamp share a frame on both engines; the frame sum runs in
+    // exact DECIMAL so intra-frame order can't perturb bits.
+    "window_range_frame" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            expr("ts DIV 1000").as("us"), col("value"))
+          .withColumn("hour_sum",
+            sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+          .select("event_id", "user_id", "us", "hour_sum")
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS hour_sum
+        FROM events ORDER BY event_id""")),
+
+    // Time-grid resampling (gap filling): one row per user-hour across
+    // each user's active span, zeros where no events landed — the densify
+    // step before any fixed-step time-series model. The grid explode is
+    // bounded by per-user span length and joins co-partitioned on
+    // (user, hour); nothing is quadratic and no driver-side calendar is
+    // built. Scoped to every 50th user to keep the harness result narrow.
+    "events_gapfill" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .where(col("user_id") % 50 === 0)
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("h"))
+        val hourly = ev.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("user_id", "h")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 3600000000000 AS h
+          FROM events WHERE user_id % 50 = 0),
+        hourly AS (SELECT user_id, h, count(*) AS n FROM ev GROUP BY 1, 2),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1)) AS h
+          FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+                FROM ev GROUP BY user_id))
+        SELECT g.user_id, g.h, coalesce(hh.n, 0) AS n_events
+        FROM grid g
+        LEFT JOIN hourly hh ON hh.user_id = g.user_id AND hh.h = g.h
+        ORDER BY g.user_id, g.h""")),
+
     // Pivot (wide cross-tab): order counts per priority x status, with the
     // status domain pinned explicitly (`pivot(col, values)`) so the plan is
     // a single groupBy — no extra distinct-values job and a stable column

@@ -271,6 +271,72 @@ object StreamingIngest {
     batch.unpersist()
   }
 
+  /** Streaming exact-substring coverage at ingest: each micro-batch of
+    * documents is annotated with its duplicated-span stats against the
+    * corpus admitted SO FAR — the batch path's
+    * [[graft.dedup.Dedup.duplicatedSpanStatsIncremental]] — and the
+    * standing (gram-hash, count) index is maintained additively, so
+    * history text is never re-read. Flag-and-keep flavor: coverage is
+    * recorded per doc, not dropped — span REMOVAL is a corpus-level policy
+    * applied downstream, where the whole cluster of occurrences is
+    * visible.
+    *
+    * Maintains `db.table` (docs + n_spans/dup_tokens/dup_ratio) and
+    * `db.table_span_grams` (per-tag gram counts). The history counts a
+    * batch sees are the per-hash SUM over every OTHER tag's partition, and
+    * both writes dynamically overwrite the batch's own tag — so an
+    * at-least-once retry replaces its previous contribution instead of
+    * double-counting it (same idempotence contract as the admission
+    * sinks). Requires `doc_id` and `text` columns. */
+  def toSpanStatsSink(
+      docs: DataFrame, db: String, table: String,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          annotateSpanBatch(batch0, db, table,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+          ()
+        }
+    }
+
+  /** One micro-batch of the span-annotation pipeline (the foreachBatch
+    * body of [[toSpanStatsSink]], factored out for direct retry tests).
+    * Idempotent for a given `tag`. */
+  private[graft] def annotateSpanBatch(
+      batch0: DataFrame, db: String, table: String,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch0.sparkSession
+    val batch = batch0.persist()
+    val full = s"$db.$table"
+    val gramsTable = s"${full}_span_grams"
+    val stats =
+      if (spark.catalog.tableExists(gramsTable)) {
+        // a RETRIED tag must not count its own previous attempt as history
+        val histCounts = spark.table(gramsTable)
+          .where(col(tagColumn) =!= lit(tag))
+          .groupBy("gh").agg(sum(col("hc")).as("hc"))
+        // history text is never touched when the count table is supplied —
+        // the first argument is only a fallback source (passed but unused)
+        Dedup.duplicatedSpanStatsIncremental(
+          history = batch, delta = batch,
+          historyGramCounts = Some(histCounts))
+      } else Dedup.duplicatedSpanStats(batch) // first batch: corpus = batch
+    // localCheckpoint severs the plan's read of the gram table before the
+    // tag-partition overwrite below (overwrite-of-a-read-table hazard)
+    val annotated = batch
+      .join(stats.drop("n_tokens"), Seq("doc_id"))
+      .localCheckpoint(true)
+    writeTagPartition(annotated.withColumn(tagColumn, lit(tag)),
+      full, tagColumn)
+    writeTagPartition(
+      Dedup.spanGramCounts(batch).withColumn(tagColumn, lit(tag)),
+      gramsTable, tagColumn)
+    batch.unpersist()
+  }
+
   /** Streaming SEMANTIC near-dup admission: the embedding-space twin of
     * [[toNearDupFilteredSink]] — each micro-batch of vectors is checked
     * against the admitted corpus with the same incremental cosine-LSH

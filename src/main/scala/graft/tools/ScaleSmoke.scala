@@ -98,6 +98,7 @@ object ScaleSmoke {
     val cN = time(s"cosine_lsh ${copies}x")(CosineLsh.nearDupPairs(embN, 0.45))
     println(s"[scale]   pairs=${cN.count()}"); cN.unpersist()
 
+    spanSection(spark, tmp, docs1, copies)
     rangeJoinSection(spark, tmp, copies)
     skylineSection(spark, copies)
     ccSection(spark, copies)
@@ -273,6 +274,37 @@ object ScaleSmoke {
     * as ground truth for the distributed propagation; at 10x only timing
     * and convergence are asserted (sub-quadratic, bounded rounds via the
     * maxRounds guard). */
+  /** Exact-substring span pipeline at scale: one row out per doc at any
+    * scale, and wall time grows ~linearly with the corpus (the only
+    * corpus-wide stage is the linear gram-hash shuffle). The replicated
+    * corpus also exercises the semantics at scale: each copy repeats the
+    * original text region verbatim, so at Nx every gram there clears the
+    * >= 2 corpus-wide cut and coverage can only grow per doc. */
+  private def spanSection(
+      spark: SparkSession, tmp: String, docs1: DataFrame, copies: Int): Unit = {
+    val docsN = spark.read.parquet(s"$tmp/docs")
+    Dedup.duplicatedSpanStats(docs1.limit(500)).count() // codegen warmup
+    def run(df: DataFrame, label: String): (Double, Long, Long) = {
+      val t0 = System.nanoTime()
+      val agg = Dedup.duplicatedSpanStats(df)
+        .agg(count(lit(1)), sum(col("dup_tokens"))).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] span_stats $label%-8s rows=${agg.getLong(0)} " +
+        f"dup_tokens=${agg.getLong(1)} ${secs}%8.2f s")
+      (secs, agg.getLong(0), agg.getLong(1))
+    }
+    val (t1, rows1, dup1) = run(docs1, "1x")
+    val (tN, rowsN, dupN) = run(docsN, s"${copies}x")
+    assert(rowsN == copies * rows1,
+      s"span stats must stay one row per doc: $rowsN != $copies*$rows1")
+    assert(dupN >= copies * dup1,
+      s"replicated text must only gain coverage: $dupN < $copies*$dup1")
+    val ratio = tN / t1
+    println(f"[scale] span_stats ${copies}x/1x time ratio ${ratio}%.1f")
+    assert(ratio < copies * 2.5,
+      f"span stats grew super-linearly: ${ratio}%.1f vs $copies x corpus")
+  }
+
   private def ccSection(spark: SparkSession, copies: Int): Unit = {
     import graft.dedup.Dedup
     def edges(n: Long): DataFrame =

@@ -139,4 +139,21 @@ class DedupSpec extends AnyFunSuite {
     assert(gone == Seq(
       (1L, 8L, 0L, md5hex("")), (2L, 8L, 0L, md5hex(""))))
   }
+
+  test("incremental span stats equal the full run filtered to the delta") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(TestSpark.sf("sf0.01") + "/documents.parquet")
+    val expected = Dedup.duplicatedSpanStats(docs)
+      .where(col("doc_id") % 2 === 1)
+    assert(expected.where(col("n_spans") > 0).count() > 0,
+      "fixture produced no duplicated spans in the delta")
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val delta = docs.where(col("doc_id") % 2 === 1)
+    val incr = Dedup.duplicatedSpanStatsIncremental(history, delta)
+    assert(incr.exceptAll(expected).isEmpty && expected.exceptAll(incr).isEmpty)
+    // the persisted (gh, hc) index table gives the identical result
+    val incr2 = Dedup.duplicatedSpanStatsIncremental(history, delta,
+      historyGramCounts = Some(Dedup.spanGramCounts(history)))
+    assert(incr2.exceptAll(expected).isEmpty && expected.exceptAll(incr2).isEmpty)
+  }
 }

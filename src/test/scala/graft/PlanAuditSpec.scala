@@ -24,7 +24,11 @@ class PlanAuditSpec extends AnyFunSuite {
     * cells when even that is too much). The pruned scale paths are
     * sim_ann_lsh / sim_ann_ivf / CosineLsh. Nothing else may plan one. */
   private val intendedBruteForce =
-    Set("sim_knn_join", "sim_topk_bruteforce", "sim_ann_pq")
+    Set("sim_knn_join", "sim_topk_bruteforce", "sim_ann_pq",
+      // declared-exact hard-negative mining: a broadcast probe BATCH
+      // against the corpus scan — O(corpus x probes) by design, the
+      // baseline the IVF/PQ indexes accelerate at larger probe counts
+      "sim_hard_negatives")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = plans.filter { case (name, p) =>

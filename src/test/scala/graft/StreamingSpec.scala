@@ -278,6 +278,70 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE neardup_retry CASCADE")
   }
 
+  test("span-stats sink annotates batches against the standing gram index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-span").toString
+    val p = (1 to 10).map("p" + _).mkString(" ")
+    // docs 1/2 share a 10-token prefix (in-batch duplication); 3 is clean
+    val b1 = Seq(
+      (1L, p + " u1 u2 u3"),
+      (2L, p + " v1 v2 v3"),
+      (3L, (1 to 12).map("q" + _).mkString(" "))).toDF("doc_id", "text")
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS span_sink")
+    spark.sql("DROP TABLE IF EXISTS span_sink.docs")
+    spark.sql("DROP TABLE IF EXISTS span_sink.docs_span_grams")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toSpanStatsSink(stream, "span_sink", "docs").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("span_sink.docs")
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      assert(r1 == Map(1L -> 10L, 2L -> 10L, 3L -> 0L))
+      // batch 2: a verbatim copy of doc 3's text — fully covered vs the
+      // HISTORY index alone (doc 3's stored row stays 0: stats record
+      // coverage at admission time)
+      Seq((11L, (1 to 12).map("q" + _).mkString(" "))).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("span_sink.docs")
+    val r2 = spark.table("span_sink.docs")
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 10L, 2L -> 10L, 3L -> 0L, 11L -> 12L))
+    spark.sql("DROP DATABASE span_sink CASCADE")
+  }
+
+  test("span-stats batches are idempotent under retry") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS span_retry")
+    spark.sql("DROP TABLE IF EXISTS span_retry.docs")
+    spark.sql("DROP TABLE IF EXISTS span_retry.docs_span_grams")
+    val p = (1 to 10).map("p" + _).mkString(" ")
+    val b1 = Seq((1L, p + " u1 u2 u3"), (2L, p + " v1 v2 v3"))
+      .toDF("doc_id", "text")
+    StreamingIngest.annotateSpanBatch(b1, "span_retry", "docs", tag = "t_b00000")
+    // at-least-once delivery: the same batch re-runs with the same tag —
+    // the gram index must not double-count its contribution
+    StreamingIngest.annotateSpanBatch(b1, "span_retry", "docs", tag = "t_b00000")
+    spark.catalog.refreshTable("span_retry.docs")
+    spark.catalog.refreshTable("span_retry.docs_span_grams")
+    assert(spark.table("span_retry.docs").count() == 2)
+    val maxHc = spark.table("span_retry.docs_span_grams")
+      .agg(org.apache.spark.sql.functions.max("hc")).as[Long].head()
+    assert(maxHc == 2L, s"retry double-counted the gram index: max hc $maxHc")
+    // the next batch still sees single-counted history: a copy of doc 1
+    // is fully covered (13 of 13 tokens), not perturbed by the retry
+    val b2 = Seq((11L, p + " u1 u2 u3")).toDF("doc_id", "text")
+    StreamingIngest.annotateSpanBatch(b2, "span_retry", "docs", tag = "t_b00001")
+    spark.catalog.refreshTable("span_retry.docs")
+    val r = spark.table("span_retry.docs")
+      .where($"doc_id" === 11L)
+      .select("dup_tokens").as[Long].head()
+    assert(r == 13L)
+    spark.sql("DROP DATABASE span_retry CASCADE")
+  }
+
   test("embedding admission sink drops semantic dups against history and within batch") {
     import spark.implicits._
     // one-hot 64-dim vectors: same direction => cosine 1.0 (dup at any
