@@ -723,6 +723,70 @@ object RelationalQueries {
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
       }),
 
+    // Unpivot (wide → long): the inverse of agg_pivot through Spark's
+    // native unpivot operator — zero-count combinations survive the
+    // round-trip (a plain GROUP BY would drop them). The oracle writes
+    // the unpivot as its UNION ALL expansion.
+    "agg_unpivot" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("F"),
+            coalesce(col("O"), lit(0L)).as("O"),
+            coalesce(col("P"), lit(0L)).as("P"))
+          .unpivot(Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")), "status", "n")
+          .orderBy("o_orderpriority", "status"),
+      oracle = Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+                 count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+                 count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+                 count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, 'F' AS status, f AS n FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'O', o FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'P', p FROM wide
+        ORDER BY o_orderpriority, status""")),
+
+    // Least-squares fit per group (price ~ quantity) from the same exact
+    // DECIMAL second moments agg_corr uses: slope and intercept are one
+    // deterministic double expression over order-independent sums.
+    "agg_regr" -> QueryDef(
+      fn = (s, d) => {
+        val (x, y) = (col("l_quantity"), col("l_extendedprice"))
+        def dsum28(c: org.apache.spark.sql.Column) =
+          sum(c.cast(DecimalType(28, 4))).cast("double")
+        val n = count(lit(1)).cast("double")
+        val (sx, sy) = (dsum28(x), dsum28(y))
+        val (sxy, sxx) = (dsum28(x * y), dsum28(x * x))
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            round(slope, 6).as("slope"),
+            round((sy - slope * sx) / n, 6).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some {
+        def s28(e: String) = s"CAST(sum(CAST($e AS DECIMAL(28,4))) AS DOUBLE)"
+        val (nD, sx, sy) = ("CAST(count(*) AS DOUBLE)",
+          s28("l_quantity"), s28("l_extendedprice"))
+        val (sxy, sxx) = (s28("l_quantity * l_extendedprice"),
+          s28("l_quantity * l_quantity"))
+        val slope = s"(($nD * $sxy - $sx * $sy) / ($nD * $sxx - $sx * $sx))"
+        s"""
+        SELECT l_returnflag, count(*) AS n,
+               round($slope, 6) AS slope,
+               round(($sy - $slope * $sx) / $nD, 6) AS intercept
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""
+      }),
+
     // RANGE-framed window (value-based frame, not row-based): trailing
     // 1-hour event-value sum per user in epoch-micros. Peers at the same
     // timestamp share a frame on both engines; the frame sum runs in

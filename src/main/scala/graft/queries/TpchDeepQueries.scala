@@ -241,6 +241,37 @@ object TpchDeepQueries {
     // first's exchange. (The fixture has no commit/receipt dates; "kept
     // waiting" is adapted to "shipped strictly last among the order's
     // suppliers", preserving the non-equi anti-join residual.)
+    // TPC-H Q12 shape: shipping-mode service levels — fact-to-fact equi
+    // join with a non-equi residual and the dual CASE-sum (high/low
+    // priority split per group). The fixture has no shipmode/commitdate,
+    // so the mode is l_returnflag and "late" is l_shipdate > o_orderdate
+    // (same adapted-predicate approach as Q7).
+    "q12_late_shipments" -> QueryDef(
+      fn = (s, d) => {
+        val hi = Seq("1-URGENT", "2-HIGH")
+        t(s, d, "lineitem").select("l_orderkey", "l_returnflag", "l_shipdate")
+          .join(t(s, d, "orders")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+              .as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
     "q21_waiting_supplier" -> QueryDef(
       fn = (s, d) => {
         val li = t(s, d, "lineitem")
