@@ -109,7 +109,8 @@ object Ingest {
       lastValueOverride: Option[Any] = None,
       outputPartitions: Seq[String] = Nil,
       format: String = "parquet",
-      knownSourceRows: Option[Long] = None): IngestReport = {
+      knownSourceRows: Option[Long] = None,
+      evolveSchema: Boolean = false): IngestReport = {
     val sourceRows = knownSourceRows.getOrElse(source.count())
     val exists = tableExists(spark, db, table)
     val lastValue: Option[Any] =
@@ -119,7 +120,10 @@ object Ingest {
       case Some(v) => source.where(col(incrementalColumn) > lit(v))
       case None    => source
     }
-    val tagged = delta.withColumn(tagColumn, lit(tag))
+    val tagged0 = delta.withColumn(tagColumn, lit(tag))
+    val tagged =
+      if (exists && evolveSchema) evolveSink(spark, db, table, tagged0)
+      else tagged0
     tagged.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val ingested = tagged.count()
@@ -130,6 +134,33 @@ object Ingest {
       else writer.mode("overwrite").saveAsTable(s"`$db`.`$table`")
       IngestReport(sourceRows, ingested, spark.table(s"`$db`.`$table`").count())
     } finally tagged.unpersist()
+  }
+
+  /** Schema-drift handling for appends (`evolveSchema = true`): source
+    * columns the sink lacks are ADDED to the table (`ALTER TABLE ADD
+    * COLUMNS` — a metadata-only operation; existing files read them as
+    * NULL), and sink columns the source dropped are null-filled in the
+    * batch, so upstream RDBMS schema changes never strand an ingest run.
+    * Matching is by lower-cased name (Spark's resolution default); type
+    * CHANGES are left to error loudly on write — silently casting drifted
+    * types corrupts data. */
+  private[operators] def evolveSink(
+      spark: SparkSession, db: String, table: String,
+      batch: DataFrame): DataFrame = {
+    val full = s"`$db`.`$table`"
+    val sinkNames = spark.table(full).schema.map(_.name.toLowerCase).toSet
+    val added = batch.schema.filterNot(f => sinkNames(f.name.toLowerCase))
+    if (added.nonEmpty) {
+      val ddl = added
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $full ADD COLUMNS ($ddl)")
+    }
+    val batchNames = batch.schema.map(_.name.toLowerCase).toSet
+    val aligned = spark.table(full).schema.map { f =>
+      if (batchNames(f.name.toLowerCase)) col(s"`${f.name}`")
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    batch.select(aligned: _*)
   }
 
   /** Incremental merge (spark_loaders.py:177-265): append delta to the

@@ -44,6 +44,30 @@ class IngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("dl_ingest_date").distinct().as[String].collect().toSeq == Seq("20240102T000000"))
   }
 
+  test("append with schema drift evolves the sink and null-fills both ways") {
+    val b1 = Seq((1, "a", t0), (2, "b", t0)).toDF("id", "value", "last_modified")
+    Ingest.incrementalAppend(spark, b1, "ingest_test", "drift_tbl",
+      incrementalColumn = "id", tag = "20240101T000000")
+    // upstream drift: a new column appears, an old one disappears
+    val b2 = Seq((3, t1, 99L)).toDF("id", "last_modified", "extra")
+    Ingest.incrementalAppend(spark, b2, "ingest_test", "drift_tbl",
+      incrementalColumn = "id", tag = "20240102T000000", evolveSchema = true)
+    val dest = spark.table("ingest_test.drift_tbl")
+    assert(dest.columns.toSet ==
+      Set("id", "value", "last_modified", "extra", "dl_ingest_date"))
+    // pre-drift rows read the added column as NULL; the drifted batch
+    // null-fills the column it dropped
+    assert(dest.where($"id" <= 2 && $"extra".isNull).count() == 2)
+    val r3 = dest.where($"id" === 3).select("value", "extra")
+      .as[(Option[String], Option[Long])].head()
+    assert(r3 == (None, Some(99L)))
+    // a SECOND evolved append with the same drifted shape still lands
+    val b3 = Seq((4, t1, 100L)).toDF("id", "last_modified", "extra")
+    Ingest.incrementalAppend(spark, b3, "ingest_test", "drift_tbl",
+      incrementalColumn = "id", tag = "20240103T000000", evolveSchema = true)
+    assert(spark.table("ingest_test.drift_tbl").count() == 4)
+  }
+
   test("incremental append: 10 -> 20, late rows below watermark dropped") {
     val b1 = (0 until 10).map(i => (i, s"v$i", t0, t0, "2024-01-01", None: Option[Int])).toDF(
       "id", "value", "last_modified", "created", "date", "deleted")
