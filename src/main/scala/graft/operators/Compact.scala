@@ -81,4 +81,39 @@ object Compact {
         s"compaction changed row count for $full: $rows0 -> $rows1")
     CompactReport(files0, bytes0, spark.table(full).inputFiles.length, rows1)
   }
+
+  /** Tag-retention maintenance: drop every ingest-tag partition strictly
+    * below `keepFrom` (tags are zero-padded timestamps, so string order is
+    * time order). Bounds the otherwise-unbounded growth of tag-partitioned
+    * sinks — append destinations, the `_incremental` merge history, the
+    * streaming sinks' index tables. Returns the dropped tags.
+    *
+    * Partition drops are metadata + file deletes on exactly the expired
+    * partitions — no scan, no rewrite of surviving data. For a MERGE
+    * history, only expire tags at or below a reconciled snapshot you have
+    * already materialized: a key whose latest version lives in an expired
+    * tag would otherwise silently revert to an older version on the next
+    * full reconcile. */
+  def expireTags(
+      spark: SparkSession, db: String, table: String,
+      keepFrom: String, tagColumn: String = "dl_ingest_date"): Seq[String] = {
+    val full = s"`$db`.`$table`"
+    val prefix = s"$tagColumn="
+    val expired = spark.sql(s"SHOW PARTITIONS $full")
+      .collect().map(_.getString(0))
+      // tag must be the FIRST partition level; dropping by it removes all
+      // sub-partitions of that tag in one statement
+      .map(_.split("/", 2)(0))
+      .distinct.toSeq
+      .flatMap { p =>
+        require(p.startsWith(prefix),
+          s"$full is not tag-first partitioned (found level '$p')")
+        Some(p.stripPrefix(prefix)).filter(_ < keepFrom)
+      }
+    expired.foreach { t =>
+      spark.sql(s"ALTER TABLE $full DROP IF EXISTS PARTITION ($tagColumn='$t')")
+    }
+    spark.catalog.refreshTable(full)
+    expired.sorted
+  }
 }

@@ -64,4 +64,36 @@ class CompactSpec extends AnyFunSuite {
     assert(after.exceptAll(events).isEmpty && events.exceptAll(after).isEmpty)
     spark.sql("DROP DATABASE compact_db CASCADE")
   }
+
+  test("expireTags drops only partitions below the retention watermark") {
+    import spark.implicits._
+    import graft.operators.Ingest
+    spark.sql("CREATE DATABASE IF NOT EXISTS expire_db")
+    spark.sql("DROP TABLE IF EXISTS expire_db.tagged")
+    def batch(ids: Range, tag: String) =
+      Ingest.incrementalAppend(spark,
+        ids.map(i => (i, s"v$i")).toDF("id", "value"),
+        "expire_db", "tagged", incrementalColumn = "id", tag = tag)
+    batch(0 until 10, "20240101T000000")
+    batch(10 until 20, "20240102T000000")
+    batch(20 until 30, "20240103T000000")
+    val dropped = Compact.expireTags(
+      spark, "expire_db", "tagged", keepFrom = "20240102T000000")
+    assert(dropped == Seq("20240101T000000"))
+    val left = spark.table("expire_db.tagged")
+    assert(left.count() == 20)
+    assert(left.select("dl_ingest_date").distinct().as[String].collect().sorted
+      .toSeq == Seq("20240102T000000", "20240103T000000"))
+    // idempotent: nothing else below the watermark remains
+    assert(Compact.expireTags(
+      spark, "expire_db", "tagged", keepFrom = "20240102T000000").isEmpty)
+    // a non-tag-partitioned table is refused, not silently mangled
+    spark.sql("DROP TABLE IF EXISTS expire_db.bypart")
+    (0 until 5).map(i => (i, s"p$i")).toDF("id", "p")
+      .write.partitionBy("p").saveAsTable("expire_db.bypart")
+    assertThrows[IllegalArgumentException] {
+      Compact.expireTags(spark, "expire_db", "bypart", keepFrom = "x")
+    }
+    spark.sql("DROP DATABASE expire_db CASCADE")
+  }
 }
