@@ -114,12 +114,16 @@ object JdbcLoader {
 }
 
 /** Incremental append loader — `jdbc_loader_incremental_append_spark2.py`.
-  * Extra flags (C3): -r incremental column (required), -R last value. */
+  * Extra flags (C3): -r incremental column (required), -R last value;
+  * engine extension: -E/--evolve-schema opts into schema-drift handling
+  * ([[Ingest.evolveSink]]) — absent from the reference, which errors on
+  * drifted sources. */
 object JdbcLoaderIncrementalAppend {
   import Cli.Flag
   val extraFlags = Seq(
     Flag("r", "incremental-column", required = true),
-    Flag("R", "last-value"))
+    Flag("R", "last-value"),
+    Flag("E", "evolve-schema", takesValue = false))
 
   def run(spark: SparkSession, argv: Seq[String],
       tag: String = Ingest.tagValue(Instant.now())): IngestReport = {
@@ -132,7 +136,8 @@ object JdbcLoaderIncrementalAppend {
       incrementalColumn = a("incremental-column"), tag = tag,
       tagColumn = a.tagColumn, lastValueOverride = a.get("last-value"),
       outputPartitions = a.outputPartitions, format = a.storageFormat,
-      knownSourceRows = Some(sourceRows))
+      knownSourceRows = Some(sourceRows),
+      evolveSchema = a.bool("evolve-schema"))
   }
 
   def main(argv: Array[String]): Unit = Cli.main0 {

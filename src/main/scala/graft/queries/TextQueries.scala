@@ -399,6 +399,37 @@ object TextQueries {
                                    / count(*) FROM scored)
         ORDER BY doc_id""")),
 
+    // Per-language quality CALIBRATION: gate each doc on its quality
+    // percentile WITHIN its language (keep the top half per language)
+    // instead of one global threshold — raw quality scores are not
+    // comparable across languages (stopword lists and length norms bias
+    // them), and a global cut silently skews the language mixture. One
+    // window per language; percent_rank's (rank-1)/(n-1) is an exact
+    // small-integer ratio, identical across engines under a total order.
+    "quality_calibrated" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("q_pct", round(percent_rank().over(w), 6))
+          .where(col("q_pct") >= 0.5)
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id, lang, quality, q_pct FROM (
+          SELECT doc_id, lang, quality,
+                 round(percent_rank() OVER (PARTITION BY lang
+                   ORDER BY quality, doc_id), 6) AS q_pct
+          FROM (SELECT doc_id, lang,
+                       round(CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+                               / $tokSql * 0.5
+                             + least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.5,
+                             6) AS quality
+                FROM documents))
+        WHERE q_pct >= 0.5 ORDER BY doc_id""")),
+
     // The "data card" rollup every curation run ends with: per-language
     // doc counts, token volume, and near-duplicate rate — composed from
     // the dedup clustering (non-keeper docs) and the token counter. One
