@@ -399,6 +399,46 @@ object TextQueries {
                                    / count(*) FROM scored)
         ORDER BY doc_id""")),
 
+    // Per-source boilerplate detection: leading word-8-grams shared by a
+    // meaningful fraction of one source's documents are crawl boilerplate
+    // (site headers, navigation, license banners) — the classic
+    // remove-by-prefix signal. One narrow projection (first window only,
+    // no explode) plus a (source, prefix)-keyed count against the
+    // source's total; at 100 TB both aggregates partial-combine map-side
+    // and the shuffled state is one row per distinct (source, prefix).
+    "boilerplate_prefixes" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+          .where(size(col("toks")) >= 8)
+          .select(col("doc_id"), col("source"),
+            md5(expr("concat_ws(' ', slice(toks, 1, 8))")).as("prefix"))
+        val totals = docs.groupBy("source").agg(count(lit(1)).as("total"))
+        docs.groupBy("source", "prefix").agg(count(lit(1)).as("n"))
+          .join(totals, "source")
+          .where(col("n") >= greatest(lit(2), col("total") * 0.05))
+          .select(col("source"), col("prefix"), col("n"),
+            round(col("n") * lit(1.0) / col("total"), 6).as("frac"))
+          .orderBy("source", "prefix")
+      },
+      oracle = Some("""
+        WITH pre AS (
+          SELECT doc_id, source,
+                 md5(array_to_string(list_slice(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> ''), 1, 8), ' ')) AS prefix
+          FROM documents
+          WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) >= 8),
+        totals AS (SELECT source, count(*) AS total FROM pre GROUP BY 1)
+        SELECT p.source, p.prefix, count(*) AS n,
+               round(count(*) * 1.0 / any_value(t.total), 6) AS frac
+        FROM pre p JOIN totals t ON t.source = p.source
+        GROUP BY p.source, p.prefix
+        HAVING count(*) >= greatest(2, any_value(t.total) * 0.05)
+        ORDER BY p.source, p.prefix""")),
+
     // Per-language quality CALIBRATION: gate each doc on its quality
     // percentile WITHIN its language (keep the top half per language)
     // instead of one global threshold — raw quality scores are not
