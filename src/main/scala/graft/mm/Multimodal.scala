@@ -90,6 +90,79 @@ object Multimodal {
     resized.toDF()
   }
 
+  /** STUB perceptual-hash kernel: a real implementation would decode the
+    * image and hash the low-frequency DCT coefficients (classic pHash).
+    * The deterministic stand-in is a 63-bin bigram histogram of the
+    * payload bytes with bit i set iff bin i holds more than its uniform
+    * share — the same above-median-energy bit rule pHash uses, over a
+    * content signal (byte bigrams) that is document-specific the way DCT
+    * coefficients are image-specific. 63 bits so the hash stays a
+    * positive BIGINT on every engine (1<<63 overflows signed 64-bit). */
+  private[mm] def phashStub(bytes: Array[Byte]): Long = {
+    if (bytes.length < 2) return 0L
+    val cnt = new Array[Int](63)
+    var i = 0
+    while (i < bytes.length - 1) {
+      cnt(((bytes(i) & 0xff) * 31 + (bytes(i + 1) & 0xff)) % 63) += 1
+      i += 1
+    }
+    val n = bytes.length - 1
+    var h = 0L
+    var j = 0
+    while (j < 63) { if (cnt(j).toLong * 63 > n) h |= (1L << j); j += 1 }
+    h
+  }
+
+  /** Perceptual-hash stage: same per-partition kernel shape as
+    * [[extractFeatures]] (a real pHash needs the decoded pixels, so it
+    * lives in the kernel, not in a column expression). Output is one
+    * (media_id, phash) row per item — the narrow relation every
+    * downstream hamming-LSH step works from; the payload never leaves
+    * this stage. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-task init of the (stub) decoder+DCT happens here
+        rows.map(r => (r.media_id, phashStub(r.media)))
+      }
+      .toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate media pairs by perceptual-hash hamming distance —
+    * the standard image-dedup architecture: pHash per item (kernel
+    * stage), then bit-sampling LSH over the hash. Splitting 63 bits into
+    * `maxHamming + 1` contiguous bands guarantees (pigeonhole) that any
+    * pair within the hamming budget agrees exactly on at least one band,
+    * so candidates come from an equi-join on (band, band-value) and the
+    * exact hamming check touches candidates only — never all pairs. At
+    * 100 TB the per-band buckets are the only fan-out, and their size is
+    * governed by the hash entropy, not the corpus size. */
+  def phashNearDupPairs(spark: SparkSession, media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
+    val nb = maxHamming + 1
+    val w = 63 / nb
+    val ph = perceptualHashes(spark, media)
+    // Band b holds bits [b*w, (b+1)*w); the last band keeps the remainder
+    // bits too (unequal widths don't break the pigeonhole argument).
+    val bands = ph.select(col("media_id"), col("phash"),
+        explode(expr(s"sequence(0, ${nb - 1})")).as("b"))
+      .withColumn("nib", expr(
+        s"CASE WHEN b = ${nb - 1} THEN shiftright(phash, $w * b) " +
+          s"ELSE shiftright(phash, $w * b) & ${(1L << w) - 1} END"))
+    val lhs = bands.select(col("b"), col("nib"),
+      col("media_id").as("media_a"), col("phash").as("pa"))
+    val rhs = bands.select(col("b").as("b2"), col("nib").as("nib2"),
+      col("media_id").as("media_b"), col("phash").as("pb"))
+    lhs.join(rhs,
+        col("b") === col("b2") && col("nib") === col("nib2") &&
+          col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "pa", "pb").distinct()
+      .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Frame sampling: slice the payload into `n` evenly-spaced fixed-size
     * chunks ("frames") — pure column expressions, no kernel needed. */
   def sampleFrames(media: DataFrame, n: Int, frameBytes: Int): DataFrame =

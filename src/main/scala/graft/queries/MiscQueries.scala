@@ -254,6 +254,42 @@ object MiscQueries {
                md5(r) AS content_hash
         FROM resized ORDER BY media_id""")),
 
+    // Perceptual-hash near-dup over the media table: pHash in the decode
+    // kernel, then bit-sampling hamming-LSH (3 bands of 21 bits for a
+    // hamming-2 budget) with exact verification on candidates only. The
+    // oracle recomputes the stub pHash from the ASCII payload and checks
+    // ALL pairs quadratically — proving the banded engine path loses
+    // nothing vs brute force.
+    "mm_phash_dedup" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.phashNearDupPairs(
+            s, Multimodal.mediaTable(t(s, d, "documents")), maxHamming = 2)
+          .orderBy("media_a", "media_b"),
+      oracle = Some("""
+        WITH grams AS (
+          SELECT doc_id,
+                 (unicode(substr(text, CAST(i AS INT), 1)) * 31 +
+                  unicode(substr(text, CAST(i + 1 AS INT), 1))) % 63 AS bin,
+                 length(text) - 1 AS n
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM documents)),
+        cnts AS (SELECT doc_id, bin, any_value(n) AS n, count(*) AS cnt
+                 FROM grams GROUP BY 1, 2),
+        ph AS (
+          SELECT d.doc_id, coalesce(p.phash, 0) AS phash
+          FROM documents d LEFT JOIN
+            (SELECT doc_id,
+                    CAST(sum(CASE WHEN cnt * 63 > n THEN (1::BIGINT << bin)
+                             ELSE 0 END) AS BIGINT) AS phash
+             FROM cnts GROUP BY 1) p
+          ON d.doc_id = p.doc_id)
+        SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        ORDER BY media_a, media_b""")),
+
     // JSON property extraction + aggregation over the events stream's
     // semi-structured props column.
     "events_json_agg" -> QueryDef(

@@ -341,6 +341,233 @@ object TpchDeepQueries {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-08-01 00:00:00')
-        GROUP BY n_name ORDER BY n_name"""))
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // TPC-H Q2 shape: minimum-cost supplier — the correlated MIN subquery.
+    // The fixture has no partsupp, so the part-supplier cost relation is
+    // synthesized from lineitem (min observed unit price per part+supplier,
+    // restricted to the region's suppliers — Q2's correlation scope). The
+    // oracle keeps the authentic correlated form; the engine plans it as a
+    // grouped pre-aggregate (part-sized) joined back on exact equality —
+    // the only scalable form: per-part probing would be a nested loop.
+    "q2_min_cost_supplier" -> QueryDef(
+      fn = (s, d) => {
+        val asups = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val pf = t(s, d, "part")
+          .where(col("p_type") === "ECONOMY" && col("p_size") <= 25)
+          .select("p_partkey", "p_name")
+        val ps = t(s, d, "lineitem")
+          .join(broadcast(asups.select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .join(broadcast(pf.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+        val mn = ps.groupBy(col("l_partkey").as("mpk"))
+          .agg(min(col("supply_cost")).as("min_cost"))
+        ps.join(mn, col("l_partkey") === col("mpk") &&
+            col("supply_cost") === col("min_cost"))
+          .join(broadcast(asups), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("supply_cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+      },
+      oracle = Some("""
+        WITH asups AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'),
+        pf AS (SELECT p_partkey, p_name FROM part
+               WHERE p_type = 'ECONOMY' AND p_size <= 25),
+        ps AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS supply_cost
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM asups)
+            AND l_partkey IN (SELECT p_partkey FROM pf)
+          GROUP BY 1, 2)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        FROM ps
+        JOIN asups ON l_suppkey = s_suppkey
+        JOIN pf ON l_partkey = p_partkey
+        WHERE supply_cost = (SELECT min(supply_cost) FROM ps ps2
+                             WHERE ps2.l_partkey = ps.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")),
+
+    // TPC-H Q9 shape: product-type profit by nation and year — the widest
+    // profit expression in the suite (revenue minus a synthesized supply
+    // cost of 10% of retail price, the fixture having no ps_supplycost).
+    // All arithmetic in tightly-sized DECIMAL so both engines compute the
+    // identical exact rational before the one final cast to double.
+    "q9_product_profit" -> QueryDef(
+      fn = (s, d) => {
+        val d122 = DecimalType(12, 2); val d32 = DecimalType(3, 2)
+        val d102 = DecimalType(10, 2); val d30 = DecimalType(3, 0)
+        val profit =
+          col("l_extendedprice").cast(d122) *
+            (lit(1).cast(d32) - col("l_discount").cast(d32)) -
+          col("p_retailprice").cast(d102) * col("l_quantity").cast(d30) *
+            lit(new java.math.BigDecimal("0.1"))
+        val pr = t(s, d, "part").where(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")
+        val sn = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")
+        t(s, d, "lineitem")
+          .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(profit).cast("double").as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      oracle = Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(
+                 CAST(l_extendedprice AS DECIMAL(12,2)) *
+                   (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 - CAST(p_retailprice AS DECIMAL(10,2)) *
+                     CAST(l_quantity AS DECIMAL(3,0)) * CAST(0.1 AS DECIMAL(1,1))
+               ) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC"""),
+      bench = true),
+
+    // TPC-H Q11 shape: important stock — a grouped value aggregate kept
+    // only where it exceeds a fraction of the GLOBAL total. The global
+    // scalar is a one-row exact-DECIMAL aggregate pulled to the driver
+    // (watermark-pull pattern) and re-broadcast as a literal — never a
+    // nested-loop join; the grouped relation is part-sized.
+    "q11_important_value" -> QueryDef(
+      fn = (s, d) => {
+        val sn = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val vals = t(s, d, "lineitem")
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey").as("partkey"))
+          .agg(sum(revenueTerm).as("value_dec"))
+        val total = vals.agg(sum(col("value_dec"))).head.getDecimal(0)
+        val thr = total.multiply(new java.math.BigDecimal("0.001"))
+        vals.where(col("value_dec") > lit(thr))
+          .select(col("partkey"), col("value_dec").cast("double").as("value"))
+          .orderBy(col("value").desc, col("partkey"))
+      },
+      oracle = Some(s"""
+        WITH sn AS (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3'),
+        v AS (SELECT l_partkey AS partkey, sum($revenueSql) AS value_dec
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM sn)
+              GROUP BY 1)
+        SELECT partkey, CAST(value_dec AS DOUBLE) AS value
+        FROM v
+        WHERE value_dec > (SELECT sum(value_dec) FROM v) * 0.001
+        ORDER BY value DESC, partkey""")),
+
+    // TPC-H Q16 shape: supplier count per part attribute with a NOT-IN
+    // exclusion — the exclusion list (negative-balance suppliers standing
+    // in for the complaint filter) broadcasts as a left-anti join BEFORE
+    // the distinct aggregation, and the distinct itself stays inside the
+    // grouped aggregate (partial per-partition dedup; the raw
+    // part-supplier pair relation is never materialized).
+    "q16_supplier_cnt" -> QueryDef(
+      fn = (s, d) => {
+        val excl = t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("x_supp"))
+        val pf = t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(excl), col("l_suppkey") === col("x_supp"), "left_anti")
+          .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      oracle = Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // TPC-H Q20 shape: promotion-eligible suppliers — the doubly-nested
+    // correlation (suppliers whose shipped quantity of a qualifying part
+    // exceeds a fraction of that part's corpus-wide total). The oracle
+    // keeps the authentic nested form; the engine computes both levels as
+    // grouped aggregates over ONE scan of the filtered fact — the
+    // per-part total reuses the per-(part,supplier) aggregate, so the
+    // fact is never re-scanned for the inner subquery.
+    "q20_promotion_suppliers" -> QueryDef(
+      fn = (s, d) => {
+        val rp = t(s, d, "part").where(col("p_name").startsWith("red"))
+          .select("p_partkey")
+        val bySupp = t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .join(broadcast(rp), col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("l_quantity").cast(DecimalType(3, 0))).as("supp_qty"))
+        val byPart = bySupp.groupBy(col("l_partkey").as("tpk"))
+          .agg(sum(col("supp_qty")).as("part_qty"))
+        val qualifying = bySupp
+          .join(byPart, col("l_partkey") === col("tpk"))
+          .where(col("supp_qty") >
+            col("part_qty") * lit(new java.math.BigDecimal("0.25")))
+          .select(col("l_suppkey").as("qs"))
+        val asiaNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")
+        t(s, d, "supplier")
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"),
+            "left_semi")
+          .join(qualifying, col("s_suppkey") === col("qs"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_name")
+      },
+      oracle = Some("""
+        WITH rp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        bysupp AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS DECIMAL(3,0))) AS supp_qty
+          FROM lineitem JOIN rp ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY 1, 2)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM bysupp b
+            WHERE supp_qty > 0.25 * (SELECT sum(supp_qty) FROM bysupp b2
+                                     WHERE b2.l_partkey = b.l_partkey))
+        ORDER BY s_name"""))
   )
 }

@@ -51,6 +51,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(recovered.sum == 5000L)
   }
 
+  test("phash: 63-bit, deterministic, and degenerate payloads hash to 0") {
+    val ph = Multimodal.perceptualHashes(spark, media)
+      .as[(Long, Long)].collect().toMap
+    assert(ph.values.forall(h => h >= 0L), "phash must stay a positive BIGINT")
+    val again = Multimodal.perceptualHashes(spark, media)
+      .as[(Long, Long)].collect().toMap
+    assert(ph == again)
+    val tiny = Seq((1L, "x", "en"), (2L, "", "en")).toDF("doc_id", "text", "lang")
+    // sub-bigram payloads define to 0 on both engine and oracle
+    val th = Multimodal.perceptualHashes(spark, Multimodal.mediaTable(tiny))
+      .as[(Long, Long)].collect().toMap
+    assert(th.values.toSet == Set(0L))
+  }
+
+  test("phash banded LSH finds exactly the brute-force hamming pairs") {
+    val banded = Multimodal.phashNearDupPairs(spark, media, maxHamming = 2)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val ph = Multimodal.perceptualHashes(spark, media)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, pa) <- ph; (idb, pb) <- ph
+      if ida < idb && java.lang.Long.bitCount(pa ^ pb) <= 2
+    } yield (ida, idb)).toSet
+    assert(banded == brute, "bit-sampling LSH must be lossless at its hamming budget")
+    assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
