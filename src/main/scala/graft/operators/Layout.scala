@@ -42,4 +42,34 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Deterministic training-order shuffle key: shard and within-shard
+    * position from an md5 coin over the row key — the reproducible global
+    * permutation SGD training wants (sequential reads see an unbiased
+    * sample; no RNG state, stable under task retry).
+    *
+    * Scale shape: the shard is a pure hash (scan-side, uniform by md5),
+    * and positions are per-shard `row_number`s — one shuffle partitioned
+    * by shard, each window sized corpus/shards, NEVER a global
+    * single-partition sort. A trainer reading shard files in position
+    * order replays the identical permutation on any cluster size. */
+  def shuffleOrder(df: DataFrame, keyCol: String, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string"))
+    val shard = pmod(
+      conv(substring(h, 1, 8), 16, 10).cast("long"), lit(shards.toLong))
+    val w = Window.partitionBy(col("__shard")).orderBy(h, col(keyCol))
+    df.withColumn("__shard", shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+  }
+
+  /** Materialize the shuffled order: one sorted parquet file per shard.
+    * Trainers stream shard files in parallel; concatenating them in
+    * (shard, pos) order replays the exact permutation. */
+  def shuffledWrite(df: DataFrame, keyCol: String, path: String, shards: Int): Unit =
+    shuffleOrder(df, keyCol, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -493,6 +493,27 @@ object MiscQueries {
         FROM xy ORDER BY zval, event_id"""
       }),
 
+    // Deterministic training-order shuffle: md5-hash shard + within-shard
+    // position (Layout.shuffleOrder) — the reproducible global permutation
+    // a trainer replays by reading shard files in position order. Windows
+    // are per-shard (corpus/shards rows each), never one global sort.
+    "layout_shuffle" -> QueryDef(
+      fn = (s, d) =>
+        graft.operators.Layout.shuffleOrder(
+            t(s, d, "documents").select("doc_id", "lang"), "doc_id", shards = 8)
+          .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+          .orderBy("shard", "pos"),
+      oracle = Some("""
+        WITH keyed AS (
+          SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 8 AS shard
+          FROM documents)
+        SELECT doc_id, lang, shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                    AS BIGINT) AS pos
+        FROM keyed ORDER BY shard, pos""")),
+
     // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
     // O(len) winnowing fingerprint, the scale path for shingle hashing.
     "text_rolling_fp" -> QueryDef(

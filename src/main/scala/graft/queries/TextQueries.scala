@@ -286,6 +286,50 @@ object TextQueries {
                 / 65536.0 < rate
         ORDER BY doc_id""")),
 
+    // Mixture upsampling (epoch repetition): low-resource languages are
+    // REPEATED to equalize per-language training volume — the standard
+    // multilingual recipe (repeat factor = largest language's chars /
+    // this language's chars, capped at 4 epochs so no doc over-repeats).
+    // Whole epochs materialize via sequence-explode; the fractional final
+    // epoch admits each doc by the same md5 coin as rate-based sampling.
+    // Scale shape: the per-language rate table broadcasts; the explode
+    // multiplies only the rows it keeps (≤4×); no shuffle of the corpus.
+    // The epoch column makes downstream global shuffles see repeated docs
+    // as distinct training rows.
+    "mixture_upsample" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val lc = docs.groupBy("lang")
+          .agg(sum("n_chars").cast("double").as("chars"))
+        // one-row scalar (largest language) via the watermark-pull pattern
+        val m = lc.agg(max(col("chars"))).head.getDouble(0)
+        val rates = lc.select(col("lang"),
+          least(lit(4.0), lit(m) / col("chars")).as("rate"))
+        val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").cast("double") / 65536.0
+        docs.join(broadcast(rates), "lang")
+          .withColumn("epoch",
+            explode(expr("sequence(CAST(1 AS BIGINT), CAST(ceil(rate) AS BIGINT))")))
+          .where(col("epoch") <= floor(col("rate")) ||
+            frac < (col("rate") - floor(col("rate"))))
+          .select(col("doc_id"), col("lang"), col("epoch"), col("rate"))
+          .orderBy("doc_id", "epoch")
+      },
+      oracle = Some("""
+        WITH lc AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS chars
+                    FROM documents GROUP BY 1),
+        rates AS (SELECT lang,
+                         least(CAST(4.0 AS DOUBLE),
+                               (SELECT max(chars) FROM lc) / chars) AS r
+                  FROM lc)
+        SELECT doc_id, d.lang AS lang, epoch, r AS rate
+        FROM documents d JOIN rates USING (lang),
+             unnest(generate_series(1, CAST(ceil(r) AS BIGINT))) AS t(epoch)
+        WHERE epoch <= floor(r)
+           OR CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                / 65536.0 < r - floor(r)
+        ORDER BY doc_id, epoch""")),
+
     // Exact-count per-group sampling: exactly N docs per language,
     // selected by md5-hash rank — the deterministic way to carve a
     // fixed-size eval set out of a 100 TB corpus (rate-based sampling

@@ -67,4 +67,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(zTouched <= numFiles * 2 / 3,
       s"z-order gives no hr pruning: $zTouched of $numFiles files touch a 1/8 box")
   }
+
+  test("shuffled write: balanced shards, a permutation, and decorrelated order") {
+    import spark.implicits._
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+      .select("doc_id", "lang")
+    val dir = Files.createTempDirectory("graft_shuffle").toString
+    Layout.shuffledWrite(docs, "doc_id", s"$dir/s", shards = 8)
+    val back = spark.read.parquet(s"$dir/s")
+    // every row exactly once, (shard, pos) a dense unique order
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").distinct().count() == docs.count())
+    assert(back.select("shard", "pos").distinct().count() == docs.count())
+    val sizes = back.groupBy("shard").count().select("count").as[Long].collect()
+    assert(sizes.length == 8)
+    assert(sizes.max <= sizes.min * 2, s"shard skew: ${sizes.toSeq.sorted}")
+    // decorrelated: the first shard-0 positions must not replay doc_id order
+    val firstIds = back.where($"shard" === 0).orderBy("pos").limit(20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(firstIds != firstIds.sorted, "shuffle order correlates with key order")
+    // deterministic: a rewrite reproduces the identical permutation
+    Layout.shuffledWrite(docs, "doc_id", s"$dir/s2", shards = 8)
+    val again = spark.read.parquet(s"$dir/s2")
+    assert(back.except(again).count() == 0 && again.except(back).count() == 0)
+  }
 }
