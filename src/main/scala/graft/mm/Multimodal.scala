@@ -142,7 +142,11 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
     val nb = maxHamming + 1
     val w = 63 / nb
+    // Persist the hash relation (id + one long — tiny): the kernel stage
+    // (decode + DCT in a real pHash) is the expensive pass, and the
+    // self-join must NOT run it once per side.
     val ph = perceptualHashes(spark, media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band b holds bits [b*w, (b+1)*w); the last band keeps the remainder
     // bits too (unequal widths don't break the pigeonhole argument).
     val bands = ph.select(col("media_id"), col("phash"),
