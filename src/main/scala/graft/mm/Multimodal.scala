@@ -138,33 +138,81 @@ object Multimodal {
     * exact hamming check touches candidates only — never all pairs. At
     * 100 TB the per-band buckets are the only fan-out, and their size is
     * governed by the hash entropy, not the corpus size. */
-  def phashNearDupPairs(spark: SparkSession, media: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
+  /** Band b holds bits [b*w, (b+1)*w) of the 63-bit hash; the last band
+    * keeps the remainder bits too (unequal widths don't break the
+    * pigeonhole argument). */
+  private def hashBands(ph: DataFrame, maxHamming: Int): DataFrame = {
     val nb = maxHamming + 1
     val w = 63 / nb
+    ph.select(col("media_id"), col("phash"),
+        explode(expr(s"sequence(0, ${nb - 1})")).as("b"))
+      .withColumn("nib", expr(
+        s"CASE WHEN b = ${nb - 1} THEN shiftright(phash, $w * b) " +
+          s"ELSE shiftright(phash, $w * b) & ${(1L << w) - 1} END"))
+  }
+
+  /** Exact-hamming verification over candidate pairs only. */
+  private def verifiedHammingPairs(cand: DataFrame, maxHamming: Int): DataFrame =
+    cand.distinct()
+      .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+
+  def phashNearDupPairs(spark: SparkSession, media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
     // Persist the hash relation (id + one long — tiny): the kernel stage
     // (decode + DCT in a real pHash) is the expensive pass, and the
     // self-join must NOT run it once per side.
     val ph = perceptualHashes(spark, media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band b holds bits [b*w, (b+1)*w); the last band keeps the remainder
-    // bits too (unequal widths don't break the pigeonhole argument).
-    val bands = ph.select(col("media_id"), col("phash"),
-        explode(expr(s"sequence(0, ${nb - 1})")).as("b"))
-      .withColumn("nib", expr(
-        s"CASE WHEN b = ${nb - 1} THEN shiftright(phash, $w * b) " +
-          s"ELSE shiftright(phash, $w * b) & ${(1L << w) - 1} END"))
+    val bands = hashBands(ph, maxHamming)
     val lhs = bands.select(col("b"), col("nib"),
       col("media_id").as("media_a"), col("phash").as("pa"))
     val rhs = bands.select(col("b").as("b2"), col("nib").as("nib2"),
       col("media_id").as("media_b"), col("phash").as("pb"))
-    lhs.join(rhs,
-        col("b") === col("b2") && col("nib") === col("nib2") &&
-          col("media_a") < col("media_b"))
-      .select("media_a", "media_b", "pa", "pb").distinct()
-      .withColumn("hamming", bit_count(expr("pa ^ pb")).cast("long"))
-      .where(col("hamming") <= maxHamming)
-      .select("media_a", "media_b", "hamming")
+    verifiedHammingPairs(
+      lhs.join(rhs,
+          col("b") === col("b2") && col("nib") === col("nib2") &&
+            col("media_a") < col("media_b"))
+        .select("media_a", "media_b", "pa", "pb"),
+      maxHamming)
+  }
+
+  /** Incremental pHash near-dup: a new batch against an already-hashed
+    * corpus — the ingest-time shape. Only the DELTA runs the decode
+    * kernel; the history contributes its standing (media_id, phash) table
+    * (tiny: one long per item, maintained by the ingest path — pass it
+    * via `historyHashes` to skip the history scan entirely). Candidates
+    * come from delta-bands × history-bands plus delta-bands × delta-bands,
+    * so band work is O(delta × band-occupancy), never O(history²); the
+    * result is exactly the full pipeline's pairs that involve at least
+    * one delta item. */
+  def phashNearDupPairsIncremental(
+      spark: SparkSession, history: DataFrame, delta: DataFrame,
+      maxHamming: Int, historyHashes: Option[DataFrame] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
+    import org.apache.spark.storage.StorageLevel
+    val phH = historyHashes.getOrElse(perceptualHashes(spark, history))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val phD = perceptualHashes(spark, delta).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsD = hashBands(phD, maxHamming).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsH = hashBands(phH, maxHamming)
+    val dh = bandsD.as("a").join(bandsH.as("b"),
+        col("a.b") === col("b.b") && col("a.nib") === col("b.nib") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(
+        least(col("a.media_id"), col("b.media_id")).as("media_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("media_b"),
+        when(col("a.media_id") < col("b.media_id"), col("a.phash"))
+          .otherwise(col("b.phash")).as("pa"),
+        when(col("a.media_id") < col("b.media_id"), col("b.phash"))
+          .otherwise(col("a.phash")).as("pb"))
+    val dd = bandsD.as("a").join(bandsD.as("b"),
+        col("a.b") === col("b.b") && col("a.nib") === col("b.nib") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+    verifiedHammingPairs(dh.union(dd), maxHamming)
   }
 
   /** Frame sampling: slice the payload into `n` evenly-spaced fixed-size

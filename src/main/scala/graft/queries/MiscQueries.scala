@@ -290,6 +290,47 @@ object MiscQueries {
         WHERE bit_count(xor(a.phash, b.phash)) <= 2
         ORDER BY media_a, media_b""")),
 
+    // Incremental pHash near-dup: only the delta half runs the decode
+    // kernel; the history contributes its standing hash table. The oracle
+    // runs the FULL quadratic pipeline and keeps pairs involving a delta
+    // doc — pinning the incremental path to "exactly the full result
+    // restricted to the batch".
+    "mm_phash_incr" -> QueryDef(
+      fn = (s, d) => {
+        val media = Multimodal.mediaTable(t(s, d, "documents"))
+        Multimodal.phashNearDupPairsIncremental(
+            s,
+            history = media.where(col("media_id") % 2 === 0),
+            delta = media.where(col("media_id") % 2 === 1),
+            maxHamming = 2)
+          .orderBy("media_a", "media_b")
+      },
+      oracle = Some("""
+        WITH grams AS (
+          SELECT doc_id,
+                 (unicode(substr(text, CAST(i AS INT), 1)) * 31 +
+                  unicode(substr(text, CAST(i + 1 AS INT), 1))) % 63 AS bin,
+                 length(text) - 1 AS n
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM documents)),
+        cnts AS (SELECT doc_id, bin, any_value(n) AS n, count(*) AS cnt
+                 FROM grams GROUP BY 1, 2),
+        ph AS (
+          SELECT d.doc_id, coalesce(p.phash, 0) AS phash
+          FROM documents d LEFT JOIN
+            (SELECT doc_id,
+                    CAST(sum(CASE WHEN cnt * 63 > n THEN (1::BIGINT << bin)
+                             ELSE 0 END) AS BIGINT) AS phash
+             FROM cnts GROUP BY 1) p
+          ON d.doc_id = p.doc_id)
+        SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+        ORDER BY media_a, media_b""")),
+
     // JSON property extraction + aggregation over the events stream's
     // semi-structured props column.
     "events_json_agg" -> QueryDef(
@@ -492,6 +533,31 @@ object MiscQueries {
         SELECT event_id, user_id, hr, $zSql AS zval
         FROM xy ORDER BY zval, event_id"""
       }),
+
+    // k-anonymity audit: quasi-identifier combinations (nation, segment,
+    // balance band) whose group is smaller than k=5 — the rows a data
+    // release must suppress or generalize because they re-identify.
+    // One grouped aggregate; the bucket is scan-side arithmetic, so the
+    // audit is a single shuffle of group keys at any scale.
+    "privacy_k_anonymity" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+          .groupBy("nation", "segment", "bal_band")
+          .agg(count(lit(1)).as("n"))
+          .where(col("n") < 5)
+          .orderBy("nation", "segment", "bal_band"),
+      oracle = Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING count(*) < 5
+        ORDER BY nation, segment, bal_band""")),
 
     // Deterministic training-order shuffle: md5-hash shard + within-shard
     // position (Layout.shuffleOrder) — the reproducible global permutation

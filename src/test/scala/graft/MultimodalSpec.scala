@@ -78,6 +78,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain at least one near-dup pair")
   }
 
+  test("incremental phash equals the full pipeline restricted to the delta") {
+    val full = Multimodal.phashNearDupPairs(spark, media, maxHamming = 2)
+      .select("media_a", "media_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    val incr = Multimodal.phashNearDupPairsIncremental(spark,
+        history = media.where($"media_id" % 2 === 0),
+        delta = media.where($"media_id" % 2 === 1),
+        maxHamming = 2)
+      .select("media_a", "media_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(incr == expected)
+    // a precomputed history hash table gives the identical result
+    val stored = Multimodal.perceptualHashes(
+      spark, media.where($"media_id" % 2 === 0))
+    val viaStored = Multimodal.phashNearDupPairsIncremental(spark,
+        history = media.limit(0),
+        delta = media.where($"media_id" % 2 === 1),
+        maxHamming = 2, historyHashes = Some(stored))
+      .select("media_a", "media_b", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(viaStored == expected)
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
