@@ -84,6 +84,56 @@ object SimilarityQueries {
               FROM embeddings)
         GROUP BY label, pos ORDER BY label, pos""")),
 
+    // Embedding drift monitor: per-label centroid cosine between two
+    // halves of the corpus (the deterministic stand-in for "yesterday's
+    // embeddings vs today's"). A drifting encoder shows up as a label
+    // whose half-centroids stop agreeing. One grouped aggregate per half
+    // (label-count sized), then a label-keyed join of 64-double rows —
+    // nothing corpus-sized ever shuffles twice.
+    "emb_centroid_drift" -> QueryDef(
+      fn = (s, d) => {
+        import graft.functions.VectorOps
+        val v = col("embedding").cast("array<double>")
+        val dim = graft.sim.CosineLsh.Dim
+        val cents = t(s, d, "embeddings")
+          .groupBy(col("label"), (col("vec_id") % 2).as("half"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dim).map(j =>
+              round(avg(element_at(v, j + 1)), 6)): _*).as("c"))
+        val a = cents.where(col("half") === 0)
+          .select(col("label"), col("n").as("n_a"), col("c").as("ca"))
+        val b = cents.where(col("half") === 1)
+          .select(col("label").as("lb"), col("n").as("n_b"), col("c").as("cb"))
+        a.join(b, col("label") === col("lb"))
+          .select(col("label").cast("long").as("label"),
+            col("n_a"), col("n_b"),
+            VectorOps.cosineRounded(col("ca"), col("cb")).as("drift_cos"))
+          .orderBy("label")
+      },
+      oracle = Some {
+        val cos = graft.functions.VectorOps.cosineSql("a.c", "b.c")
+        s"""
+        WITH perpos AS (
+          SELECT label, vec_id % 2 AS half, pos,
+                 round(avg(v[CAST(pos AS INT)]), 6) AS m
+          FROM (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                       unnest(generate_series(1, ${graft.sim.CosineLsh.Dim})) AS pos
+                FROM embeddings)
+          GROUP BY 1, 2, 3),
+        cents AS (
+          SELECT label, half, list(m ORDER BY pos) AS c
+          FROM perpos GROUP BY 1, 2),
+        ns AS (SELECT label, vec_id % 2 AS half, count(*) AS n
+               FROM embeddings GROUP BY 1, 2)
+        SELECT CAST(a.label AS BIGINT) AS label, na.n AS n_a, nb.n AS n_b,
+               round($cos, 6) AS drift_cos
+        FROM cents a
+        JOIN cents b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        JOIN ns na ON na.label = a.label AND na.half = 0
+        JOIN ns nb ON nb.label = a.label AND nb.half = 1
+        ORDER BY label"""
+      }),
+
     // Hard-negative mining for contrastive training: for each probe
     // vector, the top-3 most-similar vectors with a DIFFERENT label — the
     // near-misses a metric-learning loss needs. Probe set is broadcast

@@ -417,6 +417,87 @@ object StreamingIngest {
     batch.unpersist()
   }
 
+  /** Streaming perceptual-hash admission over a media stream: each
+    * micro-batch runs the decode-kernel pHash ONCE on the batch, finds
+    * hamming near-dups against the standing `db.table_phash` index (the
+    * batch path's [[graft.mm.Multimodal.phashNearDupPairsIncremental]]),
+    * and appends only novel items. History payloads are never re-decoded
+    * — the index is one long per item. Same tag-partition
+    * dynamic-overwrite idempotence and drop policy as the other admission
+    * sinks (smaller id wins within a batch; history always wins).
+    * Requires the media schema (`media_id`, `media`, `format`,
+    * `n_bytes`). */
+  def toPhashDedupSink(
+      media: DataFrame, db: String, table: String,
+      maxHamming: Int = 2,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          admitPhashBatch(batch0, db, table, maxHamming,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+          ()
+        }
+    }
+
+  /** One micro-batch of the pHash admission pipeline (the foreachBatch
+    * body of [[toPhashDedupSink]], factored out for direct retry
+    * testing). Idempotent for a given `tag`. */
+  private[graft] def admitPhashBatch(
+      batch0: DataFrame, db: String, table: String, maxHamming: Int,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.mm.Multimodal
+    val spark = batch0.sparkSession
+    val batch = batch0.persist()
+    val full = s"$db.$table"
+    val idxTable = s"${full}_phash"
+    val haveHistory = spark.catalog.tableExists(full)
+    val pairs =
+      if (haveHistory)
+        Multimodal.phashNearDupPairsIncremental(
+          spark,
+          // history media is never decoded: the standing hash table below
+          // short-circuits the kernel; a RETRIED tag must not see its own
+          // previous attempt as history
+          history = batch.limit(0),
+          delta = batch, maxHamming = maxHamming,
+          historyHashes = Some(
+            spark.table(idxTable).where(col(tagColumn) =!= lit(tag))
+              .select("media_id", "phash")))
+      else Multimodal.phashNearDupPairs(spark, batch, maxHamming)
+    val ids = batch.select(col("media_id")).distinct()
+    val aIn = ids.select(col("media_id").as("media_a"))
+      .withColumn("a_in_batch", lit(true))
+    val bIn = ids.select(col("media_id").as("media_b"))
+      .withColumn("b_in_batch", lit(true))
+    // pairs come media_a < media_b: both in batch -> keep the smaller id;
+    // otherwise drop the batch-side slot
+    val drops = pairs
+      .join(aIn, Seq("media_a"), "left")
+      .join(bIn, Seq("media_b"), "left")
+      .select(
+        when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
+          col("media_b"))
+          .when(col("a_in_batch").isNotNull, col("media_a"))
+          .otherwise(col("media_b")).as("media_id"))
+      .distinct()
+    // sever the plan's reference to the history table before the
+    // tag-partition overwrite (same hazard as admitBatch)
+    val admitted = batch
+      .join(broadcast(drops), Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
+        full, tagColumn)
+      writeTagPartition(
+        Multimodal.perceptualHashes(spark, admitted)
+          .withColumn(tagColumn, lit(tag)),
+        idxTable, tagColumn)
+    }
+    batch.unpersist()
+  }
+
   /** First write creates the tag-partitioned table; later writes replace
     * exactly the tags present in `df` (dynamic partition overwrite) — the
     * idempotence mechanism for at-least-once micro-batch delivery. */

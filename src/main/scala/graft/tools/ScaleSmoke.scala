@@ -117,6 +117,7 @@ object ScaleSmoke {
     embeddingIncrSection(spark, tmp, copies)
     pqSection(spark, tmp)
     bloomSection(spark, copies)
+    phashSection(spark, copies)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
@@ -428,5 +429,41 @@ object ScaleSmoke {
     println(f"[scale] skyline ${copies}x/1x time ratio ${ratio}%.1f")
     require(ratio < copies * 1.5,
       f"skyline scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
+  }
+
+  /** pHash hamming-LSH at scale: each copy alphabet-rotates the text
+    * (`translate`), so within-copy hash diversity matches the original
+    * corpus and copies don't collapse into one band bucket (the salt
+    * prefix used for the shingle pipelines would dominate the bigram
+    * histogram and fake a quadratic workload). Asserts near-linear time
+    * and that the banded candidate stage keeps pair volume proportional
+    * to the corpus, not its square. */
+  private def phashSection(spark: SparkSession, copies: Int): Unit = {
+    import graft.mm.Multimodal
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text", "lang")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docsN = (0 until copies).map { c =>
+      val rot = alpha.drop(c % 26) + alpha.take(c % 26)
+      docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"), col("lang"))
+    }.reduce(_ unionAll _)
+    def run(df: DataFrame, label: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val pairs = Multimodal.phashNearDupPairs(
+        spark, Multimodal.mediaTable(df), maxHamming = 2).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] phash $label%-8s pairs=$pairs ${secs}%8.2f s")
+      (secs, pairs)
+    }
+    run(docs1.limit(500), "warmup")
+    val (t1, p1) = run(docs1, "1x")
+    val (tN, pN) = run(docsN, s"${copies}x")
+    val ratio = tN / t1
+    println(f"[scale] phash ${copies}x/1x time ratio ${ratio}%.1f")
+    require(ratio < copies * 2.5,
+      f"phash scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
+    require(pN < p1 * copies * 4L + 1000L,
+      s"phash pair volume grew super-linearly: $pN vs $p1 at 1x")
   }
 }

@@ -443,6 +443,75 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE embdup_retry CASCADE")
   }
 
+  test("phash admission sink appends only perceptually novel media") {
+    import spark.implicits._
+    import graft.mm.Multimodal
+    def mediaOf(rows: Seq[(Long, String)]) =
+      Multimodal.mediaTable(
+        rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang"))
+    val tA = "aaaa bbbb " * 20
+    val tB = "1234 5678 " * 20
+    val tC = "zzzz yyyy " * 20
+    val tD = "mmmm nnnn qqqq " * 15
+    // precondition: the four texts are mutually far in hamming space
+    assert(Multimodal.phashNearDupPairs(spark,
+      mediaOf(Seq((1L, tA), (2L, tB), (3L, tC), (4L, tD))), 2).isEmpty)
+
+    val dir = Files.createTempDirectory("graft-stream-phash").toString
+    val b1 = mediaOf(Seq((1L, tA), (2L, tB), (3L, tC)))
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS phash_sink")
+    spark.sql("DROP TABLE IF EXISTS phash_sink.media")
+    spark.sql("DROP TABLE IF EXISTS phash_sink.media_phash")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toPhashDedupSink(stream, "phash_sink", "media").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("phash_sink.media").select("media_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+      // batch 2: a copy of history item 1, one novel, an in-batch dup of it
+      mediaOf(Seq((11L, tA), (12L, tD), (13L, tD)))
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("phash_sink.media")
+    assert(spark.table("phash_sink.media").select("media_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 12L))
+    // the standing hash index covers exactly the admitted media
+    spark.catalog.refreshTable("phash_sink.media_phash")
+    assert(spark.table("phash_sink.media_phash").select("media_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 12L))
+    spark.sql("DROP DATABASE phash_sink CASCADE")
+  }
+
+  test("phash admission batches are idempotent under retry") {
+    import spark.implicits._
+    import graft.mm.Multimodal
+    def mediaOf(rows: Seq[(Long, String)]) =
+      Multimodal.mediaTable(
+        rows.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang"))
+    val tA = "aaaa bbbb " * 20
+    val tB = "1234 5678 " * 20
+    spark.sql("CREATE DATABASE IF NOT EXISTS phash_retry")
+    spark.sql("DROP TABLE IF EXISTS phash_retry.media")
+    spark.sql("DROP TABLE IF EXISTS phash_retry.media_phash")
+    val b1 = mediaOf(Seq((1L, tA), (2L, tB)))
+    StreamingIngest.admitPhashBatch(b1, "phash_retry", "media", 2, tag = "t_b00000")
+    // at-least-once delivery: the SAME batch re-runs with the same tag
+    StreamingIngest.admitPhashBatch(b1, "phash_retry", "media", 2, tag = "t_b00000")
+    spark.catalog.refreshTable("phash_retry.media")
+    spark.catalog.refreshTable("phash_retry.media_phash")
+    assert(spark.table("phash_retry.media").count() == 2)
+    assert(spark.table("phash_retry.media_phash").count() == 2)
+    // the next batch still dedups against the retried history
+    StreamingIngest.admitPhashBatch(
+      mediaOf(Seq((11L, tB))), "phash_retry", "media", 2, tag = "t_b00001")
+    spark.catalog.refreshTable("phash_retry.media")
+    assert(spark.table("phash_retry.media").select("media_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("DROP DATABASE phash_retry CASCADE")
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
