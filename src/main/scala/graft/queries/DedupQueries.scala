@@ -69,21 +69,24 @@ object DedupQueries {
   }
 
   // Shared CTE fragments (kept in one place so the three oracles agree).
-  private val shingleCte = s"""
+  // `src` lets a caller run the chain over a filtered CTE instead of the
+  // raw table (the curation funnel dedups its survivors, not the corpus).
+  private def shingleCte(src: String) = s"""
     sh AS (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), ${Dedup.ShingleSize}) AS shingle
       FROM (SELECT doc_id, text,
                    unnest(generate_series(1, length(text) - ${Dedup.ShingleSize - 1}))
                      AS i
-            FROM documents WHERE length(text) >= ${Dedup.ShingleSize}))"""
+            FROM $src WHERE length(text) >= ${Dedup.ShingleSize}))"""
 
   // The full MinHash-LSH pipeline (signatures → bands → candidates →
   // agreement pre-filter → exact Jaccard) as a CTE chain ending in
   // `pairs(doc_a, doc_b, jaccard)`. Shared verbatim by the pair query,
   // the clustering queries, and the corpus report so the oracles can
   // never diverge.
-  private[queries] def minhashPairsCtes(threshold: Double): String = s"""
-    $shingleCte,
+  private[queries] def minhashPairsCtes(
+      threshold: Double, src: String = "documents"): String = s"""
+    ${shingleCte(src)},
     ph AS (SELECT doc_id, $phExpr AS h FROM sh),
     sigs AS (
       SELECT doc_id, ${sigCols}
@@ -156,6 +159,86 @@ object DedupQueries {
               AND md5(trim(regexp_replace(lower(h.text), '\s+', ' ', 'g')))
                   = md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))))
         ORDER BY doc_id""")),
+
+    // The end-to-end curation funnel: quality gate → exact dedup →
+    // MinHash near-dedup, each stage applied to the previous stage's
+    // survivors, reported as the per-stage (docs, chars) data-card row a
+    // release ships with. Composes the already-verified stage operators;
+    // the oracle chains the same logic as CTEs (the near-dedup chain runs
+    // over the survivor CTE via minhashPairsCtes(src)), so the COMPOSITION
+    // is hash-checked, not just the parts. Scale shape: the survivor
+    // relation is persisted once and feeds the count, the pair pipeline,
+    // and the final anti-join; stage stats are one-row aggregates.
+    "curation_funnel" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val docs = t(s, d, "documents")
+        val scored = docs.withColumn(
+          "quality", TextAnalysis.qualityScore(col("text")))
+        val thr: Double = scored
+          .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1))).as("t"))
+          .head.getDouble(0)
+        val q = scored.where(col("quality") >= lit(thr))
+        val keepers = q
+          .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val e = q.join(keepers, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val drop = Dedup.connectedComponents(
+          Dedup.minHashLshPairs(e.select(col("doc_id"), col("text")), 0.8))
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select("doc_id")
+        val n4 = e.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        def stat(no: Long, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+            .select(lit(no).as("stage_no"), lit(name).as("stage"),
+              col("n_docs"), col("n_chars"))
+        stat(1L, "raw", docs)
+          .unionAll(stat(2L, "quality", q))
+          .unionAll(stat(3L, "exact_dedup", e))
+          .unionAll(stat(4L, "near_dedup", n4))
+          .orderBy("stage_no")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE scored AS (
+          SELECT *, ${TextQueries.qualitySql} AS quality FROM documents),
+        q AS (
+          SELECT * FROM scored
+          WHERE quality >= (SELECT CAST(sum(CAST(quality AS DECIMAL(18,6)))
+                                        AS DOUBLE) / count(*) FROM scored)),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM q
+          GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+        e AS (SELECT * FROM q WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        ${minhashPairsCtes(0.8, src = "e")},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT ed.a, r.lbl FROM edges ed JOIN reach r ON r.node = ed.b),
+        dropped AS (
+          SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node),
+        n4 AS (SELECT * FROM e
+               WHERE doc_id NOT IN (SELECT node FROM dropped))
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+                 count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'quality', count(*),
+                 CAST(sum(n_chars) AS BIGINT) FROM q
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'exact_dedup', count(*),
+                 CAST(sum(n_chars) AS BIGINT) FROM e
+          UNION ALL
+          SELECT CAST(4 AS BIGINT), 'near_dedup', count(*),
+                 CAST(sum(n_chars) AS BIGINT) FROM n4)
+        ORDER BY stage_no""")),
 
     // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8 after a
     // signature-agreement pre-filter (the LSH two-stage verify). Oracle

@@ -20,6 +20,13 @@ object TextQueries {
   private val tokSql = "len(regexp_extract_all(text, '\\S+'))"
   private val alphaSql = "len(regexp_extract_all(text, '[a-z]'))"
 
+  /** DuckDB mirror of TextAnalysis.qualityScore — shared by every oracle
+    * that scores quality (gate, caps, calibration, curation funnel). */
+  private[queries] def qualitySql: String =
+    s"""round(CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+         / $tokSql * 0.5
+       + least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) * 0.5, 6)"""
+
   /** The language-ID CASE chain, generated from TextAnalysis.LangStopwords
     * with the same precedence-on-ties order. */
   private val langCaseSql: String = {
