@@ -845,6 +845,81 @@ object RelationalQueries {
         LEFT JOIN hourly hh ON hh.user_id = g.user_id AND hh.h = g.h
         ORDER BY g.user_id, g.h""")),
 
+    // Time-series resampling with LINEAR INTERPOLATION: the hourly grid
+    // (as in events_gapfill) carries each user's mean value, and silent
+    // hours get prev + (next-prev) * elapsed/gap between the surrounding
+    // observations (edges carry the nearest value). The carry-forward /
+    // carry-backward scan is two windows over the per-user grid — state
+    // is one row per (user, hour), never the raw events. Both engines
+    // compute the identical IEEE expression, so the result hash-matches
+    // without rounding.
+    "events_interpolate" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .where(col("user_id") % 50 === 0)
+          .select(col("user_id"), expr("ts DIV 3600000000000").as("h"),
+            col("value"))
+        val obs = ev.groupBy("user_id", "h")
+          .agg((sum(col("value").cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("v"))
+        val grid = ev.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+        val wPrev = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(0, Window.unboundedFollowing)
+        val hObs = when(col("v").isNotNull, col("h"))
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+          .withColumn("ph", last(hObs, ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+          .withColumn("nh", first(hObs, ignoreNulls = true).over(wNext))
+          .select(col("user_id"), col("h"),
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv")) *
+                  (col("h") - col("ph")).cast("double") /
+                  (col("nh") - col("ph")).cast("double"))
+              .otherwise(coalesce(col("pv"), col("nv"))).as("v"))
+          .orderBy("user_id", "h")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 3600000000000 AS h, value
+          FROM events WHERE user_id % 50 = 0),
+        obs AS (SELECT user_id, h,
+                       ${DSUM.format("value")} / count(*) AS v
+                FROM ev GROUP BY 1, 2),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1)) AS h
+          FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+                FROM ev GROUP BY user_id)),
+        joined AS (
+          SELECT g.user_id, g.h, o.v
+          FROM grid g
+          LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h),
+        scanned AS (
+          SELECT user_id, h, v,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS ph,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS nh
+          FROM joined
+          WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT user_id, h,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                      pv + (nv - pv) * CAST(h - ph AS DOUBLE)
+                                     / CAST(nh - ph AS DOUBLE)
+                    ELSE coalesce(pv, nv) END AS v
+        FROM scanned ORDER BY user_id, h""")),
+
     // Pivot (wide cross-tab): order counts per priority x status, with the
     // status domain pinned explicitly (`pivot(col, values)`) so the plan is
     // a single groupBy — no extra distinct-values job and a stable column
