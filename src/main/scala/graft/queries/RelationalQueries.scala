@@ -1014,6 +1014,31 @@ object RelationalQueries {
               FROM orders)
         WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
 
+    // The same per-group top-3 computed by the PARTIAL-AGGREGATION path:
+    // a typed bounded-buffer Aggregator (TopKAgg) keeps k rows per group
+    // map-side, so the shuffle carries at most k rows per group per
+    // partition — at 100 TB the window form above sorts the whole fact;
+    // this merges k-row buffers. Same total order, identical oracle rows.
+    "agg_topk_partial" -> QueryDef(
+      fn = (s, d) => {
+        val topk = udaf(new graft.functions.TopKAgg(3))
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("r"))
+          .select(col("o_custkey"),
+            posexplode(expr("arrays_zip(r.ords, r.ties)")).as(Seq("p", "s")))
+          .select(col("o_custkey"), (col("p") + 1).cast("long").as("rnk"),
+            col("s.ties").as("o_orderkey"), col("s.ords").as("o_totalprice"))
+          .orderBy("o_custkey", "rnk")
+      },
+      oracle = Some("""
+        SELECT o_custkey, rnk, o_orderkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+              FROM orders)
+        WHERE rnk <= 3 ORDER BY o_custkey, rnk""")),
+
     // Window running total (frame: unbounded preceding → current row).
     // (l_orderkey, l_linenumber) is NOT unique in this generator — the sort
     // must be a total order or the running sum is nondeterministic.
