@@ -450,6 +450,92 @@ object TextQueries {
                                    / count(*) FROM scored)
         ORDER BY doc_id""")),
 
+    // Vocabulary coverage: per-doc out-of-vocabulary rate against the
+    // corpus's top-200 words — the tokenizer-fit signal (a doc whose
+    // tokens mostly miss the vocabulary inflates token counts and
+    // training cost). The vocabulary is a TakeOrdered top-k (never a full
+    // sort), broadcasts to the token scan, and the per-doc rollup is one
+    // grouped aggregate of the token relation.
+    "text_oov_rate" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+        val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(200)
+          .select(col("w"), lit(true).as("in_v"))
+        toks.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_toks"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_toks")).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        vocab AS (
+          SELECT w FROM (SELECT w, count(*) AS c FROM toks
+                         GROUP BY 1 ORDER BY c DESC, w LIMIT 200)),
+        agg AS (
+          SELECT doc_id, count(*) AS n_toks,
+                 CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
+                          THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+          FROM toks GROUP BY 1)
+        SELECT doc_id, n_toks, n_oov,
+               CAST(n_oov AS DOUBLE) / n_toks AS oov_rate
+        FROM agg ORDER BY doc_id""")),
+
+    // Snapshot diff for corpus versioning: two fingerprint maps
+    // full-outer-joined on the key -> added / removed / changed /
+    // unchanged per doc (the "what moved between releases" report).
+    // Old/new snapshots are deterministic slices of the fixture, with a
+    // simulated edit on every 10th doc so all four statuses occur. At
+    // scale this is one co-partitioned join of two narrow (key, md5)
+    // relations — text never crosses the shuffle.
+    "corpus_diff" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val old = docs.where(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp_old"))
+        val nw = docs.where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprint(
+              when(col("doc_id") % 10 === 0, concat(col("text"), lit(" rev2")))
+                .otherwise(col("text"))).as("fp_new"))
+        old.join(nw, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp_old").isNull, "added")
+              .when(col("fp_new").isNull, "removed")
+              .when(col("fp_old") =!= col("fp_new"), "changed")
+              .otherwise("unchanged").as("status"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH old AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_old
+          FROM documents WHERE doc_id % 3 <> 0),
+        nw AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END),
+                   '\s+', ' ', 'g'))) AS fp_new
+          FROM documents WHERE doc_id % 2 = 0)
+        SELECT coalesce(old.doc_id, nw.doc_id) AS doc_id,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old <> fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+        ORDER BY doc_id""")),
+
     // Per-source boilerplate detection: leading word-8-grams shared by a
     // meaningful fraction of one source's documents are crawl boilerplate
     // (site headers, navigation, license banners) — the classic

@@ -118,6 +118,7 @@ object ScaleSmoke {
     pqSection(spark, tmp)
     bloomSection(spark, copies)
     phashSection(spark, copies)
+    topkSection(spark, tmp)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
@@ -465,5 +466,41 @@ object ScaleSmoke {
       f"phash scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
     require(pN < p1 * copies * 4L + 1000L,
       s"phash pair volume grew super-linearly: $pN vs $p1 at 1x")
+  }
+
+  /** TopKAgg vs the window form on HOT groups — the regime the bounded
+    * buffer exists for: 100 groups × 100k rows each. The window must
+    * shuffle and sort all 10M rows; the aggregate ships 3 rows per group
+    * per partition. Asserts identical results and that the aggregate is
+    * not slower (it is typically severalfold faster here). */
+  private def topkSection(spark: SparkSession, tmp: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    spark.range(10000000L)
+      .select((col("id") % 100).as("grp"),
+        pmod(hash(col("id")), lit(1000000)).cast("double").as("ord"),
+        col("id").as("tie"))
+      .write.mode("overwrite").parquet(s"$tmp/topk")
+    val df = spark.read.parquet(s"$tmp/topk")
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    def viaAgg() = df.groupBy("grp")
+      .agg(topk(col("ord"), col("tie")).as("r"))
+      .select(col("grp"), explode(expr("arrays_zip(r.ords, r.ties)")).as("s"))
+      .select(col("grp"), col("s.ords").as("ord"), col("s.ties").as("tie"))
+    def viaWindow() = {
+      val w = Window.partitionBy(col("grp"))
+        .orderBy(col("ord").desc, col("tie"))
+      df.withColumn("rnk", row_number().over(w)).where(col("rnk") <= 3)
+        .select("grp", "ord", "tie")
+    }
+    viaAgg().count(); viaWindow().count() // codegen warmup
+    val tAgg = med3 { viaAgg().count(); () }
+    val tWin = med3 { viaWindow().count(); () }
+    val same = viaAgg().except(viaWindow()).count() == 0 &&
+      viaWindow().except(viaAgg()).count() == 0
+    println(f"[scale] topk hot-groups agg=${tAgg}%.2f s window=${tWin}%.2f s " +
+      f"(x${tWin / tAgg}%.1f)")
+    require(same, "TopKAgg disagrees with the window form on hot groups")
+    require(tAgg <= tWin * 1.2,
+      f"bounded-buffer top-k slower than the window sort: $tAgg%.2f vs $tWin%.2f")
   }
 }
