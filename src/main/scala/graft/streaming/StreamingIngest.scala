@@ -498,6 +498,109 @@ object StreamingIngest {
     batch.unpersist()
   }
 
+  /** The full curation funnel AT INGEST: each micro-batch of documents
+    * passes the quality gate, exact-fingerprint dedup against the
+    * standing `db.table_fps` table, and MinHash near-dedup against the
+    * standing signature table — the streaming counterpart of the batch
+    * `curation_funnel` query, maintaining all three tables (docs, fps,
+    * minhash sigs) with the same tag-partition dynamic-overwrite
+    * idempotence as the other admission sinks. The quality threshold is
+    * caller-fixed (calibrate it offline with `quality_calibrated`): a
+    * per-batch mean would drift with batch composition. Requires
+    * `doc_id` and `text` columns. */
+  def toCurationSink(
+      docs: DataFrame, db: String, table: String,
+      minQuality: Double, threshold: Double = 0.8,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          admitCurationBatch(batch0, db, table, minQuality, threshold,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+          ()
+        }
+    }
+
+  /** One micro-batch of the curation funnel (the foreachBatch body of
+    * [[toCurationSink]], factored out for direct retry testing).
+    * Idempotent for a given `tag`. */
+  private[graft] def admitCurationBatch(
+      batch0: DataFrame, db: String, table: String,
+      minQuality: Double, threshold: Double,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.dedup.Dedup
+    import graft.text.TextAnalysis
+    val spark = batch0.sparkSession
+    val full = s"$db.$table"
+    val fpsTable = s"${full}_fps"
+    val sigsTable = s"${full}_minhash_sigs"
+    val sigCols = "doc_id" +: (0 until Dedup.NumHashes).map(i => s"m$i")
+    val haveHistory = spark.catalog.tableExists(full)
+
+    // Stage 1: quality gate (fixed threshold, scan-side score).
+    val q = batch0
+      .where(TextAnalysis.qualityScore(col("text")) >= lit(minQuality))
+      .persist()
+
+    // Stage 2: exact dedup — in-batch keep-smallest per fingerprint, then
+    // drop fingerprints the admitted history already holds (one narrow
+    // join against the standing (doc_id, fp) table; text never re-read).
+    val withFp = q.withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+    val inBatchKeep = withFp.groupBy(col("__fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val batchUnique = withFp.join(inBatchKeep, Seq("doc_id"), "left_semi")
+    val e = (if (haveHistory)
+        batchUnique.join(
+          spark.table(fpsTable).where(col(tagColumn) =!= lit(tag))
+            .select(col("fp").as("__fp")),
+          Seq("__fp"), "left_anti")
+      else batchUnique).persist()
+
+    // Stage 3: MinHash near-dedup against the standing signatures (the
+    // incremental pipeline; history text is never re-shingled).
+    val pairs =
+      if (haveHistory)
+        Dedup.minHashLshPairsIncremental(
+          spark.table(full).where(col(tagColumn) =!= lit(tag))
+            .select(batch0.columns.filter(_ != tagColumn).map(col): _*),
+          e.drop("__fp"), threshold,
+          historySigs = Some(
+            spark.table(sigsTable).where(col(tagColumn) =!= lit(tag))
+              .select(sigCols.map(col): _*)))
+      else Dedup.minHashLshPairs(e.drop("__fp"), threshold)
+    val ids = e.select(col("doc_id")).distinct()
+    val aIn = ids.select(col("doc_id").as("doc_a"))
+      .withColumn("a_in_batch", lit(true))
+    val bIn = ids.select(col("doc_id").as("doc_b"))
+      .withColumn("b_in_batch", lit(true))
+    val drops = pairs
+      .join(aIn, Seq("doc_a"), "left")
+      .join(bIn, Seq("doc_b"), "left")
+      .select(
+        when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
+          col("doc_b"))
+          .when(col("a_in_batch").isNotNull, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    val admitted = e
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      writeTagPartition(
+        admitted.drop("__fp").withColumn(tagColumn, lit(tag)), full, tagColumn)
+      writeTagPartition(
+        admitted.select(col("doc_id"), col("__fp").as("fp"))
+          .withColumn(tagColumn, lit(tag)),
+        fpsTable, tagColumn)
+      writeTagPartition(
+        Dedup.minHashSignatures(admitted.drop("__fp"))
+          .withColumn(tagColumn, lit(tag)),
+        sigsTable, tagColumn)
+    }
+    q.unpersist(); e.unpersist()
+  }
+
   /** First write creates the tag-partitioned table; later writes replace
     * exactly the tags present in `df` (dynamic partition overwrite) — the
     * idempotence mechanism for at-least-once micro-batch delivery. */

@@ -512,6 +512,78 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE phash_retry CASCADE")
   }
 
+  test("curation sink: quality gate, exact and near dedup per micro-batch") {
+    import spark.implicits._
+    val good1 = "the cat sat on the mat and the dog ran to the park because " +
+      "it was warm and the sun was out over the hills and the river " * 3
+    val good2 = "alpha numeric spark engines process huge columnar batches " +
+      "with vectorized readers while the optimizer prunes partitions " * 3
+    val good3 = "seven bright students study clustering algorithms in the " +
+      "evening and they often discuss the merits of hashing designs " * 3
+    val bad = "zxqwv"
+    def docsOf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    val dir = Files.createTempDirectory("graft-stream-curation").toString
+    docsOf(1L -> good1, 2L -> good2, 3L -> bad, 4L -> good2)
+      .write.mode("overwrite").parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS curation_sink")
+    Seq("docs", "docs_fps", "docs_minhash_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS curation_sink.$t"))
+    val stream = spark.readStream
+      .schema(docsOf(1L -> good1).schema).parquet(dir + "/*")
+    val q = StreamingIngest.toCurationSink(
+      stream, "curation_sink", "docs", minQuality = 0.2).start()
+    try {
+      q.processAllAvailable()
+      // 3 fails quality, 4 is an in-batch exact dup of 2
+      assert(spark.table("curation_sink.docs").select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      // b2: exact dup of history, near-dup of history, novel, low quality
+      docsOf(11L -> good1, 12L -> (good1 + " more"),
+        13L -> good3, 14L -> "qq zz")
+        .write.mode("overwrite").parquet(dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("curation_sink.docs")
+    assert(spark.table("curation_sink.docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 13L))
+    // the standing fp + signature tables cover exactly the admitted docs
+    for (t <- Seq("curation_sink.docs_fps", "curation_sink.docs_minhash_sigs")) {
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t).select("doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 13L), t)
+    }
+    spark.sql("DROP DATABASE curation_sink CASCADE")
+  }
+
+  test("curation batches are idempotent under retry") {
+    import spark.implicits._
+    val good1 = "the cat sat on the mat and the dog ran to the park because " +
+      "it was warm and the sun was out over the hills and the river " * 3
+    val good2 = "alpha numeric spark engines process huge columnar batches " +
+      "with vectorized readers while the optimizer prunes partitions " * 3
+    spark.sql("CREATE DATABASE IF NOT EXISTS curation_retry")
+    Seq("docs", "docs_fps", "docs_minhash_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS curation_retry.$t"))
+    val b1 = Seq(1L -> good1, 2L -> good2).toDF("doc_id", "text")
+    StreamingIngest.admitCurationBatch(
+      b1, "curation_retry", "docs", 0.2, 0.8, tag = "t_b00000")
+    StreamingIngest.admitCurationBatch(
+      b1, "curation_retry", "docs", 0.2, 0.8, tag = "t_b00000")
+    for (t <- Seq("docs", "docs_fps", "docs_minhash_sigs")) {
+      spark.catalog.refreshTable(s"curation_retry.$t")
+      assert(spark.table(s"curation_retry.$t").count() == 2, t)
+    }
+    // the next batch still dedups against the retried history
+    StreamingIngest.admitCurationBatch(
+      Seq(21L -> good1).toDF("doc_id", "text"),
+      "curation_retry", "docs", 0.2, 0.8, tag = "t_b00001")
+    spark.catalog.refreshTable("curation_retry.docs")
+    assert(spark.table("curation_retry.docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    spark.sql("DROP DATABASE curation_retry CASCADE")
+  }
+
   test("streaming dedup drops exact duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
