@@ -31,6 +31,31 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-dimensional Morton interleave: each of the `cols` contributes its
+    * low `63 / cols.length` bits, round-robin across bit positions, so
+    * every clustered dimension gets locality proportional to its bit
+    * share (3 cols → 21 bits each). Same pure shift-mask codegen as the
+    * 2-D form; the key stays a positive BIGINT. */
+  def zorderKeyN(cols: Seq[Column]): Column = {
+    require(cols.size >= 2, s"z-order needs >=2 columns, got ${cols.size}")
+    val n = cols.size
+    val bits = 63 / n
+    val masked = cols.map(_.bitwiseAND(lit((1L << bits) - 1)))
+    (for (i <- 0 until bits; (c, d) <- masked.zipWithIndex) yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d)
+    ).reduce(_ + _)
+  }
+
+  /** Cluster by the N-dim Z-order into `numFiles` files at `path`. */
+  def zorderWriteN(
+      df: DataFrame, zCols: Seq[String], path: String, numFiles: Int): Unit = {
+    df.withColumn("__z", zorderKeyN(zCols.map(col)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Cluster `df` by the Z-order of (`xCol`, `yCol`) into `numFiles`
     * parquet files at `path`. The key exists only during the write. */
   def zorderWrite(

@@ -68,6 +68,30 @@ class LayoutSpec extends AnyFunSuite {
       s"z-order gives no hr pruning: $zTouched of $numFiles files touch a 1/8 box")
   }
 
+  test("3-dim z-order prunes the third axis a 2-dim layout ignores") {
+    val ev3 = ev.withColumn("v", pmod(hash(col("event_id")), lit(1024L)))
+    val dir = Files.createTempDirectory("graft_zorder3").toString
+    Layout.zorderWriteN(ev3, Seq("user_id", "hr", "v"), s"$dir/z3", numFiles)
+    // baseline: 2-dim z-order over (user_id, hr) — no v locality at all
+    Layout.zorderWrite(ev3, "user_id", "hr", s"$dir/z2", numFiles)
+    def touched(path: String): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("v").as("vlo"), max("v").as("vhi"))
+        .collect()
+        .count(b => b.getAs[Long]("vlo") <= 192L && b.getAs[Long]("vhi") >= 64L)
+    // a v box spanning 1/8 of the 1024 domain
+    val t2 = touched(s"$dir/z2")
+    val t3 = touched(s"$dir/z3")
+    assert(t2 == numFiles,
+      s"2-dim layout unexpectedly prunes v ($t2/$numFiles)")
+    assert(t3 <= numFiles * 2 / 3,
+      s"3-dim z-order gives no v pruning: $t3 of $numFiles files touch a 1/8 box")
+    // round-trip intact
+    val back = spark.read.parquet(s"$dir/z3")
+    assert(back.except(ev3).count() == 0 && ev3.except(back).count() == 0)
+  }
+
   test("shuffled write: balanced shards, a permutation, and decorrelated order") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
