@@ -580,6 +580,34 @@ object MiscQueries {
                     AS BIGINT) AS pos
         FROM keyed ORDER BY shard, pos""")),
 
+    // 3-dim Morton key (zorderKeyN): the oracle formula is generated from
+    // the same (bit, dimension) loop as the engine expression, so the
+    // N-dim interleave is hash-checked, not just spec-tested.
+    "layout_zorder3" -> QueryDef(
+      fn = (s, d) => {
+        val v = pmod(col("event_id"), lit(1024L))
+        val z = graft.operators.Layout.zorderKeyN(
+          Seq(col("user_id"), expr("ts DIV 3600000000000"), v))
+        t(s, d, "events")
+          .select(col("event_id"), v.as("v"), z.as("zval"))
+          .orderBy("zval", "event_id")
+      },
+      oracle = Some {
+        val mask = (1L << 21) - 1
+        val dims = Seq("x", "y", "z")
+        val zSql = (for (i <- 0 until 21; (c, dIdx) <- dims.zipWithIndex)
+          yield s"((($c >> $i) & 1) << ${i * 3 + dIdx})").mkString(" + ")
+        s"""
+        WITH xyz AS (
+          SELECT event_id, event_id % 1024 AS v,
+                 user_id & $mask AS x,
+                 (epoch_us(ts) // 3600000000) & $mask AS y,
+                 (event_id % 1024) & $mask AS z
+          FROM events)
+        SELECT event_id, v, $zSql AS zval
+        FROM xyz ORDER BY zval, event_id"""
+      }),
+
     // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
     // O(len) winnowing fingerprint, the scale path for shingle hashing.
     "text_rolling_fp" -> QueryDef(
