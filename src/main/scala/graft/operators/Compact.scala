@@ -116,4 +116,33 @@ object Compact {
     spark.catalog.refreshTable(full)
     expired.sorted
   }
+
+  /** Point-in-time rollback: drop every tag partition STRICTLY AFTER
+    * `keepThrough` — the undo for a bad ingest batch (or a run of them)
+    * in the tag-partitioned model, where each batch owns its partition
+    * and rolling back is metadata + file deletes, no rewrite of surviving
+    * data. Returns the dropped tags. Works on the data table and its
+    * standing index tables alike (fps / sigs / phash share the tag
+    * layout), so a sink's whole state rolls back consistently by calling
+    * this once per table with the same `keepThrough`. */
+  def rollbackToTag(
+      spark: SparkSession, db: String, table: String,
+      keepThrough: String, tagColumn: String = "dl_ingest_date"): Seq[String] = {
+    val full = s"`$db`.`$table`"
+    val prefix = s"$tagColumn="
+    val dropped = spark.sql(s"SHOW PARTITIONS $full")
+      .collect().map(_.getString(0))
+      .map(_.split("/", 2)(0))
+      .distinct.toSeq
+      .flatMap { p =>
+        require(p.startsWith(prefix),
+          s"$full is not tag-first partitioned (found level '$p')")
+        Some(p.stripPrefix(prefix)).filter(_ > keepThrough)
+      }
+    dropped.foreach { t =>
+      spark.sql(s"ALTER TABLE $full DROP IF EXISTS PARTITION ($tagColumn='$t')")
+    }
+    spark.catalog.refreshTable(full)
+    dropped.sorted
+  }
 }

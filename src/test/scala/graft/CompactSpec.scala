@@ -96,4 +96,32 @@ class CompactSpec extends AnyFunSuite {
     }
     spark.sql("DROP DATABASE expire_db CASCADE")
   }
+
+  test("rollbackToTag undoes every batch after the kept tag") {
+    import spark.implicits._
+    import graft.operators.Ingest
+    spark.sql("CREATE DATABASE IF NOT EXISTS rollback_db")
+    spark.sql("DROP TABLE IF EXISTS rollback_db.tagged")
+    def batch(ids: Range, tag: String) =
+      Ingest.incrementalAppend(spark,
+        ids.map(i => (i, s"v$i")).toDF("id", "value"),
+        "rollback_db", "tagged", incrementalColumn = "id", tag = tag)
+    batch(0 until 10, "20240101T000000")
+    batch(10 until 20, "20240102T000000")
+    batch(20 until 30, "20240103T000000")
+    val dropped = Compact.rollbackToTag(
+      spark, "rollback_db", "tagged", keepThrough = "20240101T000000")
+    assert(dropped == Seq("20240102T000000", "20240103T000000"))
+    val left = spark.table("rollback_db.tagged")
+    assert(left.count() == 10)
+    assert(left.select("dl_ingest_date").distinct().as[String].collect()
+      .toSeq == Seq("20240101T000000"))
+    // idempotent: a second rollback to the same point drops nothing
+    assert(Compact.rollbackToTag(
+      spark, "rollback_db", "tagged", keepThrough = "20240101T000000").isEmpty)
+    // a fresh append after the rollback lands cleanly
+    batch(30 until 35, "20240104T000000")
+    assert(spark.table("rollback_db.tagged").count() == 15)
+    spark.sql("DROP DATABASE rollback_db CASCADE")
+  }
 }
