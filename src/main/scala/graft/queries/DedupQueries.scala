@@ -179,7 +179,11 @@ object DedupQueries {
           .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1))).as("t"))
           .head.getDouble(0)
+        // persisted: feeds the keeper aggregate, the survivor semi-join,
+        // AND the stage-2 count — without it the quality scan (regex-heavy)
+        // re-runs once per consumer
         val q = scored.where(col("quality") >= lit(thr))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keepers = q
           .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
           .agg(min(col("doc_id")).as("doc_id"))

@@ -534,6 +534,52 @@ object MiscQueries {
         FROM xy ORDER BY zval, event_id"""
       }),
 
+    // Referential-integrity audit (the dbt/Great-Expectations test class
+    // as one query): primary-key duplicate counts and cross-table orphan
+    // counts, each check one aggregate or anti-join over narrow key
+    // columns — key relations only, no payload ever scanned. Checks that
+    // PASS report 0, so the report shape is stable for alerting.
+    "audit_integrity" -> QueryDef(
+      fn = (s, d) => {
+        def one(name: String, n: org.apache.spark.sql.DataFrame) =
+          n.select(lit(name).as("check"), col("n"))
+        val ordDup = t(s, d, "orders").groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).where(col("c") > 1)
+          .agg(count(lit(1)).as("n"))
+        val liOrphan = t(s, d, "lineitem").select("l_orderkey")
+          .join(t(s, d, "orders").select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+        val ordOrphan = t(s, d, "orders").select("o_custkey")
+          .join(t(s, d, "customer").select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+        val embOrphan = t(s, d, "embeddings").select("vec_id")
+          .join(t(s, d, "documents").select("doc_id"),
+            col("vec_id") === col("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+        one("orders_pk_dups", ordDup)
+          .unionAll(one("lineitem_order_orphans", liOrphan))
+          .unionAll(one("orders_customer_orphans", ordOrphan))
+          .unionAll(one("embeddings_doc_orphans", embOrphan))
+          .orderBy("check")
+      },
+      oracle = Some("""
+        SELECT * FROM (
+          SELECT 'orders_pk_dups' AS check, count(*) AS n
+          FROM (SELECT o_orderkey FROM orders
+                GROUP BY 1 HAVING count(*) > 1)
+          UNION ALL
+          SELECT 'lineitem_order_orphans', count(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+          UNION ALL
+          SELECT 'orders_customer_orphans', count(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          UNION ALL
+          SELECT 'embeddings_doc_orphans', count(*) FROM embeddings
+          WHERE vec_id NOT IN (SELECT doc_id FROM documents))
+        ORDER BY "check"""")),
+
     // k-anonymity audit: quasi-identifier combinations (nation, segment,
     // balance band) whose group is smaller than k=5 — the rows a data
     // release must suppress or generalize because they re-identify.
