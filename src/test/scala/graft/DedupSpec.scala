@@ -82,6 +82,26 @@ class DedupSpec extends AnyFunSuite {
     assert(incr2.exceptAll(expected).isEmpty && expected.exceptAll(incr2).isEmpty)
   }
 
+  test("every incremental pipeline is a no-op on an empty delta") {
+    import org.apache.spark.sql.functions.col
+    // an empty micro-batch / no-new-data poll is the common case at
+    // ingest — every delta-vs-history form must return empty without
+    // throwing (seed selection, banding, and stats derivations all see
+    // zero rows)
+    val docs = spark.read.parquet(TestSpark.sf("sf0.001") + "/documents.parquet")
+    val emptyDocs = docs.limit(0)
+    assert(Dedup.minHashLshPairsIncremental(docs, emptyDocs, 0.8).isEmpty)
+    assert(Dedup.simHashPairsIncremental(docs, emptyDocs).isEmpty)
+    assert(Dedup.exactDeltaNew(docs, emptyDocs).isEmpty)
+    assert(Dedup.duplicatedSpanStatsIncremental(docs, emptyDocs).isEmpty)
+    val emb = spark.read.parquet(TestSpark.sf("sf0.001") + "/embeddings.parquet")
+    assert(graft.sim.CosineLsh.nearDupPairsIncremental(
+      emb, emb.limit(0), 0.45, Some(6)).isEmpty)
+    val media = graft.mm.Multimodal.mediaTable(docs)
+    assert(graft.mm.Multimodal.phashNearDupPairsIncremental(
+      spark, media, media.limit(0), maxHamming = 2).isEmpty)
+  }
+
   test("empty pair relation yields an empty clustering") {
     assert(cc() == Map.empty[Long, Long])
   }
