@@ -244,6 +244,66 @@ object DedupQueries {
                  CAST(sum(n_chars) AS BIGINT) FROM n4)
         ORDER BY stage_no""")),
 
+    // Cross-split leakage audit: near-dup pairs whose members land in
+    // DIFFERENT train/val/test splits (same md5 buckets as split_assign)
+    // — the eval-contamination report: a val/test doc near-duplicating a
+    // train doc inflates eval scores. Fixed 3-row report shape (zeros
+    // kept) so the check is alertable; the pair relation is the verified
+    // MinHash pipeline, and the split map rides the banded join as two
+    // narrow key joins.
+    "split_leakage" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = conv(substring(md5(c.cast("string")), 1, 4), 16, 10)
+            .cast("long") % 100
+          when(b < 90, "train").when(b < 95, "val").otherwise("test")
+        }
+        def rankOf(sc: org.apache.spark.sql.Column) =
+          when(sc === "train", 1).when(sc === "val", 2).otherwise(3)
+        val pairs = Dedup.minHashLshPairs(t(s, d, "documents"), 0.8)
+          .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
+          .where(col("sa") =!= col("sb"))
+          .select(
+            when(rankOf(col("sa")) <= rankOf(col("sb")), col("sa"))
+              .otherwise(col("sb")).as("split_a"),
+            when(rankOf(col("sa")) <= rankOf(col("sb")), col("sb"))
+              .otherwise(col("sa")).as("split_b"))
+          .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+        Seq(("train", "val"), ("train", "test"), ("val", "test"))
+          .toDF("split_a", "split_b")
+          .join(pairs, Seq("split_a", "split_b"), "left")
+          .select(col("split_a"), col("split_b"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+          .orderBy("split_a", "split_b")
+      },
+      oracle = Some(s"""
+        WITH ${minhashPairsCtes(0.8)},
+        spl AS (
+          SELECT doc_id,
+                 CASE WHEN b < 90 THEN 'train'
+                      WHEN b < 95 THEN 'val' ELSE 'test' END AS s,
+                 CASE WHEN b < 90 THEN 1
+                      WHEN b < 95 THEN 2 ELSE 3 END AS r
+          FROM (SELECT doc_id,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                            AS BIGINT) % 100 AS b
+                FROM documents)),
+        crossed AS (
+          SELECT CASE WHEN sa.r <= sb.r THEN sa.s ELSE sb.s END AS split_a,
+                 CASE WHEN sa.r <= sb.r THEN sb.s ELSE sa.s END AS split_b
+          FROM pairs p
+          JOIN spl sa ON sa.doc_id = p.doc_a
+          JOIN spl sb ON sb.doc_id = p.doc_b
+          WHERE sa.s <> sb.s),
+        agg AS (SELECT split_a, split_b, count(*) AS n_pairs
+                FROM crossed GROUP BY 1, 2)
+        SELECT d.split_a, d.split_b, coalesce(a.n_pairs, 0) AS n_pairs
+        FROM (VALUES ('train', 'val'), ('train', 'test'), ('val', 'test'))
+          d(split_a, split_b)
+        LEFT JOIN agg a USING (split_a, split_b)
+        ORDER BY split_a, split_b""")),
+
     // MinHash + LSH near-dup pairs, exact-Jaccard verified at 0.8 after a
     // signature-agreement pre-filter (the LSH two-stage verify). Oracle
     // mirrors the engine's rolling-polynomial signatures, contiguous
