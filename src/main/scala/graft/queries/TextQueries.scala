@@ -450,6 +450,43 @@ object TextQueries {
                                    / count(*) FROM scored)
         ORDER BY doc_id""")),
 
+    // Budget-constrained selection: fill a per-language char budget with
+    // the highest-quality documents first — the data-selection primitive
+    // ("best data under the token budget"), distinct from rate- and
+    // count-based sampling. One window per language ordered by (quality
+    // DESC, doc_id); a doc is kept iff it STARTS under the budget, so the
+    // set is prefix-closed and deterministic. The running sum shuffles
+    // once on the language key.
+    "sample_quality_budget" -> QueryDef(
+      fn = (s, d) => {
+        val budget = 20000L
+        val scored = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        scored
+          .withColumn("cum_chars", sum(col("n_chars")).over(w))
+          .where(col("cum_chars") - col("n_chars") < budget)
+          .select("doc_id", "lang", "n_chars", "quality", "cum_chars")
+          .orderBy("lang", "cum_chars", "doc_id")
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang, n_chars, $qualitySql AS quality
+          FROM documents),
+        cum AS (
+          SELECT doc_id, lang, n_chars, quality,
+                 CAST(sum(n_chars) OVER (PARTITION BY lang
+                   ORDER BY quality DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_chars
+          FROM scored)
+        SELECT doc_id, lang, n_chars, quality, cum_chars
+        FROM cum WHERE cum_chars - n_chars < 20000
+        ORDER BY lang, cum_chars, doc_id""")),
+
     // Vocabulary coverage: per-doc out-of-vocabulary rate against the
     // corpus's top-200 words — the tokenizer-fit signal (a doc whose
     // tokens mostly miss the vocabulary inflates token counts and
