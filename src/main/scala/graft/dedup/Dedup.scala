@@ -533,17 +533,29 @@ object Dedup {
       docs: DataFrame, textCol: String = "text",
       w: Int = SpanGramSize, minCount: Int = 2): DataFrame = {
     val toks = tokenArrays(docs, textCol)
+    coverageStats(toks, mergedSpans(toks, w, minCount),
+      spansCol = "n_spans", tokensCol = "dup_tokens", ratioCol = "dup_ratio")
+  }
+
+  /** Shared reporting tail of the span pipelines: per-doc span count,
+    * covered-token count, and coverage ratio over a merged-island relation
+    * (`doc_id`, `s`, `e`). Column names are caller-chosen so the
+    * within-corpus (dup_*) and cross-corpus (contam_*) variants keep their
+    * established oracle-facing schemas. */
+  private def coverageStats(
+      toks: DataFrame, islands: DataFrame,
+      spansCol: String, tokensCol: String, ratioCol: String): DataFrame = {
     val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    val perDoc = mergedSpans(toks, w, minCount)
+    val perDoc = islands
       .select(col("doc_id"), (col("e") - col("s") + 1).as("covered"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("dup_tokens"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("covered")).as("cov"))
     base.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
-          .as("dup_ratio"))
+        coalesce(col("n_spans"), lit(0L)).as(spansCol),
+        coalesce(col("cov"), lit(0L)).as(tokensCol),
+        round(coalesce(col("cov"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
+          .as(ratioCol))
   }
 
   /** The removal pass [[duplicatedSpanStats]] measures: drop every token
@@ -563,8 +575,15 @@ object Dedup {
       docs: DataFrame, textCol: String = "text",
       w: Int = SpanGramSize, minCount: Int = 2): DataFrame = {
     val toks = tokenArrays(docs, textCol)
+    cleanedDocs(toks, mergedSpans(toks, w, minCount))
+  }
+
+  /** Shared removal tail of the span pipelines: drop every token covered
+    * by a merged island and reassemble each document from its surviving
+    * tokens (count + md5 — the result stays narrow). */
+  private def cleanedDocs(toks: DataFrame, islands: DataFrame): DataFrame = {
     val base = toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-    val covered = mergedSpans(toks, w, minCount)
+    val covered = islands
       .select(col("doc_id"), explode(expr("sequence(s, e)")).as("pos"))
     val tokPos = toks
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "tok")))
@@ -578,6 +597,58 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
+  /** Word-gram width for the cross-corpus decontamination pipeline — the
+    * same 5-gram width `text_contamination`'s doc-level audit uses, so the
+    * two views of benchmark overlap agree on what counts as a hit. */
+  val ContamGramSize = 5
+
+  /** Cross-corpus exact-substring decontamination stats: mark every corpus
+    * token window whose `w`-gram content occurs ANYWHERE in the benchmark
+    * relation, merge marked windows into maximal spans, and report per-doc
+    * span count / contaminated-token count / contamination ratio. Where
+    * `text_contamination` flags whole train docs that share any eval
+    * n-gram, this is the span-level view the surgical removal pass
+    * ([[removeContaminatedSpans]]) acts on — the decontamination variant
+    * of the Lee et al. exact-substring machinery.
+    *
+    * 100 TB posture: benchmark suites are tiny next to a training corpus,
+    * so the DISTINCT benchmark gram-hash set BROADCASTS and flagging is a
+    * scan-side semi-join on the corpus's narrow token explode — the corpus
+    * is never shuffled to find contaminated windows; only the flagged span
+    * relation (a vanishing fraction) passes through the per-doc island
+    * merge window. */
+  def contaminatedSpanStats(
+      corpus: DataFrame, benchmark: DataFrame, textCol: String = "text",
+      w: Int = ContamGramSize): DataFrame = {
+    val toks = tokenArrays(corpus, textCol)
+    coverageStats(toks, mergeIslands(contaminatedSpans(toks, benchmark, textCol, w)),
+      spansCol = "n_spans", tokensCol = "contam_tokens", ratioCol = "contam_ratio")
+  }
+
+  /** The removal pass [[contaminatedSpanStats]] measures: drop every token
+    * covered by a benchmark-overlapping span and reassemble the document
+    * from what survives — benchmark text is excised, the rest of the
+    * document is kept (unlike doc-level decontamination, which discards
+    * whole documents over one shared sentence). */
+  def removeContaminatedSpans(
+      corpus: DataFrame, benchmark: DataFrame, textCol: String = "text",
+      w: Int = ContamGramSize): DataFrame = {
+    val toks = tokenArrays(corpus, textCol)
+    cleanedDocs(toks, mergeIslands(contaminatedSpans(toks, benchmark, textCol, w)))
+  }
+
+  /** Corpus windows covered by benchmark grams, pre-island-merge:
+    * (doc_id, start, e). The benchmark side reduces to DISTINCT gram
+    * hashes (fixed-width 32-byte keys) and broadcasts. */
+  private def contaminatedSpans(
+      toks: DataFrame, benchmark: DataFrame, textCol: String, w: Int): DataFrame = {
+    val benchGrams = windowGrams(tokenArrays(benchmark, textCol), w)
+      .select("gh").distinct()
+    windowGrams(toks, w)
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("e"))
   }
 
   /** Incremental [[duplicatedSpanStats]] — the delta-vs-history shape the

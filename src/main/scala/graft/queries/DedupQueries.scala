@@ -542,8 +542,120 @@ object DedupQueries {
         WITH $simhashPairsCtes
         SELECT doc_a, doc_b, hamming FROM spairs
         WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
-        ORDER BY doc_a, doc_b"""))
+        ORDER BY doc_a, doc_b""")),
+
+    // Span-level benchmark decontamination stats: docs with doc_id % 10 = 0
+    // stand in for the eval benchmark (same split as text_contamination);
+    // every corpus token window whose word-5-gram occurs anywhere in the
+    // benchmark is merged into maximal spans and reported per corpus doc.
+    // The benchmark gram set broadcasts; the corpus side never shuffles.
+    "decontam_span_stats" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.contaminatedSpanStats(
+          corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $decontamIslandCtes,
+        doc_agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS contam_tokens
+          FROM isl_agg GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(d.n_spans, 0) AS n_spans,
+               coalesce(d.contam_tokens, 0) AS contam_tokens,
+               round(coalesce(d.contam_tokens, 0) * 1.0 / b.n_tokens, 6)
+                 AS contam_ratio
+        FROM base b LEFT JOIN doc_agg d USING (doc_id)
+        WHERE b.doc_id % 10 <> 0
+        ORDER BY doc_id""")),
+
+    // The surgical removal pass those stats measure: benchmark-overlapping
+    // spans are excised and each corpus doc reassembled from surviving
+    // tokens — unlike doc-level decontamination, one shared sentence does
+    // not discard the whole document. Shares the island CTE chain with
+    // decontam_span_stats verbatim.
+    "decontam_span_clean" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.removeContaminatedSpans(
+          corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          benchmark = docs.where(pmod(col("doc_id"), lit(10)) === 0))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $decontamIslandCtes,
+        covered AS (
+          SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM isl_agg),
+        tok_pos AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks))) AS i
+                FROM toks WHERE doc_id % 10 <> 0)),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM tok_pos t
+          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.pos IS NULL),
+        agg AS (
+          SELECT doc_id, count(*) AS kept_tokens,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(a.kept_tokens, 0) AS kept_tokens,
+               coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM base b LEFT JOIN agg a USING (doc_id)
+        WHERE b.doc_id % 10 <> 0
+        ORDER BY doc_id"""))
   )
+
+  // Cross-corpus decontamination pipeline as a CTE chain ending in
+  // `isl_agg` (merged benchmark-covered spans over corpus docs) plus
+  // `toks`/`base` — shared by the decontam stats and removal oracles.
+  // Mirrors Dedup.contaminatedSpans exactly: md5 over the space-joined
+  // word-5-gram, hit = gram occurs in the doc_id % 10 = 0 benchmark
+  // slice, overlap-or-adjacent island merge.
+  private lazy val decontamIslandCtes: String = {
+    val w = Dedup.ContamGramSize
+    s"""
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+    cgrams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS start,
+             md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT),
+                              CAST(i + ${w - 1} AS INT)), ' ')) AS gh
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - ${w - 1})) AS i
+            FROM toks WHERE len(toks) >= $w)),
+    bgrams AS (
+      SELECT DISTINCT gh FROM cgrams WHERE doc_id % 10 = 0),
+    spans AS (
+      SELECT doc_id, start, start + ${w - 1} AS e
+      FROM cgrams
+      WHERE doc_id % 10 <> 0 AND gh IN (SELECT gh FROM bgrams)),
+    flagged AS (
+      SELECT doc_id, start, e,
+             CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM spans),
+    islands AS (
+      SELECT doc_id, start, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged),
+    isl_agg AS (
+      SELECT doc_id, isl, min(start) AS s, max(e) AS e
+      FROM islands GROUP BY doc_id, isl)"""
+  }
 
   // Exact-substring span pipeline as a CTE chain ending in `isl_agg
   // (doc_id, isl, s, e)` (merged duplicated spans, 1-based inclusive token

@@ -13,6 +13,10 @@ import graft.sim.Ann
 object MiscQueries {
   import QueryDef._
 
+  /** graph_pagerank iteration count — declared BEFORE `defs` (the map
+    * forces the oracle eagerly; a later-declared val would still be 0). */
+  private val PagerankIters = 5
+
   /** DuckDB mirror of Ann.topKApprox with its default planes
     * (hyperplanes(numPlanes, 64, seed=42)): same bucket bits, same
     * Hamming<=1 xor probes, same rounded-cosine ranking. */
@@ -580,6 +584,47 @@ object MiscQueries {
           WHERE vec_id NOT IN (SELECT doc_id FROM documents))
         ORDER BY "check"""")),
 
+    // Key-skew audit: per join/aggregation key, the row count, distinct
+    // keys, hottest-key row count and its share — the diagnostic that
+    // decides salting / AQE skew-join / broadcast before a 100 TB shuffle
+    // is launched (a top key holding >1% of a fact table is a straggler
+    // in waiting). Each key is one narrow groupBy + one 1-row aggregate;
+    // payload columns never scanned; report shape stable for alerting.
+    "audit_skew" -> QueryDef(
+      fn = (s, d) => {
+        def one(label: String, df: org.apache.spark.sql.DataFrame, key: String) =
+          df.groupBy(col(key)).agg(count(lit(1)).as("c"))
+            .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+              max(col("c")).as("max_key_rows"))
+            .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+              col("max_key_rows"),
+              round(col("max_key_rows") * lit(1.0) / col("n_rows"), 6).as("top_share"),
+              round(col("n_rows") * lit(1.0) / col("n_keys"), 6).as("avg_key_rows"))
+        one("events.user_id", t(s, d, "events"), "user_id")
+          .unionAll(one("lineitem.l_partkey", t(s, d, "lineitem"), "l_partkey"))
+          .unionAll(one("lineitem.l_suppkey", t(s, d, "lineitem"), "l_suppkey"))
+          .unionAll(one("orders.o_custkey", t(s, d, "orders"), "o_custkey"))
+          .orderBy("key_col")
+      },
+      oracle = Some {
+        def one(label: String, table: String, key: String) = s"""
+          SELECT '$label' AS key_col,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(c) AS BIGINT) AS max_key_rows
+          FROM (SELECT count(*) AS c FROM $table GROUP BY $key)"""
+        s"""
+        SELECT key_col, n_rows, n_keys, max_key_rows,
+               round(max_key_rows * 1.0 / n_rows, 6) AS top_share,
+               round(n_rows * 1.0 / n_keys, 6) AS avg_key_rows
+        FROM (${Seq(
+            one("events.user_id", "events", "user_id"),
+            one("lineitem.l_partkey", "lineitem", "l_partkey"),
+            one("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+            one("orders.o_custkey", "orders", "o_custkey")).mkString(" UNION ALL ")})
+        ORDER BY key_col"""
+      }),
+
     // k-anonymity audit: quasi-identifier combinations (nation, segment,
     // balance band) whose group is smaller than k=5 — the rows a data
     // release must suppress or generalize because they re-identify.
@@ -661,6 +706,60 @@ object MiscQueries {
         t(s, d, "documents")
           .select(col("doc_id"), expr("rolling_hash_min(text, 8)").as("rfp"))
           .orderBy("doc_id"),
-      oracle = Some(rollingFpOracle))
+      oracle = Some(rollingFpOracle)),
+
+    // Fixed-point integer PageRank (Graph.pageRank) over the symmetrized
+    // customer—supplier interaction multigraph (an order line = one unit
+    // of edge weight; node ids disjoint by parity). 5 iterations; every
+    // arithmetic step is integer, so the oracle replays the iterations as
+    // chained CTEs bit-exactly — the graph-centrality quality prior a
+    // crawl-corpus curation pipeline weights sources by.
+    "graph_pagerank" -> QueryDef(
+      fn = (s, d) => {
+        val ol = t(s, d, "orders").join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        val fwd = ol.select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.operators.Graph.pageRank(
+            fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"))),
+            iters = PagerankIters)
+          .orderBy("node")
+      },
+      oracle = Some(pagerankOracle),
+      bench = true)
   )
+
+  /** Oracle iterations generated from the same constants as the engine
+    * (Graph.DefaultScale, PagerankIters) so the two sides can't drift:
+    * it{k} = base + (85 · Σ rank//od) // 100, all integer — `//` on
+    * positive BIGINTs equals Spark's `DIV` truncation. */
+  private lazy val pagerankOracle: String = {
+    val scale = graft.operators.Graph.DefaultScale
+    val base = 15L * scale / 100L
+    val its = (1 to PagerankIters).map { k =>
+      s"""it$k AS (
+          SELECT n.node,
+                 CAST($base + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT)
+                   AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(e.rnk // e.od) AS BIGINT) AS insum
+            FROM (SELECT ed.src, ed.dst, ed.od, r.rank AS rnk
+                  FROM ed JOIN it${k - 1} r ON r.node = ed.src) e
+            GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n")
+    s"""
+      WITH edges AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      ed AS (SELECT e.src, e.dst, d.od FROM edges e JOIN outdeg d USING (src)),
+      nodes AS (SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges),
+      it0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+      $its
+      SELECT node, rank FROM it$PagerankIters ORDER BY node"""
+  }
 }

@@ -811,6 +811,33 @@ object RelationalQueries {
                  AS DOUBLE) AS hour_sum
         FROM events ORDER BY event_id""")),
 
+    // Sliding DISTINCT count over a value-based frame: per user, the
+    // maximum number of distinct event types seen in any trailing 1-hour
+    // window. Spark has no DISTINCT window aggregate, so the engine form
+    // is size(collect_set() OVER range-frame) — per-frame set size bounded
+    // by the event-type vocabulary, one shuffle on the user key; the frame
+    // is value-based so timestamp peers agree on both engines.
+    "window_sliding_distinct" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0)
+        t(s, d, "events")
+          .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+          .withColumn("d", size(collect_set(col("event_type")).over(w)).cast("long"))
+          .groupBy("user_id").agg(max(col("d")).as("max_types_1h"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH wd AS (
+          SELECT user_id,
+                 CAST(count(DISTINCT event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS d
+          FROM events)
+        SELECT user_id, max(d) AS max_types_1h
+        FROM wd GROUP BY user_id ORDER BY user_id""")),
+
     // Time-grid resampling (gap filling): one row per user-hour across
     // each user's active span, zeros where no events landed — the densify
     // step before any fixed-step time-series model. The grid explode is

@@ -721,6 +721,37 @@ object TextQueries {
         FROM grams GROUP BY bigram
         ORDER BY n_occurrences DESC, bigram LIMIT 20""")),
 
+    // BPE pair statistics (Bpe.pairCounts over the char-split word vocab):
+    // the top-20 most frequent adjacent character pairs weighted by word
+    // frequency — iteration 0 of BPE tokenizer training, hash-checking the
+    // vocab build, the pair explode, and the deterministic (cnt DESC, a,
+    // b) argmax ordering the iterative trainer (Bpe.train, spec-verified)
+    // applies each round. Counting runs over the DISTINCT-WORD vocab, not
+    // the corpus — the posture that makes tokenizer training affordable at
+    // 100 TB.
+    "bpe_pair_counts" -> QueryDef(
+      fn = (s, d) =>
+        graft.text.Bpe.pairCounts(graft.text.Bpe.charVocab(t(s, d, "documents")))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(20),
+      oracle = Some("""
+        WITH words AS (
+          SELECT w AS word, count(*) AS f
+          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY w),
+        pos AS (
+          SELECT word, f, unnest(generate_series(1, len(word) - 1)) AS i
+          FROM words WHERE len(word) >= 2),
+        pc AS (
+          SELECT substr(word, CAST(i AS INT), 1) AS a,
+                 substr(word, CAST(i + 1 AS INT), 1) AS b,
+                 CAST(sum(f) AS BIGINT) AS cnt
+          FROM pos GROUP BY 1, 2)
+        SELECT a, b, cnt FROM pc
+        ORDER BY cnt DESC, a, b LIMIT 20""")),
+
     // TF-IDF keywords: top-3 terms per document by tf·idf — the classic
     // relevance signal (quality scoring, topic tagging, search). tf is the
     // in-doc frequency; idf = ln(N/df) over the corpus. Shape: token

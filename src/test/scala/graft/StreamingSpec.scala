@@ -18,6 +18,20 @@ class StreamingSpec extends AnyFunSuite {
     spark.read.parquet(TestSpark.sf("sf0.001") + "/events.parquet")
   }
 
+  /** Publish a batch into a watched directory ATOMICALLY. A plain
+    * `df.write.parquet(watched/bN)` lands part-files one by one while the
+    * query's triggers keep firing, so one logical batch can split across
+    * micro-batches — admission sinks with in-batch tie-breaks (smaller id
+    * wins) then see the "later" doc as history and the assertion flakes.
+    * Writing to a staging dir and renaming it in makes all files appear in
+    * a single listing. */
+  private def publishBatch(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+    val stage = Files.createTempDirectory("graft-stage").toString + "/d"
+    df.write.mode("overwrite").parquet(stage)
+    Files.move(java.nio.file.Paths.get(stage), java.nio.file.Paths.get(dest),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   test("windowed counts over a file stream match the batch equivalent") {
     val dir = Files.createTempDirectory("graft-stream").toString
     staticEvents.write.mode("overwrite").parquet(dir)
@@ -235,8 +249,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("neardup_sink.docs").select("doc_id")
         .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
       // batch 2: dup of history doc 1, one new doc, an in-batch dup of it
-      Seq(doc(11, tA), doc(12, tD), doc(13, tD)).toDF("doc_id", "text", "lang")
-        .write.mode("overwrite").parquet(dir + "/b2")
+      publishBatch(Seq(doc(11, tA), doc(12, tD), doc(13, tD))
+        .toDF("doc_id", "text", "lang"), dir + "/b2")
       q.processAllAvailable()
     } finally q.stop()
     // appends happened in the stream's cloned session; this session read
@@ -400,9 +414,8 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("embdup_sink.vecs").select("vec_id")
         .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
       // batch 2: dup of history vec 1, one novel axis, an in-batch dup of it
-      Seq((11L, vec(0, 3f)), (12L, vec(3, 1f)), (13L, vec(3, 5f)))
-        .toDF("vec_id", "embedding")
-        .write.mode("overwrite").parquet(dir + "/b2")
+      publishBatch(Seq((11L, vec(0, 3f)), (12L, vec(3, 1f)), (13L, vec(3, 5f)))
+        .toDF("vec_id", "embedding"), dir + "/b2")
       q.processAllAvailable()
     } finally q.stop()
     spark.catalog.refreshTable("embdup_sink.vecs")
@@ -470,8 +483,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("phash_sink.media").select("media_id")
         .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
       // batch 2: a copy of history item 1, one novel, an in-batch dup of it
-      mediaOf(Seq((11L, tA), (12L, tD), (13L, tD)))
-        .write.mode("overwrite").parquet(dir + "/b2")
+      publishBatch(mediaOf(Seq((11L, tA), (12L, tD), (13L, tD))), dir + "/b2")
       q.processAllAvailable()
     } finally q.stop()
     spark.catalog.refreshTable("phash_sink.media")
