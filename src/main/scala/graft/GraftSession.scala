@@ -9,9 +9,10 @@ import org.apache.spark.sql.SparkSession
   *    replaces hand-tuned partition counts when data volume varies 1000x.
   *  - `shuffle.partitions` here is a local-mode default; on a real cluster it
   *    is AQE's initial value and should be ~2-3x total executor cores.
-  *  - Nanosecond parquet timestamps (events.ts) are read as epoch-nano longs
-  *    (`nanosAsLong`) — Spark has no TIMESTAMP(NANOS) type; all event-time
-  *    logic operates on int64 nanos and converts explicitly.
+  *  - The session time zone is pinned to UTC: `events.ts` is parquet
+  *    `timestamp[us]` (read as TIMESTAMP_NTZ), and event-time logic converts
+  *    it to epoch-micro longs via [[graft.sources.Tables.eventUs]] — the
+  *    NTZ→TIMESTAMP cast is only the identity under UTC.
   */
 object GraftSession {
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
@@ -20,7 +21,6 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       // ContextCleaner only learns a block is dead when the JVM collects
       // its RDD reference; on a large driver heap GC can lag for minutes
@@ -33,7 +33,7 @@ object GraftSession {
   /** Apply engine-required confs to an externally-built session (driver owns
     * the session in Verify/Bench; these are safe to set at runtime). */
   def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // Guarded: tune() runs per query; re-registering WARNs on every call.
     if (!spark.catalog.functionExists("rolling_hash_min"))

@@ -173,17 +173,18 @@ object DedupQueries {
       fn = (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val docs = t(s, d, "documents")
+        // persisted BEFORE the threshold action: the regex-heavy scoring
+        // scan feeds the threshold aggregate, the quality-survivor filter,
+        // and the stage-2 count — without the persist the corpus text is
+        // scored twice (two full scans at 100 TB where one suffices)
         val scored = docs.withColumn(
           "quality", TextAnalysis.qualityScore(col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val thr: Double = scored
           .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1))).as("t"))
           .head.getDouble(0)
-        // persisted: feeds the keeper aggregate, the survivor semi-join,
-        // AND the stage-2 count — without it the quality scan (regex-heavy)
-        // re-runs once per consumer
         val q = scored.where(col("quality") >= lit(thr))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keepers = q
           .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
@@ -194,7 +195,9 @@ object DedupQueries {
           Dedup.minHashLshPairs(e.select(col("doc_id"), col("text")), 0.8))
           .where(col("doc_id") =!= col("cluster_id"))
           .select("doc_id")
-        val n4 = e.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        // no broadcast hint: the dropped-doc set is unbounded (dup-heavy
+        // crawls shed 30-50% of docs) — let AQE pick the anti-join strategy
+        val n4 = e.join(drop, Seq("doc_id"), "left_anti")
         def stat(no: Long, name: String, df: org.apache.spark.sql.DataFrame) =
           df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
             .select(lit(no).as("stage_no"), lit(name).as("stage"),

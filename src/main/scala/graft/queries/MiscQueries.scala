@@ -515,12 +515,12 @@ object MiscQueries {
     // oracle cannot drift.
     "layout_zorder" -> QueryDef(
       fn = (s, d) => {
-        // ts is epoch-nanos (nanosAsLong); hours so 16 bits span ~7 years
+        // hours (Tables.eventHour) so 16 bits span ~7 years of data
         val z = graft.operators.Layout.zorderKey(
-          col("user_id"), expr("ts DIV 3600000000000"))
+          col("user_id"), graft.sources.Tables.eventHour)
         t(s, d, "events")
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 3600000000000").as("hr"), z.as("zval"))
+            graft.sources.Tables.eventHour.as("hr"), z.as("zval"))
           .orderBy("zval", "event_id")
       },
       oracle = Some {
@@ -678,7 +678,7 @@ object MiscQueries {
       fn = (s, d) => {
         val v = pmod(col("event_id"), lit(1024L))
         val z = graft.operators.Layout.zorderKeyN(
-          Seq(col("user_id"), expr("ts DIV 3600000000000"), v))
+          Seq(col("user_id"), graft.sources.Tables.eventHour, v))
         t(s, d, "events")
           .select(col("event_id"), v.as("v"), z.as("zval"))
           .orderBy("zval", "event_id")

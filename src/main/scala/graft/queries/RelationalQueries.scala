@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.sources.Tables
+
 /** North-star relational analytics over the star schema (SURVEY.md §7 item
   * 6): grouped aggregation, rollup, broadcast/shuffle joins, semi/anti
   * joins, window ranking and running totals, event-time bucketing and
@@ -15,8 +17,9 @@ import org.apache.spark.sql.types.DecimalType
   *    these;
   *  - aggregations are partial/final hash aggs (map-side combine) by
   *    construction — no distinct-heavy plans where a sort would do;
-  *  - event-time logic runs on epoch-nano longs (see GraftSession) — cheap
-  *    integer math, no timezone re-binding per row.
+  *  - event-time logic runs on epoch-micro longs derived once at the scan
+  *    ([[graft.sources.Tables.eventUs]]) — cheap integer math after that,
+  *    no timezone re-binding per row.
   */
 object RelationalQueries {
   import QueryDef._
@@ -169,7 +172,7 @@ object RelationalQueries {
         t(s, d, "events")
           .where(col("event_type").isin("view", "click"))
           .select(col("user_id"), col("event_id"),
-            expr("ts DIV 1000").as("us"), col("event_type"))
+            Tables.eventUs.as("us"), col("event_type"))
           .withColumn("last_view_us",
             max(when(col("event_type") === "view", col("us"))).over(w))
           .groupBy("user_id")
@@ -212,7 +215,7 @@ object RelationalQueries {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us"), col("event_id"))
         t(s, d, "events")
-          .select(col("user_id"), expr("ts DIV 1000").as("us"),
+          .select(col("user_id"), Tables.eventUs.as("us"),
             col("event_id"), col("event_type"))
           .withColumn("to_type", lead(col("event_type"), 1).over(w))
           .where(col("to_type").isNotNull)
@@ -408,7 +411,7 @@ object RelationalQueries {
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("us"), col("event_id"))
         t(s, d, "events")
-          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"))
+          .select(col("user_id"), col("event_id"), Tables.eventUs.as("us"))
           .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
           .select("user_id", "event_id", "gap_us")
           .orderBy("user_id", "event_id")
@@ -430,7 +433,7 @@ object RelationalQueries {
     "join_range" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
-          .select(col("user_id"), expr("ts DIV 1000").as("us"),
+          .select(col("user_id"), Tables.eventUs.as("us"),
             col("event_id"), col("event_type"))
         val byUser = Window.partitionBy(col("user_id"))
           .orderBy(col("us"), col("event_id"))
@@ -491,7 +494,7 @@ object RelationalQueries {
     "join_asof" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
-          .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"),
+          .select(col("user_id"), col("event_id"), Tables.eventUs.as("us"),
             col("event_type"), col("value"))
         val clicks = ev.where(col("event_type") === "click")
           .select("user_id", "event_id", "us")
@@ -797,7 +800,7 @@ object RelationalQueries {
           .rangeBetween(-3600000000L, 0)
         t(s, d, "events")
           .select(col("event_id"), col("user_id"),
-            expr("ts DIV 1000").as("us"), col("value"))
+            Tables.eventUs.as("us"), col("value"))
           .withColumn("hour_sum",
             sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
           .select("event_id", "user_id", "us", "hour_sum")
@@ -822,7 +825,7 @@ object RelationalQueries {
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-3600000000L, 0)
         t(s, d, "events")
-          .select(col("user_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+          .select(col("user_id"), Tables.eventUs.as("us"), col("event_type"))
           .withColumn("d", size(collect_set(col("event_type")).over(w)).cast("long"))
           .groupBy("user_id").agg(max(col("d")).as("max_types_1h"))
           .orderBy("user_id")
@@ -848,7 +851,7 @@ object RelationalQueries {
       fn = (s, d) => {
         val ev = t(s, d, "events")
           .where(col("user_id") % 50 === 0)
-          .select(col("user_id"), expr("ts DIV 3600000000000").as("h"))
+          .select(col("user_id"), Tables.eventHour.as("h"))
         val hourly = ev.groupBy("user_id", "h").agg(count(lit(1)).as("n"))
         val grid = ev.groupBy("user_id")
           .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
@@ -884,7 +887,7 @@ object RelationalQueries {
       fn = (s, d) => {
         val ev = t(s, d, "events")
           .where(col("user_id") % 50 === 0)
-          .select(col("user_id"), expr("ts DIV 3600000000000").as("h"),
+          .select(col("user_id"), Tables.eventHour.as("h"),
             col("value"))
         val obs = ev.groupBy("user_id", "h")
           .agg((sum(col("value").cast(DecimalType(18, 4))).cast("double") /
@@ -1091,13 +1094,12 @@ object RelationalQueries {
         FROM lineitem
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""")),
 
-    // Event-time bucketing on epoch-nano longs (ns parquet → bigint scan).
+    // Event-time bucketing on the epoch-micro scan-side key (Tables.eventHour
+    // uses integer `DIV`, NOT `/` — double division would round the inputs).
     "events_hourly" -> QueryDef(
       fn = (s, d) =>
         t(s, d, "events")
-          // integer `div`, NOT `/`: epoch-nanos exceed 2^53, double division
-          // would round the quotient's inputs
-          .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+          .withColumn("hour_bucket", Tables.eventHour)
           .groupBy("hour_bucket", "event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
           .orderBy("hour_bucket", "event_type"),
@@ -1111,12 +1113,12 @@ object RelationalQueries {
     // batch analog of streaming session windows (30 min gap).
     "events_sessionize" -> QueryDef(
       fn = (s, d) => {
-        // DuckDB truncates parquet TIMESTAMP_NS to µs on read, so the
-        // portable event-time domain is epoch-micros on both sides.
+        // The portable event-time domain is epoch-micros on both sides
+        // (fixture stores timestamp[us]; DuckDB compares via epoch_us).
         val byUser = Window.partitionBy(col("user_id"))
           .orderBy(col("ts_us"), col("event_id"))
         val ev = t(s, d, "events")
-          .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+          .select(col("user_id"), Tables.eventUs.as("ts_us"),
             col("event_id"), col("value"))
           .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
           .withColumn("new_session",
@@ -1164,7 +1166,7 @@ object RelationalQueries {
     "events_retention" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")
-          .select(col("user_id"), expr("ts DIV 1000 DIV 86400000000").as("day"))
+          .select(col("user_id"), Tables.eventDay.as("day"))
         val firsts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
         val active = ev.distinct()
         active.join(firsts, "user_id")

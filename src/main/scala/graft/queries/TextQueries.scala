@@ -425,12 +425,15 @@ object TextQueries {
     // across engines — no percentile interpolation to drift), computed as
     // a one-row distributed aggregate and pulled to the driver as a
     // literal (the watermark-pull pattern), so the filter itself stays a
-    // broadcast-free codegen'd scan. At 100 TB the same shape holds: one
-    // cheap global agg job, then a pure filter pass.
+    // broadcast-free codegen'd scan. The regex-heavy scoring projection is
+    // PERSISTED (narrow: doc_id + one double) before the threshold action,
+    // so the corpus text is scanned and scored exactly once — at 100 TB the
+    // second full scan the naive shape pays is the dominant cost.
     "quality_gate" -> QueryDef(
       fn = (s, d) => {
         val scored = t(s, d, "documents").select(
           col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+          .persist()
         val thr: Double = scored
           .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1))).as("t"))

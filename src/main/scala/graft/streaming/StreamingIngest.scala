@@ -16,9 +16,9 @@ import org.apache.spark.sql.types.StructType
   *    max() probe against the sink;
   *  - lateness is an explicit, bounded policy instead of silent loss.
   *
-  * Works on the events schema with `ts` as epoch-nano BIGINT (see
-  * GraftSession): event time is exposed as a real timestamp via
-  * `timestamp_micros(ts DIV 1000)`.
+  * Works on the events schema with `ts` as parquet `timestamp[us]` (read
+  * as TIMESTAMP_NTZ; session TZ is UTC, see GraftSession): event time is
+  * exposed as a real timestamp via `cast(ts as timestamp)`.
   */
 object StreamingIngest {
 
@@ -36,7 +36,7 @@ object StreamingIngest {
       events: DataFrame, windowLen: String = "1 hour",
       lateness: String = "30 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .withWatermark("event_time", lateness)
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -53,7 +53,7 @@ object StreamingIngest {
       events: DataFrame, keyCols: Seq[String],
       lateness: String = "30 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
@@ -67,7 +67,7 @@ object StreamingIngest {
       events: DataFrame, gap: String = "30 minutes",
       lateness: String = "30 minutes"): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .withWatermark("event_time", lateness)
       .groupBy(col("user_id"), session_window(col("event_time"), gap))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
@@ -84,12 +84,12 @@ object StreamingIngest {
       views: DataFrame, clicks: DataFrame,
       horizon: String = "30 minutes", lateness: String = "30 minutes"): DataFrame = {
     val v = views
-      .withColumn("view_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("view_time", col("ts").cast("timestamp"))
       .withWatermark("view_time", lateness)
       .select(col("user_id").as("v_user"), col("view_time"),
         col("event_id").as("view_id"))
     val c = clicks
-      .withColumn("click_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("click_time", col("ts").cast("timestamp"))
       .withWatermark("click_time", lateness)
       .select(col("user_id").as("c_user"), col("click_time"),
         col("event_id").as("click_id"))
@@ -104,7 +104,7 @@ object StreamingIngest {
   /** Streaming latest-per-key reconcile — the merge strategy's window
     * dedup ([[graft.operators.Reconcile]]) as continuously-maintained
     * state via `flatMapGroupsWithState`: state holds each key's current
-    * newest row (by a numeric version column, e.g. epoch nanos); every
+    * newest row (by a version column — numeric or timestamp); every
     * micro-batch emits the keys whose newest row changed. Update output
     * mode; state is one row per live key (the reconciled table itself),
     * which is the minimum any engine must hold for this semantic.
@@ -120,7 +120,26 @@ object StreamingIngest {
     implicit val keyEnc: Encoder[String] = Encoders.STRING
     val keyIdx = keyCols.map(events.schema.fieldIndex)
     val verIdx = events.schema.fieldIndex(versionCol)
-    def version(r: Row): Long = if (r.isNullAt(verIdx)) Long.MinValue else r.getLong(verIdx)
+    // Type-generic version extraction: the version column may be an
+    // integral (epoch micros/nanos as BIGINT), a TIMESTAMP/TIMESTAMP_NTZ
+    // (fixtures store events.ts as parquet timestamp[us]), or a narrower
+    // integer. Every branch maps monotonically to epoch micros, so the
+    // >=-wins comparison below is order-correct for all of them.
+    def version(r: Row): Long =
+      if (r.isNullAt(verIdx)) Long.MinValue
+      else r.get(verIdx) match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case t: java.sql.Timestamp =>
+          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        case i: java.time.Instant =>
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+        case ldt: java.time.LocalDateTime =>
+          val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+        case other => sys.error(
+          s"unsupported version column type at '$versionCol': ${other.getClass.getName}")
+      }
     // Collision-free composite key: each part is length-prefixed ("N" for
     // SQL NULL, which stays distinct from the 4-char string "null"); the
     // length prefix makes part boundaries unambiguous even for values that

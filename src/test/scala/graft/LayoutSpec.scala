@@ -21,7 +21,7 @@ class LayoutSpec extends AnyFunSuite {
   private lazy val ev = {
     val raw = Tables.load(spark, TestSpark.sf("sf0.001"), "events")
       .select(col("event_id"), col("user_id"),
-        expr("ts DIV 3600000000000").as("hr_abs"))
+        Tables.eventHour.as("hr_abs"))
     val h0 = raw.agg(min("hr_abs")).head.getLong(0)
     raw.select(col("event_id"), col("user_id"),
       (col("hr_abs") - h0).as("hr"))

@@ -87,6 +87,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"text_contamination does not broadcast the eval side:\n${plans("text_contamination")}")
   }
 
+  test("threshold-gated curation queries score the corpus text exactly once") {
+    // quality_gate / curation_funnel pull a corpus-mean threshold to the
+    // driver before filtering. The regex-heavy scoring projection must be
+    // persisted before that action — the returned plan then reads the
+    // CACHED relation (InMemoryTableScan) instead of re-scanning and
+    // re-scoring the documents text, which at 100 TB would double the
+    // dominant cost.
+    Seq("quality_gate", "curation_funnel").foreach { q =>
+      assert(plans(q).contains("InMemoryTableScan"),
+        s"$q re-scans the corpus instead of reading the cached scores:\n${plans(q)}")
+    }
+  }
+
+  test("the curation funnel's near-dup drop list is not force-broadcast") {
+    // the dropped-doc set is unbounded (dup-heavy crawls shed 30-50%), so
+    // the final anti-join must be left to AQE, not pinned to a broadcast
+    // that OOMs at scale. At sf0.001 AQE may still CHOOSE broadcast — the
+    // audit asserts the choice is not FORCED: no LeftAnti join may have a
+    // hint as its immediate build-side input. (Bounded broadcasts deeper in
+    // the pipeline — candidate-id semi-join pruning — are fine and stay.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val df = SparkEntry.queries("curation_funnel")(spark, sf)
+    val forced = df.queryExecution.analyzed.collect {
+      case j: Join if j.joinType.sql.contains("ANTI") &&
+        j.right.isInstanceOf[ResolvedHint] => j
+    }
+    assert(forced.isEmpty,
+      s"curation_funnel force-broadcasts an anti-join input: $forced")
+  }
+
   test("metadata-only multimodal queries never read the payload bytes") {
     // mm_bytes reads media (hashes it); mm_frame_sample slices it — but
     // text_stats over the same table must scan only its own columns.

@@ -45,7 +45,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("win_counts")
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
     val batch = staticEvents
-      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("event_time", col("ts").cast("timestamp"))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
@@ -178,7 +178,7 @@ class StreamingSpec extends AnyFunSuite {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val batch = staticEvents
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"), col("event_id"))
+      .select(col("user_id"), graft.sources.Tables.eventUs.as("ts_us"), col("event_id"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -600,7 +600,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-stream3").toString
     // duplicate every event with a nudged event time (+1s): key-only dedup
     // must still drop it — dropDuplicates(keys :+ event_time) would not
-    val nudged = staticEvents.withColumn("ts", col("ts") + lit(1000000000L))
+    val nudged = staticEvents.withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
     staticEvents.unionAll(nudged).write.mode("overwrite").parquet(dir)
     val stream = StreamingIngest.appendStream(
       spark, dir, staticEvents.schema, tag = "t")
@@ -623,7 +623,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val batch = {
       val ev = staticEvents
-        .withColumn("t", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("t", col("ts").cast("timestamp"))
       val v = ev.where(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("t").as("view_time"),
           col("event_id").as("view_id"))
