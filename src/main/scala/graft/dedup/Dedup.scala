@@ -124,6 +124,54 @@ object Dedup {
     result
   }
 
+  /** Word-n-gram CONTAINMENT near-dup pairs: same LSH candidate machinery
+    * as [[ngramJaccardPairs]], but scored with directional containment
+    * |A∩B| / min(|A|,|B|) — the measure that catches SUBSET duplication
+    * (one doc quoting or wholly containing another), where skewed sizes
+    * keep Jaccard low: a 100-token doc embedded verbatim in a 10k-token
+    * doc has J ≈ 0.01 but containment 1.0. Candidates still come from the
+    * symmetric Jaccard-tuned bands (scale path: bucketed, never
+    * all-pairs), so the operator's contract is "containment-scored LSH
+    * candidates"; the oracle replays the identical band machinery, making
+    * engine and oracle agree on the candidate universe by construction. */
+  def ngramContainmentPairs(
+      docs: DataFrame, threshold: Double = 0.6, n: Int = 3): DataFrame = {
+    val bands = bandKeys(wordMinHashSignatures(docs, n = n)).persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = wordShingles(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n = n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = containment(cand, candSh)
+      .where(col("containment") >= lit(threshold))
+      .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    bands.unpersist(false)
+    cand.unpersist(false)
+    candSh.unpersist(false)
+    result
+  }
+
+  /** Exact directional containment |A∩B| / min(|A|,|B|) for candidate
+    * pairs over the shingle sets (Broder's containment measure). */
+  def containment(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val s1 = sh.as("s1")
+    val s2 = sh.as("s2")
+    val inter = cand.as("c")
+      .join(s1, col("c.doc_a") === col("s1.doc_id"))
+      .join(s2, col("c.doc_b") === col("s2.doc_id") && col("s2.shingle") === col("s1.shingle"))
+      .groupBy(col("c.doc_a"), col("c.doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / least(col("na.n"), col("nb.n")), 6).as("containment"))
+  }
+
   /** Per-doc MinHash signature computed scan-side by the native
     * [[graft.functions.MinHashSigs]] expression: one row per doc with
     * columns m0..m{k-1}, NO shingle explode and NO shuffle — the whole

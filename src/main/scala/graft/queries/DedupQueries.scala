@@ -441,6 +441,53 @@ object DedupQueries {
         WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // Containment-scored near-dup pairs (Broder's containment,
+    // |A∩B| / min(|A|,|B|)): catches SUBSET duplication — one doc quoting
+    // or wholly containing another — where the size skew keeps Jaccard
+    // low. Same scan-side word-MinHash banding as dedup_ngram_jaccard
+    // (the scale path stays bucketed, never all-pairs); only the exact
+    // verify formula differs, so every containment pair at or above the
+    // Jaccard threshold is also a jaccard pair but not vice versa.
+    "dedup_containment" -> QueryDef(
+      fn = (s, d) => Dedup.ngramContainmentPairs(t(s, d, "documents"), threshold = 0.6),
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)],
+                           toks[CAST(i+2 AS INT)]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM toks WHERE len(toks) >= 3)),
+        ph AS (SELECT doc_id, $wordHornerExpr AS h FROM sh),
+        sigs AS (
+          SELECT doc_id, ${wordSigCols}
+          FROM ph GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.doc_a
+          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b,
+               round(i.i / least(na.n, nb.n), 6) AS containment
+        FROM inter i
+        JOIN sizes na ON i.doc_a = na.doc_id
+        JOIN sizes nb ON i.doc_b = nb.doc_id
+        WHERE round(i.i / least(na.n, nb.n), 6) >= 0.6
+        ORDER BY doc_a, doc_b""")),
+
     // Exact duplicated-substring coverage (Lee et al. ACL'22 within-corpus
     // exact-substring dedup): word-8-grams occurring >= 2 times corpus-wide
     // are merged per doc into maximal spans (gaps-and-islands); reports
