@@ -29,10 +29,15 @@ object Bench {
     // Median of `runs` timed passes per query: single-run machine noise
     // (±4 s observed between rounds) can otherwise mask or fake a real
     // regression. `queries` stays name→seconds (the median) for the
-    // driver; min/max land in `spread`.
+    // driver; min/max land in `spread`. Every pass starts from an EMPTY
+    // cache: query fns persist intermediates, and without clearCache
+    // passes 2-3 read the cache pass 1 populated, so the median measured
+    // warm state — cold cost is the number that maps to a 100 TB run
+    // (round-6 lesson: quality_gate median 0.12 s vs 0.33 s cold).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -41,25 +46,31 @@ object Bench {
             None
         }
       }
-      (name, times.sorted)
+      (name, times) // chronological; sorted views derived below
     }
     def f(v: Double): String = "%.3f".format(v)
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.size / 2) }
     val qs = results
       .map { case (k, ts) =>
-        "\"" + k + "\":" + (if (ts.nonEmpty) f(ts(ts.size / 2)) else "-1") }
+        "\"" + k + "\":" + (if (ts.nonEmpty) f(median(ts)) else "-1") }
       .mkString("{", ",", "}")
     val spread = results.collect { case (k, ts) if ts.nonEmpty =>
-      "\"" + k + "\":[" + f(ts.head) + "," + f(ts.last) + "]" }
+      "\"" + k + "\":[" + f(ts.min) + "," + f(ts.max) + "]" }
+      .mkString("{", ",", "}")
+    // run-1 time per query, kept alongside the median as direct evidence
+    // that the medians are cold-state (they should now agree within noise)
+    val cold = results.collect { case (k, ts) if ts.nonEmpty =>
+      "\"" + k + "\":" + f(ts.head) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => ts(ts.size / 2) }.sum
+    val total = results.collect { case (_, ts) if ts.nonEmpty => median(ts) }.sum
     // stdout gets the COMPACT line (medians only): the driver tail-captures
     // stdout with a small window, and the full line with per-query spreads
     // overflowed it in rounds 3 and 4 (front-truncated JSON, "parsed": null).
     // The full record, spreads included, goes to the file below.
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cold":$cold,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get(

@@ -109,9 +109,11 @@ object Dedup {
     val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // shingle sets only ever exist for candidate docs
+    // shingle sets only ever exist for candidate docs; the candidate set
+    // can reach 30-50% of a dup-heavy corpus, so the semi-join carries no
+    // broadcast hint — AQE picks the strategy from its actual size
     val candSh = wordShingles(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n = n)
+      docs.join(candDocs, Seq("doc_id"), "left_semi"), n = n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val result = jaccard(cand, candSh)
       .where(col("jaccard") >= lit(threshold))
@@ -141,7 +143,7 @@ object Dedup {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = wordShingles(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), n = n)
+      docs.join(candDocs, Seq("doc_id"), "left_semi"), n = n)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val result = containment(cand, candSh)
       .where(col("containment") >= lit(threshold))
@@ -318,9 +320,10 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    // Shingle sets for surviving candidate docs only; candDocs is tiny ->
-    // broadcast semi-join prunes the corpus before the explode.
-    val sh = shingles(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    // Shingle sets for surviving candidate docs only. The semi-join prunes
+    // the corpus before the explode; candDocs can reach 30-50% of a
+    // dup-heavy corpus, so no broadcast hint — AQE decides from size.
+    val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val result = jaccard(cand, sh)
       .where(col("jaccard") >= lit(threshold))

@@ -173,18 +173,20 @@ object DedupQueries {
       fn = (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val docs = t(s, d, "documents")
-        // persisted BEFORE the threshold action: the regex-heavy scoring
-        // scan feeds the threshold aggregate, the quality-survivor filter,
-        // and the stage-2 count — without the persist the corpus text is
-        // scored twice (two full scans at 100 TB where one suffices)
-        val scored = docs.withColumn(
-          "quality", TextAnalysis.qualityScore(col("text")))
+        // Score the corpus text exactly once, caching only the NARROW
+        // (doc_id, quality) projection — persisting the full rows (text
+        // included) would push the entire corpus through executor storage
+        // at 100 TB. Downstream stages that need text re-read the
+        // column-pruned parquet and semi-join the survivor ids.
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val thr: Double = scored
           .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1))).as("t"))
           .head.getDouble(0)
-        val q = scored.where(col("quality") >= lit(thr))
+        val qIds = scored.where(col("quality") >= lit(thr)).select("doc_id")
+        val q = docs.join(qIds, Seq("doc_id"), "left_semi")
         val keepers = q
           .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
@@ -202,11 +204,16 @@ object DedupQueries {
           df.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
             .select(lit(no).as("stage_no"), lit(name).as("stage"),
               col("n_docs"), col("n_chars"))
-        stat(1L, "raw", docs)
+        val result = stat(1L, "raw", docs)
           .unionAll(stat(2L, "quality", q))
           .unionAll(stat(3L, "exact_dedup", e))
           .unionAll(stat(4L, "near_dedup", n4))
           .orderBy("stage_no")
+          .persist()
+        result.count() // materialize the 4-row card while inputs are cached
+        scored.unpersist(false)
+        e.unpersist(false)
+        result
       },
       oracle = Some(s"""
         WITH RECURSIVE scored AS (
@@ -368,8 +375,9 @@ object DedupQueries {
     // The payoff step: materialize the DEDUPLICATED corpus — every doc
     // survives except cluster members that are not their cluster's
     // canonical keeper (min doc_id). Engine: anti-join against the
-    // non-keeper rows of the clustering; cost is the clustering plus one
-    // broadcast anti-join over the (tiny) non-keeper set.
+    // non-keeper rows of the clustering. The dropped-doc set is unbounded
+    // (dup-heavy crawls shed 30-50% of docs), so no broadcast hint — AQE
+    // broadcasts when the set is actually small, shuffles when not.
     "dedup_apply" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
@@ -377,7 +385,7 @@ object DedupQueries {
           Dedup.minHashLshPairs(docs, threshold = 0.8))
           .where(col("doc_id") =!= col("cluster_id"))
           .select("doc_id")
-        docs.join(broadcast(drop), Seq("doc_id"), "left_anti")
+        docs.join(drop, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("n_chars"))
           .orderBy("doc_id")
       },
@@ -446,8 +454,10 @@ object DedupQueries {
     // or wholly containing another — where the size skew keeps Jaccard
     // low. Same scan-side word-MinHash banding as dedup_ngram_jaccard
     // (the scale path stays bucketed, never all-pairs); only the exact
-    // verify formula differs, so every containment pair at or above the
-    // Jaccard threshold is also a jaccard pair but not vice versa.
+    // verify formula differs. Containment >= Jaccard always, so jaccard
+    // pairs above the threshold are a SUBSET of containment pairs — the
+    // extra pairs (like a 100-token doc embedded in a 10k-token one:
+    // J ≈ 0.01, containment 1.0) are this operator's reason to exist.
     "dedup_containment" -> QueryDef(
       fn = (s, d) => Dedup.ngramContainmentPairs(t(s, d, "documents"), threshold = 0.6),
       oracle = Some(s"""

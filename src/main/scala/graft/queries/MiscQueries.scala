@@ -376,16 +376,32 @@ object MiscQueries {
                  OR q.l_quantity > p.l_quantity))
         ORDER BY l_extendedprice""")),
 
-    // HLL sketch distinct (no oracle: sketch internals differ per engine;
-    // SketchSpec bounds the error against exact counts).
+    // HLL sketch distinct, adjudicated by TOLERANCE: the sketch estimate
+    // itself is engine-internal (a DuckDB HLL would hash differently), so
+    // the query emits the exact distinct count alongside a within-5%
+    // verdict comparing Spark's HLL estimate against it, and the oracle
+    // asserts the verdict is TRUE for every group. The ±5% bound IS the
+    // hash check — a sketch regression flips the boolean and fails the
+    // round's correctness gate instead of hiding behind no_oracle.
+    // (SketchSpec holds the same bound as a unit test.)
     "agg_approx_distinct" -> QueryDef(
       fn = (s, d) =>
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
             count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("exact_parts"), col("n"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts") <= lit(0.05)).as("within_5pct"))
           .orderBy("l_returnflag"),
-      oracle = None),
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               count(*) AS n,
+               TRUE AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // KMV (k-minimum-values) distinct sketch — the deterministic,
     // cross-engine-checkable counterpart to the HLL query above: hash

@@ -62,7 +62,9 @@ object RelationalQueries {
         ORDER BY l_returnflag, l_linestatus"""),
       bench = true),
 
-    // TPC-H Q3 shape: 3-way join, broadcast dimension, grouped top-k.
+    // TPC-H Q3 shape: 3-way join, grouped top-k. orders and customer are
+    // fact-sized relations (~1/4 and ~1/15 of lineitem) — no broadcast
+    // hints; AQE broadcasts at small SF and shuffles past the threshold.
     "q3_top_revenue" -> QueryDef(
       fn = (s, d) => {
         val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
@@ -70,8 +72,8 @@ object RelationalQueries {
           .where(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         val li = t(s, d, "lineitem")
           .where(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
-        li.join(broadcast(ord.join(broadcast(cust),
-            col("o_custkey") === col("c_custkey"))),
+        li.join(ord.join(cust,
+            col("o_custkey") === col("c_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_odate"))
           .agg(sum(revenueTerm).cast("double").as("revenue"))
@@ -91,7 +93,8 @@ object RelationalQueries {
         ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
       bench = true),
 
-    // TPC-H Q5 shape: 6-way star join, every dimension broadcast.
+    // TPC-H Q5 shape: 6-way star join. True dimensions (supplier, nation,
+    // region) broadcast; orders/customer are fact-sized, left to AQE.
     "q5_local_supplier" -> QueryDef(
       fn = (s, d) => {
         val region = t(s, d, "region").where(col("r_name") === "ASIA")
@@ -103,8 +106,8 @@ object RelationalQueries {
           col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
         val li = t(s, d, "lineitem")
         li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust),
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust,
             col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
           .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -128,8 +131,9 @@ object RelationalQueries {
       bench = true),
 
     // TPC-H Q10 shape: returned-item revenue per customer — fact filtered
-    // on return flag, quarter-windowed orders, two broadcast dimensions,
-    // top-20 by exact-decimal revenue with a unique-key tie-break.
+    // on return flag, quarter-windowed orders, top-20 by exact-decimal
+    // revenue with a unique-key tie-break. Only nation (25 rows) gets a
+    // broadcast hint; orders/customer join strategy is AQE's call.
     "q10_returned_items" -> QueryDef(
       fn = (s, d) => {
         val cust = t(s, d, "customer")
@@ -138,8 +142,8 @@ object RelationalQueries {
           col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
           col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
         t(s, d, "lineitem").where(col("l_returnflag") === "R")
-          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
           .agg(sum(revenueTerm).cast("double").as("revenue"))
@@ -266,8 +270,8 @@ object RelationalQueries {
           col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
         t(s, d, "lineitem")
           .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(t(s, d, "orders")), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
           .where(
@@ -293,8 +297,10 @@ object RelationalQueries {
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
     // TPC-H Q18 shape: large-volume orders — a HAVING subselect over the
-    // fact feeds back as a (small, broadcast) semi-filter on the same
-    // fact, then joins customer/orders.
+    // fact feeds back as a semi-filter on the same fact, then joins
+    // customer/orders. The big-order set is selective but still grows
+    // linearly with the fact, and orders/customer are fact-sized, so no
+    // side carries a forced broadcast — AQE picks per actual size.
     "q18_large_orders" -> QueryDef(
       fn = (s, d) => {
         val li = t(s, d, "lineitem")
@@ -302,9 +308,9 @@ object RelationalQueries {
           .agg(sum(col("l_quantity").cast(dec)).as("sq"))
           .where(col("sq") > 300)
           .select(col("l_orderkey").as("big_orderkey"))
-        li.join(broadcast(big), col("l_orderkey") === col("big_orderkey"))
-          .join(broadcast(t(s, d, "orders")), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        li.join(big, col("l_orderkey") === col("big_orderkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
           .agg(sum(col("l_quantity").cast(dec)).cast("double").as("total_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))

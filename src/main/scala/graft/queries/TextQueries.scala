@@ -428,7 +428,11 @@ object TextQueries {
     // broadcast-free codegen'd scan. The regex-heavy scoring projection is
     // PERSISTED (narrow: doc_id + one double) before the threshold action,
     // so the corpus text is scanned and scored exactly once — at 100 TB the
-    // second full scan the naive shape pays is the dominant cost.
+    // second full scan the naive shape pays is the dominant cost. The
+    // scoring cache is released before returning: the survivor RESULT
+    // (same narrow schema) is materialized from it and stays cached —
+    // that one cache intentionally outlives the builder because the
+    // returned plan reads it.
     "quality_gate" -> QueryDef(
       fn = (s, d) => {
         val scored = t(s, d, "documents").select(
@@ -438,7 +442,11 @@ object TextQueries {
           .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1))).as("t"))
           .head.getDouble(0)
-        scored.where(col("quality") >= lit(thr)).orderBy("doc_id")
+        val result = scored.where(col("quality") >= lit(thr)).orderBy("doc_id")
+          .persist()
+        result.count() // materialize while the scoring cache is live
+        scored.unpersist(false)
+        result
       },
       oracle = Some(s"""
         WITH scored AS (
@@ -659,7 +667,9 @@ object TextQueries {
           Dedup.minHashLshPairs(docs, threshold = 0.8))
           .where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"), lit(1L).as("is_dup"))
-        docs.join(broadcast(dupDocs), Seq("doc_id"), "left")
+        // dupDocs is unbounded (30-50% of a dup-heavy corpus) — no
+        // broadcast hint; AQE chooses the join strategy from actual size.
+        docs.join(dupDocs, Seq("doc_id"), "left")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"),
@@ -861,6 +871,64 @@ object TextQueries {
       oracle = Some("""
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // PII scrub as a hash-checked operator: the synthetic corpus contains
+    // no PII by construction (TextPiiSpec covers the regex semantics), so
+    // the query INJECTS deterministic synthetic PII — an email, an IPv4
+    // and a phone number derived from doc_id — into every document, then
+    // redacts and counts on the shared precedence chain (emails → IPs →
+    // digit-run phones; see TextAnalysis.redactPii). The oracle replays
+    // the identical injection and the same Java/RE2-compatible regexes,
+    // checking per-class counts and the md5 of the redacted text
+    // bit-for-bit. Scale shape: a pure codegen'd regexp_replace chain on
+    // the scan — no shuffle, no UDF.
+    "text_pii_redact" -> QueryDef(
+      fn = (s, d) => {
+        val pii = concat_ws(" ",
+          col("text"),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          concat(lit("10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100)).cast("string"),
+            lit(".1")),
+          concat(lit("+1 555 "),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 7, "0")))
+        t(s, d, "documents")
+          .select(col("doc_id"), pii.as("pt"))
+          .select(col("doc_id"),
+            TextAnalysis.piiCounts(col("pt")).as("c"),
+            md5(TextAnalysis.redactPii(col("pt"))).as("clean_md5"))
+          .select(col("doc_id"),
+            col("c.n_email").cast("long").as("n_email"),
+            col("c.n_ip").cast("long").as("n_ip"),
+            col("c.n_phone").cast("long").as("n_phone"),
+            col("clean_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH p AS (
+          SELECT doc_id,
+                 concat(text, ' user', CAST(doc_id AS VARCHAR), '@example.com',
+                        ' 10.', CAST(doc_id % 256 AS VARCHAR), '.',
+                        CAST(doc_id % 100 AS VARCHAR), '.1',
+                        ' +1 555 ', lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0'))
+                   AS pt
+          FROM documents),
+        r1 AS (
+          SELECT doc_id, pt,
+                 regexp_replace(pt, '${TextAnalysis.EmailRe}', '[EMAIL]', 'g') AS t1
+          FROM p),
+        r2 AS (
+          SELECT doc_id, pt, t1,
+                 regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '[IP]', 'g') AS t2
+          FROM r1)
+        SELECT doc_id,
+               len(regexp_extract_all(pt, '${TextAnalysis.EmailRe}')) AS n_email,
+               len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}')) AS n_ip,
+               len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}')) AS n_phone,
+               md5(regexp_replace(t2, '${TextAnalysis.PhoneRe}', '[PHONE]', 'g'))
+                 AS clean_md5
+        FROM r2 ORDER BY doc_id"""))
   )
 }

@@ -65,8 +65,10 @@ object TpchDeepQueries {
 
     // TPC-H Q8 shape: national market share — the widest star join in the
     // suite (7 relations, nation in two roles), a conditional aggregate
-    // numerator over the same rows as the denominator. Every dimension
-    // broadcasts; the fact never shuffles before the final group-by-year.
+    // numerator over the same rows as the denominator. True dimensions
+    // (part slice, supplier+nation, nation, region) broadcast; the
+    // orders window and the region-filtered customer set are fact-sized,
+    // so those joins are left to AQE.
     "q8_market_share" -> QueryDef(
       fn = (s, d) => {
         val partEco = t(s, d, "part").where(col("p_type") === "ECONOMY")
@@ -87,8 +89,8 @@ object TpchDeepQueries {
         t(s, d, "lineitem")
           .join(broadcast(partEco), col("l_partkey") === col("p_partkey"))
           .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(custNation, col("o_custkey") === col("c_custkey"))
           .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
           .agg(
             dsum(when(col("supp_nation") === "NATION_5", revenueTerm)

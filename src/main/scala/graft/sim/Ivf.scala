@@ -16,8 +16,8 @@ import graft.functions.VectorOps
   * the index is the corpus written partitioned/bucketed by `cell`; a query
   * batch joins only against its probed cells — candidate volume is
   * ~`nprobe/k` of the corpus per query, and the all-pairs cross join never
-  * happens. Everything is deterministic: stride-sampled init, fixed
-  * iteration count, no RNG.
+  * happens. Everything is deterministic: hash-rank-sampled init (the k
+  * smallest md5(id) vectors — density-free), fixed iteration count, no RNG.
   *
   * Cell assignment minimizes L2 distance via the monotone form
   * `argmax(v·c − |c|²/2)` — one dot product per centroid, no per-row
@@ -43,8 +43,8 @@ object Ivf {
     * DuckDB oracle ([[topKOracleSql]]) replay training bit-for-bit. */
   val MeanScale = 6
 
-  /** Deterministic Lloyd training: stride-sampled init over `idCol` order,
-    * `iters` assign/average rounds; empty cells keep their centroid. The
+  /** Deterministic Lloyd training: hash-rank-sampled init (smallest
+    * md5(id)), `iters` assign/average rounds; empty cells keep their centroid. The
     * vector relation feeds `iters + 2` jobs (count, init, assignments), so
     * it is persisted for the duration of training — without it each round
     * rescans the source. (Real systems train the coarse quantizer on a
@@ -56,17 +56,17 @@ object Ivf {
     val v = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = v.count()
-      val stride = math.max(n / k, 1L)
-      // Stride-filter on the id VALUE (no global row_number — a single-task
-      // sort over the corpus would bottleneck at scale); ids are dense in
-      // the fixtures, and any deterministic spread works as k-means init.
+      v.count() // materialize the cache before the training jobs
+      // Hash-rank seed sampling: the k vectors with the smallest md5(id) —
+      // deterministic, density-free (sparse or hashed ids work the same),
+      // and pseudo-randomly spread over the corpus. orderBy+limit plans as
+      // a per-partition top-k merge (TakeOrderedAndProject), not a global
+      // sort, so nothing bottlenecks at scale.
       var centroids: Array[Array[Double]] = v
-        .where(pmod(col("id"), lit(stride)) === 0)
-        .orderBy("id").limit(k)
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
         .select("v").collect().map(_.getSeq[Double](0).toArray)
       require(centroids.length == k,
-        s"ivf init: got ${centroids.length} seeds for k=$k (ids not dense?)")
+        s"ivf init: got ${centroids.length} seeds for k=$k (corpus smaller than k?)")
 
       val dim = centroids(0).length
       for (_ <- 1 to iters) {
@@ -166,12 +166,11 @@ object Ivf {
         FROM ${p}c${i - 1} p LEFT JOIN ${p}m$i m USING (cell)),"""
     }.mkString
     s"""
-      ${p}params AS (
-        SELECT greatest(count(*) // $numCells, 1) AS stride FROM v),
       ${p}c0 AS (
-        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
-        FROM (SELECT id, v FROM v, ${p}params
-              WHERE id % stride = 0 ORDER BY id LIMIT $numCells)),
+        SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+                 AS cell, v AS cv
+        FROM (SELECT id, v FROM v
+              ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $numCells)),
       $lloyd
       ${p}idx AS (
         SELECT c_id, cell FROM (
@@ -189,8 +188,8 @@ object Ivf {
   }
 
   /** DuckDB oracle mirroring [[topKApprox]] END-TO-END, training included:
-    * the `iters` Lloyd rounds are unrolled as chained CTEs — same stride
-    * init, same `argmax(v·c − |c|²/2)` assignment with the same
+    * the `iters` Lloyd rounds are unrolled as chained CTEs — same
+    * hash-rank init, same `argmax(v·c − |c|²/2)` assignment with the same
     * (score DESC, cell DESC) tie-break, same [[MeanScale]]-quantized means
     * (the quantization is what makes Spark's and DuckDB's float `avg`
     * land on the same value), same empty-cell carry-over — then the same

@@ -32,7 +32,8 @@ import graft.functions.VectorOps
   * per-query lookup table materializes implicitly, at codegen constant-fold
   * time, not as a join.
   *
-  * Everything is deterministic (stride init, fixed iterations, means
+  * Everything is deterministic (hash-rank init — the k smallest md5(id)
+  * vectors, density-free — fixed iterations, means
   * quantized to [[Ivf.MeanScale]] decimals), so the DuckDB oracle replays
   * training, encoding and ADC scoring end-to-end — the same guarantee
   * [[Ivf.topKOracleSql]] gives for the coarse quantizer.
@@ -51,7 +52,7 @@ object Pq {
   def subVector(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
 
   /** Deterministic per-subspace k-means, all subspaces trained in the SAME
-    * corpus scans: seeds are stride-sampled full vectors sliced into each
+    * corpus scans: seeds are hash-rank-sampled full vectors sliced into each
     * subspace; each Lloyd round assigns all M cells in one projection and
     * averages per (subspace, cell, coordinate) in one aggregate — one scan
     * per iteration TOTAL, not per subspace. Returns books(m)(cell)(coord),
@@ -63,14 +64,14 @@ object Pq {
     val v = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = v.count()
-      val stride = math.max(n / k, 1L)
+      v.count() // materialize the cache before the training jobs
+      // Hash-rank seed sampling (see Ivf.trainCentroids): density-free and
+      // deterministic — the k vectors with the smallest md5(id).
       val seeds: Array[Array[Double]] = v
-        .where(pmod(col("id"), lit(stride)) === 0)
-        .orderBy("id").limit(k)
+        .orderBy(md5(col("id").cast("string")), col("id")).limit(k)
         .select("v").collect().map(_.getSeq[Double](0).toArray)
       require(seeds.length == k,
-        s"pq init: got ${seeds.length} seeds for k=$k (ids not dense?)")
+        s"pq init: got ${seeds.length} seeds for k=$k (corpus smaller than k?)")
       var books: Array[Array[Array[Double]]] =
         Array.tabulate(NumSubspaces)(m =>
           seeds.map(_.slice(m * SubDim, (m + 1) * SubDim)))
@@ -149,7 +150,7 @@ object Pq {
       .orderBy("q_id", "rnk")
   }
 
-  /** Per-subspace codebook oracle fragments — stride seeds sliced per
+  /** Per-subspace codebook oracle fragments — hash-rank seeds sliced per
     * subspace, Lloyd rounds unrolled, and the final code assignment
     * `${px}s{m}_code(id, cell)` with codewords in `${px}s{m}_c{iters}` and
     * query slices in `${px}s{m}_v` — everything downstream of a `v(id, v)`
@@ -194,12 +195,11 @@ object Pq {
           FROM ${p}_v a CROSS JOIN ${p}_c$iters c) WHERE rn = 1)"""
     }.mkString(",")
     s"""
-      ${px}params AS (
-        SELECT greatest(count(*) // $k, 1) AS stride FROM $src),
       ${px}seeds AS (
-        SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v
-        FROM (SELECT id, v FROM $src, ${px}params
-              WHERE id % stride = 0 ORDER BY id LIMIT $k)),
+        SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+                 AS cell, v
+        FROM (SELECT id, v FROM $src
+              ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $k)),
       $perSub"""
   }
 
@@ -221,7 +221,7 @@ object Pq {
   }
 
   /** DuckDB oracle mirroring train → encode → ADC-rank END-TO-END: the
-    * per-subspace Lloyd rounds are unrolled as chained CTEs (same stride
+    * per-subspace Lloyd rounds are unrolled as chained CTEs (same hash-rank
     * seeds sliced per subspace, same argmax assignment with ties toward
     * the larger cell, same [[Ivf.MeanScale]]-quantized means, same
     * empty-cell carry-over), then the same code assignment and the same

@@ -131,7 +131,11 @@ object StreamingIngest {
         case l: java.lang.Long => l
         case i: java.lang.Integer => i.toLong
         case t: java.sql.Timestamp =>
-          t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+          // floorDiv: getTime/1000 truncates toward zero, so for pre-epoch
+          // values the (always-positive) getNanos fraction would be ADDED
+          // to a too-large second, mapping e.g. -0.5s to +500000µs and
+          // breaking the monotonic-order contract of >=-wins below.
+          Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
         case i: java.time.Instant =>
           Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
         case ldt: java.time.LocalDateTime =>

@@ -82,7 +82,7 @@ object ProfileMinhash {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     time("stage: candDocs")(println("  docs=" + candDocs.count()))
-    val sh = Dedup.shingles(docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi"))
+    val sh = Dedup.shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     time("stage: shingles persist")(println("  sh=" + sh.count()))
     val result = Dedup.jaccard(cand, sh)

@@ -46,9 +46,13 @@ class FixtureSchemaSpec extends AnyFunSuite {
   test("every fixture table matches its pinned Spark schema") {
     val diffs = Tables.all.flatMap { name =>
       val actual = ddl(name)
-      val want = expected(name)
-      if (actual == want) None
-      else Some(s"$name:\n  expected: $want\n  actual:   $actual")
+      // .get so a table added to Tables.all without a pinned schema shows
+      // up in the same readable diff instead of a bare NoSuchElementException
+      expected.get(name) match {
+        case Some(want) if actual == want => None
+        case Some(want) => Some(s"$name:\n  expected: $want\n  actual:   $actual")
+        case None => Some(s"$name: no pinned schema (actual: $actual)")
+      }
     }
     assert(diffs.isEmpty,
       "fixture schema drift (update FIXTURES.md + Tables helpers + this spec " +

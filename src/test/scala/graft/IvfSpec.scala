@@ -38,6 +38,20 @@ class IvfSpec extends AnyFunSuite {
     assert(idx.groupBy("cell").count().count() > 1, "degenerate quantizer: one cell")
   }
 
+  test("training works on sparse/non-dense ids (hash-rank seeds)") {
+    // Remap ids to a sparse, irregular space: stride-based seeding would
+    // find no ids divisible by its stride here; hash-rank seeding must not
+    // care. Same vectors → same k, deterministic across runs.
+    val sparse = emb.select(
+      (col("vec_id") * 1000003L + 17L).as("vec_id"), col("embedding"))
+    val c1 = Ivf.trainCentroids(sparse, k = 16, iters = 2)
+    val c2 = Ivf.trainCentroids(sparse, k = 16, iters = 2)
+    assert(c1.length == 16 && c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    val books = graft.sim.Pq.trainCodebooks(sparse, k = 8, iters = 1)
+    assert(books.length == graft.sim.Pq.NumSubspaces &&
+      books.forall(_.length == 8))
+  }
+
   test("IVF scores are exact cosines") {
     val exactAll = bruteTopK(499)
     Ivf.topKApprox(emb, emb.where(col("vec_id") < 20), k = 10)
