@@ -97,4 +97,29 @@ object Layout {
       .repartition(shards, col("shard"))
       .sortWithinPartitions("shard", "pos")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Write `df` into the session catalog bucketed AND sorted by `key`:
+    * the layout that makes every later equi-join or aggregation on `key`
+    * Exchange-free — each bucket pairs 1:1 with the other side's
+    * equal-count buckets, so a SortMergeJoin reads both scans in place
+    * with no shuffle and no sort. The 100 TB contract: pay the
+    * distribution cost ONCE at write time, never again per query — the
+    * same trade the reference's partitioned Hive tables make for
+    * partition pruning, applied to join/agg distribution instead.
+    * BucketJoinSpec pins the Exchange-free plan shape. */
+  def bucketedWrite(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two catalog tables on `key`. Planned with zero Exchange
+    * and zero Sort when both sides were written by [[bucketedWrite]]
+    * with the SAME bucket count — Spark matches the bucket spec to the
+    * join's required distribution. */
+  def bucketedJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 }

@@ -59,4 +59,30 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(merged.head, merged.tail: _*)
   }
+
+  /** Salted equi-join for PRE-KNOWN hot keys: the big side gets a
+    * deterministic salt from its non-key values, the small side is
+    * replicated once per salt, and the join key becomes (keys, salt) —
+    * so a key that hashed to one reducer now spreads over `salts` of
+    * them. The result is EXACTLY the plain equi-join (every big-side row
+    * meets every matching small-side row exactly once, at its own salt).
+    *
+    * Relationship to AQE: AQE's skew-join split re-plans hot PARTITIONS
+    * at runtime and is the right default. Explicit salting is the static
+    * cure left for the case AQE's granularity cannot fix: tiny key
+    * cardinality (a 5-language corpus joined to per-language stats) where
+    * EVERY partition of the plain shuffle is a hot key, and for
+    * broadcast-ineligible small sides. Cost: `salts ×` replication of
+    * the small side — keep `small` genuinely small. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val valueCols = big.columns.filterNot(keys.contains).map(col).toIndexedSeq
+    val saltExpr =
+      if (valueCols.nonEmpty) pmod(hash(valueCols: _*), lit(salts))
+      else pmod(spark_partition_id(), lit(salts))
+    val b = big.withColumn("__salt", saltExpr)
+    val sm = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    b.join(sm, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -668,7 +668,91 @@ object DedupQueries {
                coalesce(a.clean_md5, md5('')) AS clean_md5
         FROM base b LEFT JOIN agg a USING (doc_id)
         WHERE b.doc_id % 10 <> 0
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // URL-canonicalization dedup — stage 1 of every crawl pipeline: the
+    // same page arrives under scheme/host-case/fragment/tracking-param/
+    // trailing-slash variants, and canonicalizing the URL collapses them
+    // BEFORE any content hashing runs. The fixtures carry no URLs, so the
+    // query injects a deterministic messy URL per doc (4 variants of a
+    // shared page path keyed by doc_id % 4 — same synthesis-oracle
+    // pattern as text_pii_redact). Canonicalization: drop the fragment,
+    // drop the scheme (http/https alias the same page), lowercase the
+    // host only (paths are case-sensitive), strip utm_* tracking params
+    // (real params survive — variant 3 keeps ?id=1 and correctly stays a
+    // distinct page), strip the trailing slash. Everything is a
+    // codegen'd regexp chain on the scan; the only shuffle is the
+    // canonical-key window for the keeper choice. The oracle replays the
+    // identical chain (RE2 backrefs spelled \\1 vs Java's $1).
+    "dedup_url_canonical" -> QueryDef(
+      fn = (s, d) => {
+        val url = {
+          val page = concat(lit("www.example.com/Pages/p"),
+            expr("doc_id div 4").cast("string"))
+          val v = pmod(col("doc_id"), lit(4))
+          when(v === 0, concat(lit("http://"), upper(substring(page, 1, 15)),
+              substring(page, 16, 1000), lit("?utm_source=feed")))
+            .when(v === 1, concat(lit("https://"), page, lit("/")))
+            .when(v === 2, concat(lit("http://"), page, lit("#section-2")))
+            .otherwise(concat(lit("http://"), page,
+              lit("?id=1&utm_campaign=crawl")))
+        }
+        def canonOf(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val noFrag = regexp_replace(u, "#.*$", "")
+          val noScheme = regexp_replace(noFrag, "^https?://", "")
+          val hostLower = concat(
+            lower(regexp_extract(noScheme, "^[^/]+", 0)),
+            regexp_replace(noScheme, "^[^/]+", ""))
+          val noUtm = regexp_replace(hostLower, "[?&]utm_[a-z]+=[^&#]*", "")
+          regexp_replace(noUtm, "/$", "")
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon_url"))
+        t(s, d, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"), canonOf(col("url")).as("canon_url"))
+          .withColumn("keeper", min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("canon_url"), col("keeper"),
+            (col("doc_id") =!= col("keeper")).as("is_dup"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN concat('http://',
+                     upper(substr(concat('www.example.com/Pages/p',
+                                         CAST(doc_id // 4 AS VARCHAR)), 1, 15)),
+                     substr(concat('www.example.com/Pages/p',
+                                   CAST(doc_id // 4 AS VARCHAR)), 16, 1000),
+                     '?utm_source=feed')
+                   WHEN 1 THEN concat('https://www.example.com/Pages/p',
+                     CAST(doc_id // 4 AS VARCHAR), '/')
+                   WHEN 2 THEN concat('http://www.example.com/Pages/p',
+                     CAST(doc_id // 4 AS VARCHAR), '#section-2')
+                   ELSE concat('http://www.example.com/Pages/p',
+                     CAST(doc_id // 4 AS VARCHAR), '?id=1&utm_campaign=crawl')
+                 END AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id, url,
+                 regexp_replace(
+                   regexp_replace(
+                     concat(
+                       lower(regexp_extract(
+                         regexp_replace(regexp_replace(url, '#.*$', ''),
+                                        '^https?://', ''),
+                         '^[^/]+')),
+                       regexp_replace(
+                         regexp_replace(regexp_replace(url, '#.*$', ''),
+                                        '^https?://', ''),
+                         '^[^/]+', '')),
+                     '[?&]utm_[a-z]+=[^&#]*', '', 'g'),
+                   '/$', '') AS canon_url
+          FROM u)
+        SELECT doc_id, canon_url,
+               min(doc_id) OVER (PARTITION BY canon_url) AS keeper,
+               doc_id <> min(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+        FROM c ORDER BY doc_id"""))
   )
 
   // Cross-corpus decontamination pipeline as a CTE chain ending in

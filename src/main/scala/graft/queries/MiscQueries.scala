@@ -457,6 +457,108 @@ object MiscQueries {
         FROM n LEFT JOIN kth USING (event_type)
         ORDER BY event_type""")),
 
+    // KMV sketch MERGE — the property that makes sketches the 100 TB
+    // rollup primitive: per-group min-k sketches are unioned and re-cut
+    // to the k smallest, and the result is EXACTLY the sketch a single
+    // global pass would build (every one of the k globally-smallest
+    // hashes is among its own group's k smallest), so hierarchical
+    // rollups never rescan the data — per-partition sketches merge
+    // upward in sketch-sized (k·groups) payloads. The query emits each
+    // group's estimate plus a '__all__' row whose estimate derives ONLY
+    // from the merged sketch contents; both are checked against exact
+    // distinct counts by the oracle, which replays the same md5-prefix
+    // hashing, the same min-k cuts, and the same merge. The merge window
+    // is a single-partition sort over k·groups rows — sketch-sized by
+    // construction, never data-sized.
+    "agg_kmv_merge" -> QueryDef(
+      fn = (s, d) => {
+        val k = 64
+        val H = 281474976710656.0 // 2^48, the md5-prefix hash range
+        // narrow (type, user, hash) distinct relation: feeds the per-group
+        // counts, the sketch window, and the exact-global check — persist
+        // so the distinct shuffle happens once
+        val pairs = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("h",
+            conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .persist()
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("user_id"))
+        val sk = pairs.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k)
+          .persist()
+        val perGroup = pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_exact"))
+          .join(sk.where(col("rn") === k)
+            .select(col("event_type"), col("h").as("hk")),
+            Seq("event_type"), "left")
+          .select(col("event_type"), col("n_exact"),
+            round(
+              when(col("hk").isNull, col("n_exact").cast("double"))
+                .otherwise(lit((k - 1).toDouble * H) / col("hk")),
+              6).as("est"))
+        // merged sketch: distinct users across the group sketches, re-cut
+        // to the k smallest — the lossless union described above
+        val mu = sk.select(col("h"), col("user_id")).distinct()
+        val mr = mu.withColumn("rn",
+          row_number().over(Window.orderBy(col("h"), col("user_id"))))
+          .where(col("rn") <= k)
+        // global exact distinct: verification evidence only (the merged
+        // estimate itself never touches the full relation)
+        val nAll: Long = pairs.agg(countDistinct(col("user_id"))).head.getLong(0)
+        val allRow = mr
+          .agg(count(lit(1)).as("m"), max(when(col("rn") === k, col("h"))).as("hk"))
+          .select(lit("__all__").as("event_type"),
+            lit(nAll).as("n_exact"),
+            round(
+              when(col("m") < k, col("m").cast("double"))
+                .otherwise(lit((k - 1).toDouble * H) / col("hk")),
+              6).as("est"))
+        val result = perGroup.unionByName(allRow).orderBy("event_type").persist()
+        result.count() // materialize while the sketch cache is live
+        sk.unpersist(false)
+        pairs.unpersist(false)
+        result
+      },
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (
+          SELECT event_type, user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM d),
+        r AS (
+          SELECT event_type, user_id, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, user_id) AS rn
+          FROM h),
+        sk AS (SELECT * FROM r WHERE rn <= 64),
+        n AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY 1),
+        pg AS (
+          SELECT n.event_type, n.n_exact,
+                 round(CASE WHEN kth.hk IS NULL THEN CAST(n.n_exact AS DOUBLE)
+                            ELSE 63.0 * 281474976710656 / kth.hk END, 6) AS est
+          FROM n
+          LEFT JOIN (SELECT event_type, h AS hk FROM sk WHERE rn = 64) kth
+            USING (event_type)),
+        mu AS (SELECT DISTINCT h, user_id FROM sk),
+        mr AS (
+          SELECT h, row_number() OVER (ORDER BY h, user_id) AS rn FROM mu),
+        ma AS (
+          SELECT count(*) AS m,
+                 max(CASE WHEN rn = 64 THEN h END) AS hk
+          FROM (SELECT * FROM mr WHERE rn <= 64)),
+        mall AS (
+          SELECT '__all__' AS event_type,
+                 (SELECT count(DISTINCT user_id) FROM events) AS n_exact,
+                 round(CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+                            ELSE 63.0 * 281474976710656 / hk END, 6) AS est
+          FROM ma)
+        SELECT event_type, n_exact, est FROM pg
+        UNION ALL SELECT event_type, n_exact, est FROM mall
+        ORDER BY event_type""")),
+
     // Data profiling: null count, exact distinct count, and min/max per
     // column, one row per column — the "what's in this table" pass every
     // ingestion pipeline runs before trusting a new source. One aggregate
@@ -640,6 +742,54 @@ object MiscQueries {
             one("orders.o_custkey", "orders", "o_custkey")).mkString(" UNION ALL ")})
         ORDER BY key_col"""
       }),
+
+    // The salting cure audit_skew prescribes, applied: a two-phase salted
+    // aggregation whose result EQUALS the plain groupBy (the salt exists
+    // only in the first shuffle, which becomes uniform; the second pass
+    // merges salts×keys partials — trivially small). Only order-insensitive
+    // exact aggregates (count/min/max) so the oracle is the plain SQL
+    // aggregate bit-for-bit — a float sum's re-association would drift.
+    "agg_skew_salted" -> QueryDef(
+      fn = (s, d) =>
+        graft.operators.Skew.saltedAgg(
+            t(s, d, "lineitem").select("l_returnflag", "l_quantity"),
+            Seq("l_returnflag"),
+            Seq(graft.operators.Skew.CountRows("n"),
+              graft.operators.Skew.Min("l_quantity", "min_qty"),
+              graft.operators.Skew.Max("l_quantity", "max_qty")))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Salted equi-join on a pathologically hot key: documents joined to
+    // per-language stats — 5 distinct languages means the PLAIN shuffle
+    // has five hot partitions and nothing else, the exact shape AQE's
+    // partition-granular skew split cannot fix. Skew.saltedJoin spreads
+    // each language over 8 salts (big side salted deterministically from
+    // its non-key values, small side replicated 8x) and the result is
+    // EXACTLY the plain join, which is what the oracle runs.
+    "join_skew_salted" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        val rates = docs.groupBy("lang")
+          .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("lang_avg"))
+        graft.operators.Skew.saltedJoin(docs, rates, Seq("lang"), salts = 8)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("lang_avg"),
+            (col("n_chars") > col("lang_avg")).as("above_avg"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH r AS (
+          SELECT lang,
+                 round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS lang_avg
+          FROM documents GROUP BY lang)
+        SELECT doc_id, lang, n_chars, lang_avg,
+               n_chars > lang_avg AS above_avg
+        FROM documents JOIN r USING (lang)
+        ORDER BY doc_id""")),
 
     // k-anonymity audit: quasi-identifier combinations (nation, segment,
     // balance band) whose group is smaller than k=5 — the rows a data
