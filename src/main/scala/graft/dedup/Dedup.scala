@@ -156,6 +156,45 @@ object Dedup {
     result
   }
 
+  /** Delta-aware containment near-dedup: the same banded candidate
+    * machinery as [[ngramContainmentPairs]], but candidate generation only
+    * probes band collisions that TOUCH the delta (delta×history plus
+    * delta×delta) — O(delta) band joins against the standing band table,
+    * never a full corpus re-pair. Result equals the full pipeline's pairs
+    * restricted to pairs with at least one delta side (history-history
+    * collisions were already reported in previous batches), which is what
+    * the oracle replays. */
+  def ngramContainmentPairsIncremental(
+      history: DataFrame, delta: DataFrame,
+      threshold: Double = 0.6, n: Int = 3): DataFrame = {
+    val bandsH = bandKeys(wordMinHashSignatures(history, n = n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsD = bandKeys(wordMinHashSignatures(delta, n = n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dh = bandsD.as("a").join(bandsH.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val dd = bandsD.as("a").join(bandsD.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = dh.union(dd).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = wordShingles(
+      history.unionByName(delta).join(candDocs, Seq("doc_id"), "left_semi"), n = n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val result = containment(cand, candSh)
+      .where(col("containment") >= lit(threshold))
+      .orderBy("doc_a", "doc_b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    Seq(bandsH, bandsD, cand, candSh).foreach(_.unpersist(false))
+    result
+  }
+
   /** Exact directional containment |A∩B| / min(|A|,|B|) for candidate
     * pairs over the shingle sets (Broder's containment measure). */
   def containment(cand: DataFrame, sh: DataFrame): DataFrame = {

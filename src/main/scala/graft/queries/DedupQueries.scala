@@ -498,6 +498,58 @@ object DedupQueries {
         WHERE round(i.i / least(na.n, nb.n), 6) >= 0.6
         ORDER BY doc_a, doc_b""")),
 
+    // Incremental containment: only band collisions touching the delta
+    // (odd doc_ids; evens are standing history) are probed — O(delta)
+    // band joins against the standing band table. Equals the full
+    // containment pipeline restricted to pairs with a delta side, which
+    // is exactly how the oracle replays it.
+    "dedup_containment_incr" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.ngramContainmentPairsIncremental(
+          history = docs.where(col("doc_id") % 2 === 0),
+          delta = docs.where(col("doc_id") % 2 === 1),
+          threshold = 0.6)
+      },
+      oracle = Some(s"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)],
+                           toks[CAST(i+2 AS INT)]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM toks WHERE len(toks) >= 3)),
+        ph AS (SELECT doc_id, $wordHornerExpr AS h FROM sh),
+        sigs AS (
+          SELECT doc_id, ${wordSigCols}
+          FROM ph GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN sh s1 ON s1.doc_id = c.doc_a
+          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT i.doc_a, i.doc_b,
+               round(i.i / least(na.n, nb.n), 6) AS containment
+        FROM inter i
+        JOIN sizes na ON i.doc_a = na.doc_id
+        JOIN sizes nb ON i.doc_b = nb.doc_id
+        WHERE round(i.i / least(na.n, nb.n), 6) >= 0.6
+          AND (i.doc_a % 2 = 1 OR i.doc_b % 2 = 1)
+        ORDER BY doc_a, doc_b""")),
+
     // Exact duplicated-substring coverage (Lee et al. ACL'22 within-corpus
     // exact-substring dedup): word-8-grams occurring >= 2 times corpus-wide
     // are merged per doc into maximal spans (gaps-and-islands); reports

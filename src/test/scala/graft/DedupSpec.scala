@@ -91,6 +91,7 @@ class DedupSpec extends AnyFunSuite {
     val docs = spark.read.parquet(TestSpark.sf("sf0.001") + "/documents.parquet")
     val emptyDocs = docs.limit(0)
     assert(Dedup.minHashLshPairsIncremental(docs, emptyDocs, 0.8).isEmpty)
+    assert(Dedup.ngramContainmentPairsIncremental(docs, emptyDocs, 0.6).isEmpty)
     assert(Dedup.simHashPairsIncremental(docs, emptyDocs).isEmpty)
     assert(Dedup.exactDeltaNew(docs, emptyDocs).isEmpty)
     assert(Dedup.duplicatedSpanStatsIncremental(docs, emptyDocs).isEmpty)

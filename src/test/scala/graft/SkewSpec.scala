@@ -23,6 +23,25 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("salted join equals the plain join, duplicates and all-hot keys included") {
+    import spark.implicits._
+    // worst case: ONE key holds every big-side row, and the small side
+    // carries duplicate key rows (each must match every big row once per
+    // occurrence, exactly like the plain join)
+    val big = (1 to 5000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    val small = Seq(("hot", "a"), ("hot", "b"), ("cold", "c")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, Seq("k"), salts = 8)
+      .select(plain.columns.map(col): _*)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+    // and the salt genuinely spread the hot key's rows
+    val spread = big
+      .withColumn("__salt", pmod(hash($"v"), lit(8)))
+      .groupBy("__salt").count().count()
+    assert(spread == 8, s"salt spread only $spread of 8 sub-groups")
+  }
+
   test("a 100%-skewed key spreads across many salt sub-groups") {
     import spark.implicits._
     // one key carries every row — the worst case for a hash partitioner
