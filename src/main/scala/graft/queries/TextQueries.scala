@@ -770,9 +770,12 @@ object TextQueries {
     // in-doc frequency; idf = ln(N/df) over the corpus. Shape: token
     // explode → (doc, term) counts (map-side partials), per-doc totals by
     // window; document frequency aggregates the SAME (doc, term) relation
-    // down to the vocabulary (tiny) and broadcasts back; corpus size N is
-    // one count scalar. All ratios are int/int IEEE divisions + ln —
-    // bit-identical on both engines, so the score hash-matches.
+    // down to the vocabulary; corpus size N is one count scalar. The
+    // vocabulary is NOT bounded (Heaps' law: a web-scale corpus has
+    // billions of distinct tokens), so the df join carries no broadcast
+    // hint — AQE broadcasts while it fits and shuffles past that. All
+    // ratios are int/int IEEE divisions + ln — bit-identical on both
+    // engines, so the score hash-matches.
     "text_tfidf" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
@@ -785,7 +788,7 @@ object TextQueries {
         val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val byDoc = Window.partitionBy(col("doc_id"))
           .orderBy(col("tfidf").desc, col("w"))
-        tf.join(broadcast(df), "w")
+        tf.join(df, "w")
           .select(col("doc_id"), col("w"),
             round(col("c").cast("double") / col("n_tok")
               * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
@@ -823,7 +826,8 @@ object TextQueries {
     // methodology, public): per-doc mean log-probability under the
     // corpus's own unigram distribution; low scores flag gibberish /
     // vocabulary outliers. Shape: token explode → corpus unigram counts
-    // (vocabulary-sized, broadcast back) → per-doc mean. Determinism:
+    // (vocabulary-sized — unbounded under Heaps' law, so the join back is
+    // AQE's choice, no forced broadcast) → per-doc mean. Determinism:
     // ln(c/total) is IEEE-identical on both engines from integer inputs;
     // each token's logp is rounded to 6 dp and accumulated EXACTLY in
     // DECIMAL(18,6), so the per-doc sum can't drift with accumulation
@@ -834,7 +838,7 @@ object TextQueries {
           explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
         val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
         val total = toks.count()
-        toks.join(broadcast(cnt), "w")
+        toks.join(cnt, "w")
           .select(col("doc_id"),
             round(log(col("c").cast("double") / lit(total.toDouble)), 6)
               .cast(DecimalType(18, 6)).as("lp"))
