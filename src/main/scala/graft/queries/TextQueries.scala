@@ -93,6 +93,35 @@ object TextQueries {
         SELECT doc_id, lang, $langCaseSql AS lang_pred
         FROM documents ORDER BY doc_id""")),
 
+    // Classifier evaluation as a corpus query: the confusion matrix of
+    // the language-ID heuristic against the fixture's lang label, with
+    // per-cell share of the labeled language — how every production
+    // lang-ID / quality-classifier gets validated before it gates data.
+    // One grouped count over the scored scan; the matrix is
+    // |langs|² rows, driver-safe at any corpus size.
+    "text_langid_confusion" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents").select(
+          col("lang"), TextAnalysis.langId(lower(col("text"))).as("lang_pred"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+        scored.groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lang_total", sum(col("n")).over(w))
+          .select(col("lang"), col("lang_pred"), col("n"),
+            round(col("n").cast("double") / col("lang_total"), 6).as("share"))
+          .orderBy("lang", "lang_pred")
+      },
+      oracle = Some(s"""
+        WITH scored AS (
+          SELECT lang, $langCaseSql AS lang_pred FROM documents),
+        cells AS (
+          SELECT lang, lang_pred, count(*) AS n
+          FROM scored GROUP BY lang, lang_pred)
+        SELECT lang, lang_pred, n,
+               round(CAST(n AS DOUBLE) /
+                     sum(n) OVER (PARTITION BY lang), 6) AS share
+        FROM cells ORDER BY lang, lang_pred""")),
+
     // Gopher-style repetition signals: duplicate-token fraction and
     // top-token fraction per document — the classic filters for
     // low-quality repetitive text in training-data curation (public
