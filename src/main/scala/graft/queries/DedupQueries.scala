@@ -405,6 +405,54 @@ object DedupQueries {
         WHERE doc_id NOT IN (SELECT node FROM dropped)
         ORDER BY doc_id""")),
 
+    // dedup_apply keeps each cluster's min doc_id — the cheap canonical
+    // choice. This variant keeps the member a release actually wants: the
+    // HIGHEST-QUALITY copy per near-dup cluster (quality DESC, doc_id
+    // tie-break). Cost over dedup_apply is one narrow quality projection
+    // joined to the pair-sized clustering — the corpus text is scored
+    // once, scan-side; cluster membership stays pair-sized.
+    "dedup_apply_best" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.connectedComponents(
+          Dedup.minHashLshPairs(docs, threshold = 0.8))
+        val scored = docs.select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))
+        val drop = clusters.join(scored, "doc_id")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") =!= 1)
+          .select("doc_id")
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${minhashPairsCtes(0.8)},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        clusters AS (
+          SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        scored AS (
+          SELECT doc_id, ${TextQueries.qualitySql} AS q FROM documents),
+        ranked AS (
+          SELECT c.doc_id,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY s.q DESC, c.doc_id) AS rn
+          FROM clusters c JOIN scored s USING (doc_id)),
+        dropped AS (SELECT doc_id FROM ranked WHERE rn <> 1)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        ORDER BY doc_id""")),
+
     // Word-3-gram Jaccard near-dup pairs: LSH candidates from scan-side
     // word MinHash (native WordMinHashSigs), exact Jaccard at 0.5.
     // Signature minima run over the shingle MULTISET in the engine and the

@@ -653,6 +653,69 @@ object TextQueries {
         HAVING count(*) >= greatest(2, any_value(t.total) * 0.05)
         ORDER BY p.source, p.prefix""")),
 
+    // The removal pass boilerplate_prefixes measures: docs carrying a
+    // flagged per-source shared 8-token prefix (crawl headers/banners)
+    // are reassembled WITHOUT it; everything else passes through
+    // untouched. Same detect logic as the stats query, then one
+    // membership semi-join and a scan-side slice — reported as
+    // kept-token count + md5 like the span-removal family, so the
+    // result stays narrow at any corpus size.
+    "boilerplate_clean" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+        val pre = base.where(size(col("toks")) >= 8)
+          .select(col("doc_id"), col("source"),
+            md5(expr("concat_ws(' ', slice(toks, 1, 8))")).as("prefix"))
+        val totals = pre.groupBy("source").agg(count(lit(1)).as("total"))
+        val flagged = pre.groupBy("source", "prefix").agg(count(lit(1)).as("n"))
+          .join(totals, "source")
+          .where(col("n") >= greatest(lit(2), col("total") * 0.05))
+          .select("source", "prefix")
+        val strip = pre.join(flagged, Seq("source", "prefix"), "left_semi")
+          .select(col("doc_id"), lit(1).as("strip"))
+        base.join(strip, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            when(col("strip").isNotNull,
+              expr("slice(toks, 9, size(toks))")).otherwise(col("toks"))
+              .as("kept"))
+          .select(col("doc_id"), col("n_tokens"),
+            size(col("kept")).cast("long").as("kept_tokens"),
+            md5(concat_ws(" ", col("kept"))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        pre AS (
+          SELECT doc_id, source,
+                 md5(array_to_string(list_slice(toks, 1, 8), ' ')) AS prefix
+          FROM toks WHERE len(toks) >= 8),
+        totals AS (SELECT source, count(*) AS total FROM pre GROUP BY 1),
+        flagged AS (
+          SELECT p.source, p.prefix
+          FROM pre p JOIN totals t ON t.source = p.source
+          GROUP BY p.source, p.prefix
+          HAVING count(*) >= greatest(2, any_value(t.total) * 0.05)),
+        strip AS (
+          SELECT pre.doc_id FROM pre JOIN flagged USING (source, prefix))
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               CAST(len(CASE WHEN s.doc_id IS NOT NULL
+                             THEN list_slice(t.toks, 9, len(t.toks))
+                             ELSE t.toks END) AS BIGINT) AS kept_tokens,
+               md5(array_to_string(
+                 CASE WHEN s.doc_id IS NOT NULL
+                      THEN list_slice(t.toks, 9, len(t.toks))
+                      ELSE t.toks END, ' ')) AS clean_md5
+        FROM toks t LEFT JOIN strip s ON s.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
     // Per-language quality CALIBRATION: gate each doc on its quality
     // percentile WITHIN its language (keep the top half per language)
     // instead of one global threshold — raw quality scores are not
