@@ -166,8 +166,10 @@ object Dedup {
     * the oracle replays. */
   def ngramContainmentPairsIncremental(
       history: DataFrame, delta: DataFrame,
-      threshold: Double = 0.6, n: Int = 3): DataFrame = {
-    val bandsH = bandKeys(wordMinHashSignatures(history, n = n))
+      threshold: Double = 0.6, n: Int = 3,
+      historySigs: Option[DataFrame] = None): DataFrame = {
+    val bandsH = bandKeys(
+        historySigs.getOrElse(wordMinHashSignatures(history, n = n)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsD = bandKeys(wordMinHashSignatures(delta, n = n))
       .persist(StorageLevel.MEMORY_AND_DISK)

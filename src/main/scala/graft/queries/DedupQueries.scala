@@ -416,8 +416,13 @@ object DedupQueries {
         val docs = t(s, d, "documents")
         val clusters = Dedup.connectedComponents(
           Dedup.minHashLshPairs(docs, threshold = 0.8))
-        val scored = docs.select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text")).as("q"))
+        // score only cluster MEMBERS: the semi-join prunes the scan before
+        // the regex-heavy scoring projection runs, so non-duplicated docs
+        // (the vast majority) never pay it
+        val scored = docs
+          .join(clusters.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("q"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))
         val drop = clusters.join(scored, "doc_id")

@@ -260,22 +260,7 @@ object StreamingIngest {
             spark.table(sigsTable).where(col(tagColumn) =!= lit(tag))
               .select(sigCols.map(col): _*)))
       else Dedup.minHashLshPairs(batch, threshold)
-    val ids = batch.select(col("doc_id")).distinct()
-    val aIn = ids.select(col("doc_id").as("doc_a"))
-      .withColumn("a_in_batch", lit(true))
-    val bIn = ids.select(col("doc_id").as("doc_b"))
-      .withColumn("b_in_batch", lit(true))
-    // both sides in batch -> keep the smaller id; otherwise drop the
-    // batch-side doc whichever pair slot it landed in
-    val drops = pairs
-      .join(aIn, Seq("doc_a"), "left")
-      .join(bIn, Seq("doc_b"), "left")
-      .select(
-        when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
-          col("doc_b"))
-          .when(col("a_in_batch").isNotNull, col("doc_a"))
-          .otherwise(col("doc_b")).as("doc_id"))
-      .distinct()
+    val drops = batchDrops(pairs, batch)
     // localCheckpoint severs the plan's reference to the history table:
     // the tag-partition overwrite below would otherwise be rejected as
     // overwrite-of-a-read-table (same hazard the ingest scratch dance
@@ -289,6 +274,88 @@ object StreamingIngest {
         full, tagColumn)
       writeTagPartition(
         Dedup.minHashSignatures(admitted).withColumn(tagColumn, lit(tag)),
+        sigsTable, tagColumn)
+    }
+    batch.unpersist()
+  }
+
+  /** Shared rejection policy of the pair-based admission sinks: given
+    * the near-dup pairs of a micro-batch vs (history ∪ batch), the
+    * batch doc_ids to drop — both sides in batch keeps the smaller id;
+    * a batch-vs-history pair drops the batch side whichever slot it
+    * landed in. */
+  private def batchDrops(pairs: DataFrame, batch: DataFrame): DataFrame = {
+    val ids = batch.select(col("doc_id")).distinct()
+    val aIn = ids.select(col("doc_id").as("doc_a"))
+      .withColumn("a_in_batch", lit(true))
+    val bIn = ids.select(col("doc_id").as("doc_b"))
+      .withColumn("b_in_batch", lit(true))
+    pairs
+      .join(aIn, Seq("doc_a"), "left")
+      .join(bIn, Seq("doc_b"), "left")
+      .select(
+        when(col("a_in_batch").isNotNull && col("b_in_batch").isNotNull,
+          col("doc_b"))
+          .when(col("a_in_batch").isNotNull, col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+  }
+
+  /** Streaming CONTAINMENT admission: like [[toNearDupFilteredSink]] but
+    * scored with Broder's containment |A∩B| / min(|A|,|B|) — it also
+    * drops the subset-duplication case Jaccard admission misses (a long
+    * doc quoting an already-admitted short doc wholesale has J ≈ 0.01
+    * but containment 1.0). Standing index: `db.table_wordminhash_sigs`
+    * (word-n-gram MinHash signatures, reused every batch so history text
+    * is never re-hashed); identical tag-partition idempotency contract
+    * to the other admission sinks. */
+  def toContainmentFilteredSink(
+      docs: DataFrame, db: String, table: String,
+      threshold: Double = 0.6,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch0: DataFrame, batchId: Long) =>
+        if (!batch0.isEmpty) {
+          admitContainmentBatch(batch0, db, table, threshold,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+          ()
+        }
+    }
+
+  /** One micro-batch of the containment admission pipeline (the
+    * foreachBatch body of [[toContainmentFilteredSink]], factored out so
+    * retries are directly testable). Idempotent for a given `tag`. */
+  private[graft] def admitContainmentBatch(
+      batch0: DataFrame, db: String, table: String, threshold: Double,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch0.sparkSession
+    val batch = batch0.persist()
+    val full = s"$db.$table"
+    val sigsTable = s"${full}_wordminhash_sigs"
+    val sigCols = "doc_id" +: (0 until Dedup.NumHashes).map(i => s"m$i")
+    val haveHistory = spark.catalog.tableExists(full)
+    val pairs =
+      if (haveHistory)
+        Dedup.ngramContainmentPairsIncremental(
+          // a RETRIED tag must not see its own previous attempt as history
+          spark.table(full).where(col(tagColumn) =!= lit(tag))
+            .select(batch.columns.filter(_ != tagColumn).map(col): _*),
+          batch, threshold,
+          historySigs = Some(
+            spark.table(sigsTable).where(col(tagColumn) =!= lit(tag))
+              .select(sigCols.map(col): _*)))
+      else Dedup.ngramContainmentPairs(batch, threshold)
+    val drops = batchDrops(pairs, batch)
+    val admitted = batch
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    if (!admitted.isEmpty) {
+      writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
+        full, tagColumn)
+      writeTagPartition(
+        Dedup.wordMinHashSignatures(admitted).withColumn(tagColumn, lit(tag)),
         sigsTable, tagColumn)
     }
     batch.unpersist()

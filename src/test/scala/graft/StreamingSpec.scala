@@ -264,6 +264,44 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE neardup_sink CASCADE")
   }
 
+  test("containment admission sink drops subset-duplicates vs history and in batch") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS containment_sink")
+    spark.sql("DROP TABLE IF EXISTS containment_sink.docs")
+    spark.sql("DROP TABLE IF EXISTS containment_sink.docs_wordminhash_sigs")
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "some second body of text entirely unlike the first one here"
+    val b1 = Seq((1L, tA, "en"), (2L, tB, "en")).toDF("doc_id", "text", "lang")
+    StreamingIngest.admitContainmentBatch(
+      b1, "containment_sink", "docs", 0.6, tag = "t_b00000")
+    spark.catalog.refreshTable("containment_sink.docs")
+    assert(spark.table("containment_sink.docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // batch 2: doc 11 CONTAINS admitted doc 1 wholesale (one extra token);
+    // doc 12 is novel; doc 13 contains doc 12 in-batch -> keep smaller id
+    val tD = "fresh fourth text with novel words nowhere else in corpus now"
+    val b2 = Seq(
+      (11L, tA + " lambda", "en"),
+      (12L, tD, "en"),
+      (13L, tD + " rho", "en")).toDF("doc_id", "text", "lang")
+    StreamingIngest.admitContainmentBatch(
+      b2, "containment_sink", "docs", 0.6, tag = "t_b00001")
+    spark.catalog.refreshTable("containment_sink.docs")
+    spark.catalog.refreshTable("containment_sink.docs_wordminhash_sigs")
+    assert(spark.table("containment_sink.docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 12L))
+    // the standing word-sig index covers exactly the admitted docs
+    assert(spark.table("containment_sink.docs_wordminhash_sigs").select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 12L))
+    // retry idempotency: re-running batch 2 with the same tag leaves
+    // counts unchanged
+    StreamingIngest.admitContainmentBatch(
+      b2, "containment_sink", "docs", 0.6, tag = "t_b00001")
+    spark.catalog.refreshTable("containment_sink.docs")
+    assert(spark.table("containment_sink.docs").count() == 3)
+    spark.sql("DROP DATABASE containment_sink CASCADE")
+  }
+
   test("near-dup admission batches are idempotent under retry") {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS neardup_retry")
