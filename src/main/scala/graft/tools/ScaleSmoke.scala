@@ -111,6 +111,7 @@ object ScaleSmoke {
 
     spanSection(spark, tmp, docs1, copies)
     spanIncrSection(spark, tmp, copies)
+    containmentIncrSection(spark, tmp, copies)
     rangeJoinSection(spark, tmp, copies)
     skylineSection(spark, copies)
     ccSection(spark, copies)
@@ -205,6 +206,39 @@ object ScaleSmoke {
     * full corpus-wide pipeline yields for those docs, and (b) beat the
     * full recompute by a wide margin — the index turns "rescan all
     * history text" into "join delta grams with a count table". */
+  /** Incremental containment: equality with the full pipeline restricted
+    * to delta-touching pairs, and the standing-sig path beating a full
+    * recompute — the same contract the span/embedding incr sections pin. */
+  private def containmentIncrSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
+    val off = 910000000L
+    val history = spark.read.parquet(s"$tmp/docs")
+    val delta = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    // the stored word-sig index a production ingest path maintains
+    Dedup.wordMinHashSignatures(history).write.mode("overwrite")
+      .parquet(s"$tmp/word_sigs")
+    val index = spark.read.parquet(s"$tmp/word_sigs")
+    Dedup.ngramContainmentPairs(delta.limit(300)).unpersist() // codegen warmup
+    def fullRun() = Dedup.ngramContainmentPairs(history.unionByName(delta))
+      .where(col("doc_a") >= off || col("doc_b") >= off)
+    def incrRun() = Dedup.ngramContainmentPairsIncremental(
+      history, delta, historySigs = Some(index))
+    val full = fullRun()
+    val incr = incrRun()
+    require(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental containment diverges from the full pipeline's delta pairs")
+    full.unpersist(); incr.unpersist()
+    // both pipelines materialize + persist their result internally, and a
+    // repeated identical plan canonicalizes to a CACHE HIT — without a
+    // clear between runs the A/B times measure leaked-cache luck, not
+    // work (ProfileIncr shows the honest cold times: incr beats full)
+    val tFull = med3 { spark.catalog.clearCache(); fullRun().count(); () }
+    val tIncr = med3 { spark.catalog.clearCache(); incrRun().count(); () }
+    println(f"[scale] containment_incr ${copies}x hist: full=${tFull}%.2f s incr=${tIncr}%.2f s")
+    require(tIncr < tFull * 1.2,
+      f"delta-vs-index (${tIncr}%.2f s) did not beat the full recompute (${tFull}%.2f s)")
+  }
+
   private def spanIncrSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
     val off = 900000000L
     val history = spark.read.parquet(s"$tmp/docs")
