@@ -279,6 +279,100 @@ object SimilarityQueries {
           SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.b)
         SELECT node AS vec_id, min(lbl) AS cluster_id
         FROM reach GROUP BY node
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup scoped to
+    // k-means clusters — candidate pairs are same-cell pairs, never an
+    // all-pairs join. Complements the sign-LSH bucketing of
+    // dedup_embedding_cos: the coarse quantizer adapts to the data
+    // distribution, so a dense region lands in one cell even where fixed
+    // hyperplanes would split it. Training reuses the deterministic IVF
+    // machinery (hash-rank seeds, quantized means — graft.sim.Ivf), so
+    // the DuckDB oracle replays clustering, pairing and scoring
+    // end-to-end. At 100 TB, k scales with the corpus (k ≈ n/1e5 keeps
+    // cells bounded) and the self-join shuffles on cell — bounding the
+    // per-cell candidate volume IS the SemDeDup contract.
+    "dedup_semantic_kmeans" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = graft.sim.Ivf.trainCentroids(emb, k = 8, iters = 3)
+        val idx = graft.sim.Ivf.index(emb, centroids)
+        idx.as("a").join(idx.as("b"),
+            col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
+          .select(col("a.cell").cast("long").as("cell"),
+            col("a.c_id").as("id_a"), col("b.c_id").as("id_b"),
+            VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
+          .where(col("score") >= 0.45)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ${graft.sim.Ivf.coarseCtes(numCells = 8, nprobe = 1, iters = 3,
+            dim = 64, queryPred = "id < 0")},
+        pairs AS (
+          SELECT a.cell AS cell, a.c_id AS id_a, b.c_id AS id_b
+          FROM idx a JOIN idx b ON a.cell = b.cell AND a.c_id < b.c_id),
+        scored AS (
+          SELECT p.cell, p.id_a, p.id_b,
+                 round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS score
+          FROM pairs p
+          JOIN embeddings ea ON ea.vec_id = p.id_a
+          JOIN embeddings eb ON eb.vec_id = p.id_b)
+        SELECT cell, id_a, id_b, score FROM scored
+        WHERE score >= 0.45 ORDER BY id_a, id_b"""),
+      bench = true),
+
+    // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
+    // scaling laws"): rank every vector by cosine to its k-means cell
+    // centroid; with abundant data the most prototypical (easiest)
+    // examples contribute least, so the release drops the top 20% per
+    // cell. The verdict is all-integer (5·rank > n_cell) — no float
+    // threshold for the engines to disagree on. Centroids join back from
+    // a k-row relation (provably bounded → broadcast hint is legitimate
+    // under the hints policy); ranking is one window per cell.
+    "emb_prototypicality" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = graft.sim.Ivf.trainCentroids(emb, k = 8, iters = 3)
+        val idx = graft.sim.Ivf.index(emb, centroids)
+        import s.implicits._
+        val cents = centroids.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell_l", "cv")
+        val w = Window.partitionBy(col("cell"))
+          .orderBy(col("proto").desc, col("vec_id"))
+        val n = Window.partitionBy(col("cell"))
+        idx.select(col("c_id").as("vec_id"),
+            col("cell").cast("long").as("cell"), col("c_emb"))
+          .join(broadcast(cents), col("cell") === col("cell_l"))
+          .select(col("vec_id"), col("cell"),
+            VectorOps.cosineRounded(col("c_emb"), col("cv")).as("proto"))
+          .withColumn("proto_rank", row_number().over(w).cast("long"))
+          .withColumn("kept",
+            lit(5L) * col("proto_rank") > count(lit(1)).over(n))
+          .orderBy("vec_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ${graft.sim.Ivf.coarseCtes(numCells = 8, nprobe = 1, iters = 3,
+            dim = 64, queryPred = "id < 0")},
+        scored AS (
+          SELECT i.c_id AS vec_id, i.cell,
+                 round(list_dot_product(e.v, c.cv)
+                       / (sqrt(list_dot_product(e.v, e.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) AS proto
+          FROM idx i JOIN v e ON e.id = i.c_id JOIN c3 c ON c.cell = i.cell),
+        ranked AS (
+          SELECT vec_id, cell, proto,
+                 row_number() OVER (PARTITION BY cell
+                   ORDER BY proto DESC, vec_id) AS proto_rank,
+                 count(*) OVER (PARTITION BY cell) AS n_cell
+          FROM scored)
+        SELECT vec_id, cell, proto, proto_rank,
+               (5 * proto_rank > n_cell) AS kept
+        FROM ranked ORDER BY vec_id"""))
   )
 }
