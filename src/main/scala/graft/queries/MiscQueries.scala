@@ -559,6 +559,142 @@ object MiscQueries {
         UNION ALL SELECT event_type, n_exact, est FROM mall
         ORDER BY event_type""")),
 
+    // Mergeable quantile sketch — the quantile twin of agg_kmv_merge. A
+    // group's sketch is the k=64 rows with the smallest md5(event_id): a
+    // deterministic UNIFORM sample, so a quantile estimate is an
+    // all-integer order statistic of the sample (idx = ceil(q·m), value
+    // rank tie-broken by event_id — no interpolation, both engines pick
+    // the same fixture double). Bottom-k-by-hash sets are closed under
+    // union+re-cut exactly like KMV, so a 100 TB rollup merges k-row
+    // samples per group and never re-sorts raw data: the "__all__" row's
+    // estimates come ONLY from the per-group sketches. The exact
+    // quantiles carried alongside are verification evidence — their
+    // unpartitioned rank window is the very cost the sketch path avoids.
+    "agg_quantile_sketch" -> QueryDef(
+      fn = (s, d) => {
+        val k = 64
+        val rows = t(s, d, "events")
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("h",
+            conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .persist()
+        val ws = Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("event_id"))
+        val samp = rows.withColumn("rn", row_number().over(ws))
+          .where(col("rn") <= k).persist()
+        // ceil-rank order statistics per group label `g`: p50 at
+        // ceil(m/2) = (m+1) DIV 2, p90 at ceil(9m/10) = (9m+9) DIV 10
+        def stats(df: org.apache.spark.sql.DataFrame, p50: String,
+            p90: String): org.apache.spark.sql.DataFrame = {
+          val wv = Window.partitionBy(col("g"))
+            .orderBy(col("value"), col("event_id"))
+          val wc = Window.partitionBy(col("g"))
+          df.withColumn("vr", row_number().over(wv).cast("long"))
+            .withColumn("m", count(lit(1)).over(wc))
+            .groupBy("g")
+            .agg(
+              max(when(col("vr") === expr("(m + 1) DIV 2"), col("value")))
+                .as(p50),
+              max(when(col("vr") === expr("(9 * m + 9) DIV 10"), col("value")))
+                .as(p90),
+              max(col("m")).as(s"n_$p50"))
+        }
+        val gExact = stats(rows.withColumn("g", col("event_type")),
+          "p50_exact", "p90_exact")
+          .withColumnRenamed("n_p50_exact", "n_exact")
+        val gEst = stats(samp.withColumn("g", col("event_type")),
+          "p50_est", "p90_est").drop("n_p50_est")
+          .withColumnRenamed("g", "g2")
+        val perG = gExact.join(gEst, col("g") === col("g2"))
+          .select(col("g").as("event_type"), col("n_exact"),
+            col("p50_exact"), col("p90_exact"), col("p50_est"), col("p90_est"))
+        // merged sketch: union of the group sketches re-cut to the global
+        // bottom-k by the same hash order (tiny input: groups × k rows)
+        val mr = samp
+          .withColumn("grn",
+            row_number().over(Window.orderBy(col("h"), col("event_id"))))
+          .where(col("grn") <= k)
+        val aEst = stats(mr.withColumn("g", lit("__all__")),
+          "p50_est", "p90_est").drop("n_p50_est").withColumnRenamed("g", "g2")
+        val aExact = stats(rows.withColumn("g", lit("__all__")),
+          "p50_exact", "p90_exact")
+          .withColumnRenamed("n_p50_exact", "n_exact")
+        val allRow = aExact.join(aEst, col("g") === col("g2"))
+          .select(col("g").as("event_type"), col("n_exact"),
+            col("p50_exact"), col("p90_exact"), col("p50_est"), col("p90_est"))
+        val result = perG.unionByName(allRow).orderBy("event_type").persist()
+        result.count() // materialize while rows/samp caches are live
+        samp.unpersist(false)
+        rows.unpersist(false)
+        result
+      },
+      oracle = Some("""
+        WITH rws AS (
+          SELECT event_type, event_id, value,
+                 CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM events),
+        samp AS (
+          SELECT * FROM (
+            SELECT event_type, event_id, value, h,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h, event_id) AS rn
+            FROM rws) WHERE rn <= 64),
+        gstat AS (
+          SELECT g AS event_type,
+                 max(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_exact,
+                 max(CASE WHEN vr = (9 * m + 9) // 10 THEN value END)
+                   AS p90_exact,
+                 max(m) AS n_exact
+          FROM (SELECT event_type AS g, value,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS vr,
+                       count(*) OVER (PARTITION BY event_type) AS m
+                FROM rws)
+          GROUP BY g),
+        sstat AS (
+          SELECT g AS event_type,
+                 max(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_est,
+                 max(CASE WHEN vr = (9 * m + 9) // 10 THEN value END)
+                   AS p90_est
+          FROM (SELECT event_type AS g, value,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS vr,
+                       count(*) OVER (PARTITION BY event_type) AS m
+                FROM samp)
+          GROUP BY g),
+        mr AS (
+          SELECT * FROM (
+            SELECT event_id, value,
+                   row_number() OVER (ORDER BY h, event_id) AS grn
+            FROM samp) WHERE grn <= 64),
+        mstat AS (
+          SELECT max(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_est,
+                 max(CASE WHEN vr = (9 * m + 9) // 10 THEN value END)
+                   AS p90_est
+          FROM (SELECT value,
+                       row_number() OVER (ORDER BY value, event_id) AS vr,
+                       count(*) OVER () AS m
+                FROM mr)),
+        astat AS (
+          SELECT max(CASE WHEN vr = (m + 1) // 2 THEN value END) AS p50_exact,
+                 max(CASE WHEN vr = (9 * m + 9) // 10 THEN value END)
+                   AS p90_exact,
+                 max(m) AS n_exact
+          FROM (SELECT value,
+                       row_number() OVER (ORDER BY value, event_id) AS vr,
+                       count(*) OVER () AS m
+                FROM rws))
+        SELECT g.event_type, g.n_exact, g.p50_exact, g.p90_exact,
+               s.p50_est, s.p90_est
+        FROM gstat g JOIN sstat s USING (event_type)
+        UNION ALL
+        SELECT '__all__', a.n_exact, a.p50_exact, a.p90_exact,
+               m.p50_est, m.p90_est
+        FROM astat a CROSS JOIN mstat m
+        ORDER BY event_type""")),
+
     // Data profiling: null count, exact distinct count, and min/max per
     // column, one row per column — the "what's in this table" pass every
     // ingestion pipeline runs before trusting a new source. One aggregate

@@ -390,6 +390,49 @@ object TextQueries {
           FROM documents)
         WHERE rnk <= 20 ORDER BY lang, rnk""")),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    // IPL 2006): each doc races an exponential clock -ln(u)/w — the k
+    // smallest arrival times are EXACTLY a weight-proportional sample
+    // without replacement. Here w = n_chars (longer docs proportionally
+    // likelier — the char-budget view of corpus sampling) and u is the
+    // md5(doc_id) uniform, so there is no RNG: both engines derive the
+    // same race. The key rounds to 12 decimals before ranking (doc_id
+    // tie-break) so a last-ulp ln() divergence cannot flip an ordering.
+    // orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
+    // merge, no global sort; the one-key selection is exactly how a
+    // 100 TB weighted draw should run.
+    "sample_weighted" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("h",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .withColumn("es_key",
+            round(-log((col("h") + 1).cast("double") / lit(281474976710656.0))
+              / col("n_chars"), 12))
+        val top = scored.orderBy(col("es_key"), col("doc_id")).limit(20)
+        top
+          .withColumn("rnk", row_number()
+            .over(Window.orderBy(col("es_key"), col("doc_id"))).cast("long"))
+          .select(col("rnk"), col("doc_id"), col("n_chars"), col("es_key"))
+          .orderBy("rnk")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM documents),
+        k AS (
+          SELECT doc_id, n_chars,
+                 round(-ln((h + 1) / 281474976710656.0) / n_chars, 12)
+                   AS es_key
+          FROM s)
+        SELECT row_number() OVER (ORDER BY es_key, doc_id) AS rnk,
+               doc_id, n_chars, es_key
+        FROM k ORDER BY es_key, doc_id LIMIT 20""")),
+
     // Per-source document cap: keep the top 10 docs per source by quality
     // (doc_id tie-break) — the standard crawl-curation guard against any
     // single domain dominating the mixture. One window per source over the
