@@ -952,6 +952,35 @@ object MiscQueries {
         HAVING count(*) < 5
         ORDER BY nation, segment, bal_band""")),
 
+    // l-diversity audit — k-anonymity's complement (Machanavajjhala et
+    // al., ICDE'06): a quasi-identifier group that is large enough can
+    // still leak if everyone in it shares the same sensitive value.
+    // Groups on the (nation, segment) quasi-identifiers; flags groups
+    // whose sensitive attribute (the account-balance band) takes fewer
+    // than l=6 distinct values. One groupBy with a distinct-agg — the
+    // same two-phase partial-distinct plan profile_table uses.
+    "privacy_l_diversity" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+          .groupBy("nation", "segment")
+          .agg(count(lit(1)).as("n"),
+            count_distinct(col("bal_band")).as("l_div"))
+          .where(col("l_div") < 6)
+          .orderBy("nation", "segment"),
+      oracle = Some("""
+        SELECT CAST(c_nationkey AS BIGINT) AS nation,
+               c_mktsegment AS segment,
+               count(*) AS n,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                 AS l_div
+        FROM customer
+        GROUP BY 1, 2
+        HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 6
+        ORDER BY nation, segment""")),
+
     // Deterministic training-order shuffle: md5-hash shard + within-shard
     // position (Layout.shuffleOrder) — the reproducible global permutation
     // a trainer replays by reading shard files in position order. Windows

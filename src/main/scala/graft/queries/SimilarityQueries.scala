@@ -324,6 +324,62 @@ object SimilarityQueries {
         WHERE score >= 0.45 ORDER BY id_a, id_b"""),
       bench = true),
 
+    // The SemDeDup release pass: within-cell cosine pairs chain through
+    // connected components (same CC step as the text pipeline; min-id
+    // keeper per semantic-duplicate group) and the kept corpus is the
+    // anti-join against the non-keepers. The oracle replays k-means,
+    // pairing, scoring AND the transitive closure, so the whole release
+    // decision is hash-checked end-to-end. The drop set is unbounded
+    // (dup-heavy corpora shed 30-50%) — no broadcast hint, AQE's call.
+    "dedup_semantic_apply" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val centroids = graft.sim.Ivf.trainCentroids(emb, k = 8, iters = 3)
+        val idx = graft.sim.Ivf.index(emb, centroids)
+        val pairs = idx.as("a").join(idx.as("b"),
+            col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
+          .select(col("a.c_id").as("doc_a"), col("b.c_id").as("doc_b"),
+            VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
+          .where(col("score") >= 0.45)
+          .select("doc_a", "doc_b")
+        val drop = graft.dedup.Dedup.connectedComponents(pairs)
+          .where(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("vec_id"))
+        emb.join(drop, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ${graft.sim.Ivf.coarseCtes(numCells = 8, nprobe = 1, iters = 3,
+            dim = 64, queryPred = "id < 0")},
+        cand AS (
+          SELECT a.c_id AS id_a, b.c_id AS id_b
+          FROM idx a JOIN idx b ON a.cell = b.cell AND a.c_id < b.c_id),
+        spairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT p.id_a, p.id_b,
+                   round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS score
+            FROM cand p
+            JOIN embeddings ea ON ea.vec_id = p.id_a
+            JOIN embeddings eb ON eb.vec_id = p.id_b)
+          WHERE score >= 0.45),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM spairs
+          UNION
+          SELECT id_b, id_a FROM spairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        dropped AS (
+          SELECT node FROM reach GROUP BY node HAVING min(lbl) <> node)
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        WHERE vec_id NOT IN (SELECT node FROM dropped)
+        ORDER BY vec_id""")),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)

@@ -116,6 +116,7 @@ object ScaleSmoke {
     skylineSection(spark, copies)
     ccSection(spark, copies)
     embeddingIncrSection(spark, tmp, copies)
+    semanticSection(spark, tmp, copies)
     pqSection(spark, tmp)
     bloomSection(spark, copies)
     phashSection(spark, copies)
@@ -270,6 +271,37 @@ object ScaleSmoke {
     * the plan (the index write at 100 TB is embarrassingly parallel) — and
     * cost linearly in the corpus. Codebooks are trained on the 1x corpus
     * (the documented sample-training posture). */
+  /** SemDeDup's scale contract: the within-cell candidate volume is
+    * Σ_cell C(n_cell, 2), so when the cell count k scales WITH the corpus
+    * (constant expected cell size) candidates grow ~linearly — the whole
+    * point of cluster-scoping the pair search. A 10x corpus with 10x
+    * cells must produce ~10x candidates (3x skew slack), nowhere near the
+    * 100x a fixed-k (or no-clustering) formulation would yield. */
+  private def semanticSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
+    import graft.sim.Ivf
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val embN = spark.read.parquet(s"$tmp/emb")
+    def candidates(df: DataFrame, k: Int): Long = {
+      val cents = Ivf.trainCentroids(df, k, iters = 2)
+      val idx = Ivf.index(df, cents).select("c_id", "cell")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count()
+      val n = idx.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2")).as("c")).head.getLong(0)
+      idx.unpersist(false)
+      n
+    }
+    val c1 = candidates(emb1, 8)
+    val t0 = System.nanoTime()
+    val cN = candidates(embN, 8 * copies)
+    val tN = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] semantic candidates: 1x(k=8)=$c1 " +
+      f"${copies}x(k=${8 * copies})=$cN (${tN}%.1f s)")
+    require(cN <= c1 * copies * 3,
+      s"semantic candidate volume grew superlinearly with k scaled to the " +
+        s"corpus: 1x=$c1 ${copies}x=$cN — cell scoping is not bounding pairs")
+  }
+
   private def pqSection(spark: SparkSession, tmp: String): Unit = {
     import graft.sim.Pq
     val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
