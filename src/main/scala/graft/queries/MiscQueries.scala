@@ -615,13 +615,21 @@ object MiscQueries {
           .withColumn("grn",
             row_number().over(Window.orderBy(col("h"), col("event_id"))))
           .where(col("grn") <= k)
-        val aEst = stats(mr.withColumn("g", lit("__all__")),
-          "p50_est", "p90_est").drop("n_p50_est").withColumnRenamed("g", "g2")
-        val aExact = stats(rows.withColumn("g", lit("__all__")),
-          "p50_exact", "p90_exact")
-          .withColumnRenamed("n_p50_exact", "n_exact")
-        val allRow = aExact.join(aEst, col("g") === col("g2"))
-          .select(col("g").as("event_type"), col("n_exact"),
+        // exact-vs-merged global stats come from ONE tagged union + a
+        // conditional final agg — joining two single-row frames on their
+        // literal "__all__" keys would constant-fold into a cartesian
+        val tagged = rows.select(col("value"), col("event_id"))
+          .withColumn("g", lit("exact"))
+          .unionByName(mr.select(col("value"), col("event_id"))
+            .withColumn("g", lit("est")))
+        val allRow = stats(tagged, "p50", "p90")
+          .agg(
+            max(when(col("g") === "exact", col("n_p50"))).as("n_exact"),
+            max(when(col("g") === "exact", col("p50"))).as("p50_exact"),
+            max(when(col("g") === "exact", col("p90"))).as("p90_exact"),
+            max(when(col("g") === "est", col("p50"))).as("p50_est"),
+            max(when(col("g") === "est", col("p90"))).as("p90_est"))
+          .select(lit("__all__").as("event_type"), col("n_exact"),
             col("p50_exact"), col("p90_exact"), col("p50_est"), col("p90_est"))
         val result = perG.unionByName(allRow).orderBy("event_type").persist()
         result.count() // materialize while rows/samp caches are live

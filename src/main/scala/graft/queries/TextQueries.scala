@@ -1000,6 +1000,64 @@ object TextQueries {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bigram LM scoring with add-one smoothing — one conditioning step up
+    // from text_unigram_logprob, and a materially better fluency/
+    // perplexity proxy (word-salad docs score near the unigram model but
+    // collapse under a bigram one). logp(w2|w1) = ln((c12+1)/(c1+V)):
+    // bigram/context counts are corpus integers, V the distinct vocab, so
+    // ln() sees identical rationals on both engines; per-token logps
+    // round to 6 dp and accumulate in exact DECIMAL like the unigram
+    // query. Shape: one explode + one doc-partitioned lead window, counts
+    // join back by bigram key (AQE's choice); docs with <2 tokens have no
+    // bigrams and drop out on both sides.
+    "text_bigram_logprob" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .as(Seq("pos", "w")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val big = toks.withColumn("w2", lead(col("w"), 1).over(wd))
+          .where(col("w2").isNotNull)
+          .select(col("doc_id"), col("w").as("w1"), col("w2"))
+        val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val v = toks.select("w").distinct().count()
+        big.join(bcnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
+          .select(col("doc_id"),
+            round(log((col("c12") + 1).cast("double")
+              / (col("c1") + lit(v)).cast("double")), 6)
+              .cast(DecimalType(18, 6)).as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        big AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tl)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        cx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+        vv AS (SELECT count(DISTINCT w) AS v
+               FROM (SELECT unnest(toks) AS w FROM tl)),
+        lp AS (
+          SELECT b.doc_id,
+                 CAST(round(ln((c12 + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6))
+                   AS lp
+          FROM big b JOIN bc USING (w1, w2) JOIN cx USING (w1), vv)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
