@@ -293,18 +293,10 @@ object SimilarityQueries {
     // cells bounded) and the self-join shuffles on cell — bounding the
     // per-cell candidate volume IS the SemDeDup contract.
     "dedup_semantic_kmeans" -> QueryDef(
-      fn = (s, d) => {
-        val emb = t(s, d, "embeddings")
-        val centroids = graft.sim.Ivf.trainCentroids(emb, k = 8, iters = 3)
-        val idx = graft.sim.Ivf.index(emb, centroids)
-        idx.as("a").join(idx.as("b"),
-            col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
-          .select(col("a.cell").cast("long").as("cell"),
-            col("a.c_id").as("id_a"), col("b.c_id").as("id_b"),
-            VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
-          .where(col("score") >= 0.45)
-          .orderBy("id_a", "id_b")
-      },
+      fn = (s, d) =>
+        graft.sim.Ivf.semanticPairs(t(s, d, "embeddings"),
+            numCells = 8, iters = 3, threshold = 0.45)
+          .orderBy("id_a", "id_b"),
       oracle = Some(s"""
         WITH v AS (
           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
@@ -334,14 +326,9 @@ object SimilarityQueries {
     "dedup_semantic_apply" -> QueryDef(
       fn = (s, d) => {
         val emb = t(s, d, "embeddings")
-        val centroids = graft.sim.Ivf.trainCentroids(emb, k = 8, iters = 3)
-        val idx = graft.sim.Ivf.index(emb, centroids)
-        val pairs = idx.as("a").join(idx.as("b"),
-            col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
-          .select(col("a.c_id").as("doc_a"), col("b.c_id").as("doc_b"),
-            VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
-          .where(col("score") >= 0.45)
-          .select("doc_a", "doc_b")
+        val pairs = graft.sim.Ivf.semanticPairs(emb,
+            numCells = 8, iters = 3, threshold = 0.45)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         val drop = graft.dedup.Dedup.connectedComponents(pairs)
           .where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id").as("vec_id"))

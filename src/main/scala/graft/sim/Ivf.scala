@@ -89,6 +89,39 @@ object Ivf {
     } finally v.unpersist(false)
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540) candidate machinery:
+    * k-means cells scope the near-dup pair search, so candidates are
+    * same-cell pairs — never an all-pairs join — and the coarse quantizer
+    * adapts to the data distribution where fixed LSH hyperplanes cannot.
+    * The cell index feeds BOTH sides of the self-join (computing the
+    * k×dim-dot assignment twice would double the dominant scan cost), so
+    * it is persisted for the duration and the pair result is materialized
+    * eagerly — same cache discipline as [[CosineLsh.nearDupPairs]]. The
+    * returned pairs stay cached: downstream consumers (connected
+    * components' iterations, the apply anti-join) re-read them. At 100 TB
+    * the index persists as a cell-partitioned table instead (the
+    * [[IndexStore]] build-once path) and k scales with the corpus
+    * (k ≈ n/1e5 keeps expected cell size — and so per-cell candidate
+    * volume — constant; ScaleSmoke.semanticSection pins the linearity). */
+  def semanticPairs(
+      emb: DataFrame, numCells: Int, iters: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val centroids = trainCentroids(emb, numCells, iters)
+    val idx = index(emb, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+    idx.count()
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
+      .select(col("a.cell").cast("long").as("cell"),
+        col("a.c_id").as("id_a"), col("b.c_id").as("id_b"),
+        VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
+      .where(col("score") >= lit(threshold))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize while the cell index is cached
+    idx.unpersist(false)
+    pairs
+  }
+
   /** Corpus indexed by cell. At scale: persist partitioned/bucketed by
     * `cell` and reuse across query batches. */
   def index(corpus: DataFrame, centroids: Array[Array[Double]],

@@ -715,6 +715,79 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming distinct-count sketch maintenance: every micro-batch folds
+    * into a standing per-group KMV (bottom-k-by-hash) sketch table
+    * `db.table_kmv(g, h, key_id)` that holds, after each batch, the k
+    * smallest `md5(key)` hashes per group over ALL data ever ingested —
+    * the continuously-maintained form of the batch `agg_kmv_merge` rollup.
+    *
+    * Why this shape survives at 100 TB: the standing state is
+    * sketch-sized (groups × k rows — kilobytes), each batch touches only
+    * its own distinct (group, key) pairs, and the raw corpus is NEVER
+    * re-scanned for a distinct count — [[kmvEstimates]] reads estimates
+    * straight off the standing table. Idempotency falls out of the
+    * algebra instead of tag bookkeeping: min-k-by-hash union is a SET
+    * operation, so re-folding a retried (at-least-once) batch merges the
+    * same elements and changes nothing. The rewrite collects the merged
+    * sketch to the driver first — bounded by construction — because the
+    * overwrite targets the very table the merge reads. */
+  def toSketchSink(
+      events: DataFrame, db: String, table: String,
+      groupCol: String = "event_type", keyCol: String = "user_id",
+      k: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) foldSketchBatch(batch, db, table, groupCol, keyCol, k)
+    }
+
+  /** One micro-batch fold: standing sketch ∪ batch bottom-k, re-cut to k
+    * per group (the lossless min-k union `agg_kmv_merge` relies on). */
+  private def foldSketchBatch(
+      batch: DataFrame, db: String, table: String,
+      groupCol: String, keyCol: String, k: Int): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"$db.${table}_kmv"
+    val hashed = batch
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("long").as("key_id"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("key_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .select("g", "h", "key_id")
+    val base =
+      if (s.catalog.tableExists(tbl))
+        s.table(tbl).select("g", "h", "key_id").unionByName(hashed)
+      else hashed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("key_id"))
+    val merged = base.distinct()
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("g", "h", "key_id")
+    // sketch-sized by construction (groups x k rows): safe to pin on the
+    // driver so the overwrite does not read the table it replaces
+    val rows = merged.collect().toSeq
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, merged.schema)
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+  }
+
+  /** Per-group distinct-count estimates off the standing sketch table:
+    * exact below k (every element is present), else the KMV estimator
+    * (k−1)·H/h_k with h_k the largest retained hash. */
+  def kmvEstimates(
+      spark: SparkSession, db: String, table: String,
+      k: Int = 64): DataFrame = {
+    val H = 281474976710656.0 // 2^48, the md5-prefix hash range
+    spark.table(s"$db.${table}_kmv")
+      .groupBy("g")
+      .agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+      .select(col("g"),
+        round(when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble * H) / col("hk")), 6).as("est"))
+  }
+
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)

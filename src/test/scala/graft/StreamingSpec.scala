@@ -679,4 +679,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0, "interval join produced no pairs")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("KMV sketch sink folds micro-batches into the lossless standing sketch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-kmv").toString
+    staticEvents.where(col("event_id") < 400).write.mode("overwrite")
+      .parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS kmv_sink")
+    spark.sql("DROP TABLE IF EXISTS kmv_sink.events_kmv")
+
+    val stream = spark.readStream.schema(staticEvents.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toSketchSink(stream, "kmv_sink", "events").start()
+    try {
+      q.processAllAvailable()
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b2")
+      q.processAllAvailable()
+      // re-publish batch 2's CONTENT as a new file: the min-k union is a
+      // set operation, so folding the same elements again must be a no-op
+      val before = spark.table("kmv_sink.events_kmv")
+        .collect().map(_.toSeq).toSet
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b3")
+      q.processAllAvailable()
+      spark.catalog.refreshTable("kmv_sink.events_kmv")
+      val after = spark.table("kmv_sink.events_kmv")
+        .collect().map(_.toSeq).toSet
+      assert(after == before, "re-folding identical elements changed the sketch")
+    } finally q.stop()
+
+    // the standing sketch equals the direct bottom-k over ALL events —
+    // the cross-micro-batch form of the KMV merge-lossless property
+    spark.catalog.refreshTable("kmv_sink.events_kmv")
+    val k = 64
+    val direct = staticEvents
+      .select(col("event_type").cast("string").as("g"),
+        col("user_id").cast("long").as("key_id"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("key_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("h"), col("key_id"))))
+      .where(col("rn") <= k)
+      .select("g", "h", "key_id")
+      .collect().map(_.toSeq).toSet
+    val standing = spark.table("kmv_sink.events_kmv")
+      .select("g", "h", "key_id").collect().map(_.toSeq).toSet
+    assert(standing == direct,
+      "standing sketch diverges from the direct bottom-k over all data")
+
+    // estimates read straight off the sketch and match the same formula
+    // computed from the direct sketch — deterministic equality, no noise
+    val est = StreamingIngest.kmvEstimates(spark, "kmv_sink", "events")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = staticEvents.groupBy(col("event_type").cast("string").as("g"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      val n = exact(g).toDouble
+      assert(n < 64 || math.abs(e - n) / n < 0.5,
+        s"$g: KMV estimate $e implausibly far from exact $n")
+    }
+    spark.sql("DROP DATABASE kmv_sink CASCADE")
+  }
 }
