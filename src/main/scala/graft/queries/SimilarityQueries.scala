@@ -367,6 +367,17 @@ object SimilarityQueries {
         WHERE vec_id NOT IN (SELECT node FROM dropped)
         ORDER BY vec_id""")),
 
+    // Top-principal-component projection by deterministic power iteration
+    // (graft.sim.Pca): the spectral primitive for whitening, OPQ-style
+    // rotation pre-processing, and drift monitoring (batch distribution
+    // shift as a scalar series). Each round is one scan + a 1×dim
+    // aggregate — no covariance matrix; µ and per-round u quantize to 6
+    // decimals, so the oracle unrolls and replays training exactly like
+    // the Lloyd chains.
+    "emb_top_pc" -> QueryDef(
+      fn = (s, d) => graft.sim.Pca.project(t(s, d, "embeddings")),
+      oracle = Some(graft.sim.Pca.projectOracleSql())),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)

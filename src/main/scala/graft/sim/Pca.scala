@@ -1,0 +1,120 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Top principal component by deterministic power iteration — the spectral
+  * primitive an embedding pipeline uses for whitening, OPQ-style rotation
+  * pre-processing, and drift monitoring (projecting batches onto the
+  * dominant variance direction turns "did the embedding distribution
+  * move?" into a scalar time series).
+  *
+  * The 100 TB shape mirrors [[Ivf.trainCentroids]]: each power-iteration
+  * round is ONE scan — score s_i = (x_i − µ)·u as a codegen'd vec_dot
+  * projection, then a single 1×dim aggregate Σ s_i·(x_i − µ) — and the
+  * only driver-side state is dim-sized (µ, u). No covariance matrix is
+  * ever materialized (dim² would be fine; n·dim² per round would not).
+  *
+  * Determinism contract (what lets DuckDB replay training bit-for-bit,
+  * same rationale as [[Ivf.MeanScale]]): µ and each round's normalized u
+  * are quantized to 6 decimals — float-sum order differences (~1e-12
+  * relative) vanish against the 1e-6 quantum — and the final projections
+  * round to 6. Init u₀ = 1/√dim·(1,…,1), fixed iteration count, no RNG.
+  */
+object Pca {
+
+  val Scale = 6
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(Scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (µ, u): quantized coordinate means and the quantized unit top
+    * eigenvector after `iters` power rounds. One scan per round; the
+    * vector relation feeds iters+1 jobs, so persist upstream if the
+    * source is expensive (the registry query reads a cached parquet). */
+  def trainTopComponent(
+      emb: DataFrame, iters: Int = 5,
+      embCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val v = emb.select(col(embCol).cast("array<double>").as("v"))
+    val dim = v.head().getSeq[Double](0).length
+    val mu: Array[Double] = v
+      .agg(round(avg(element_at(col("v"), 1)), Scale).as("m0"),
+        (1 until dim).map(i =>
+          round(avg(element_at(col("v"), i + 1)), Scale).as(s"m$i")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    var u = Array.fill(dim)(round6(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      // s = (v − µ)·u via the centered-dot identity v·u − µ·u (one
+      // vec_dot per row, no per-row array rebuild); w_j = Σ s·(v_j − µ_j)
+      val muDotU = mu.zip(u).map { case (a, b) => a * b }.sum
+      val s = (VectorOps.dot(col("v"), lit(u)) - lit(muDotU)).as("s")
+      val w: Array[Double] = v.select(col("v"), s)
+        .agg(sum(expr("s * (v[0] - " + mu(0) + ")")).as("w0"),
+          (1 until dim).map(i =>
+            sum(expr(s"s * (v[$i] - ${mu(i)})")).as(s"w$i")): _*)
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      val n = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(x => round6(x / n))
+    }
+    (mu, u)
+  }
+
+  /** Per-vector projection onto the trained component:
+    * round((x − µ)·u, 6) = round(x·u − µ·u, 6). */
+  def project(emb: DataFrame, iters: Int = 5,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (mu, u) = trainTopComponent(emb, iters, embCol)
+    val muDotU = mu.zip(u).map { case (a, b) => a * b }.sum
+    emb.select(col(idCol),
+      round(VectorOps.dot(col(embCol).cast("array<double>"), lit(u))
+        - lit(muDotU), Scale).as("pc1_proj"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB oracle replaying [[project]] END-TO-END: the same µ
+    * quantization, the same u₀, the `iters` power rounds unrolled as CTEs
+    * (per-round: score per vector, per-coordinate weighted sums, L2
+    * normalize, quantize), then the same rounded projection. */
+  def projectOracleSql(iters: Int = 5, dim: Int = 64): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""
+      s$i AS (
+        SELECT e.id,
+               list_dot_product(e.v, u.uv)
+                 - list_dot_product(m.mv, u.uv) AS s
+        FROM v e, mu m, u${i - 1} u),
+      w$i AS (
+        SELECT list(w ORDER BY pos) AS wv FROM (
+          SELECT pos, sum(s.s * (e.v[CAST(pos AS INT)]
+                                 - m.mv[CAST(pos AS INT)])) AS w
+          FROM v e JOIN s$i s ON s.id = e.id, mu m,
+               (SELECT unnest(generate_series(1, $dim)) AS pos) p
+          GROUP BY pos)),
+      u$i AS (
+        SELECT list_transform(wv, x ->
+          round(x / sqrt(list_dot_product(wv, wv)), ${Scale})) AS uv
+        FROM w$i),"""
+    }.mkString
+    s"""
+      WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      mu AS (
+        SELECT list(m ORDER BY pos) AS mv FROM (
+          SELECT pos, round(avg(v[CAST(pos AS INT)]), ${Scale}) AS m
+          FROM (SELECT v, unnest(generate_series(1, $dim)) AS pos FROM v)
+          GROUP BY pos)),
+      u0 AS (
+        SELECT list_transform(generate_series(1, $dim), x ->
+          round(1.0 / sqrt($dim), ${Scale})) AS uv),
+      $rounds
+      proj AS (
+        SELECT e.id AS vec_id,
+               round(list_dot_product(e.v, u.uv)
+                     - list_dot_product(m.mv, u.uv), ${Scale}) AS pc1_proj
+        FROM v e, mu m, u$iters u)
+      SELECT vec_id, pc1_proj FROM proj ORDER BY vec_id"""
+  }
+}
