@@ -367,6 +367,81 @@ object SimilarityQueries {
         WHERE vec_id NOT IN (SELECT node FROM dropped)
         ORDER BY vec_id""")),
 
+    // Index-quality evaluation AS an operator: per-query recall@3 of the
+    // IVF path against the exact brute-force top-3 — the monitor every
+    // production ANN deployment runs before trusting an index (and after
+    // every retrain). Both paths are deterministic, so the oracle replays
+    // the whole evaluation: Lloyd training, probe routing, ADC-free exact
+    // verify, the brute-force reference ranking, and the intersection
+    // counting. 100 TB shape: recall is evaluated on a SAMPLE of queries
+    // (here vec_id < 20) — the brute-force side is the product of that
+    // small probe batch with the corpus, never corpus × corpus.
+    "sim_ann_recall" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val probes = emb.where(col("vec_id") < 20)
+        val ivf = graft.sim.Ivf.topKApprox(emb, probes, k = 3)
+          .select(col("q_id"), col("c_id"))
+        val q = probes.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"))
+        val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("c_id"))
+        val bf = c.join(broadcast(q), col("c_id") =!= col("q_id"))
+          .select(col("q_id"), col("c_id"),
+            VectorOps.cosineRounded(col("c_emb"), col("q_emb")).as("score"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("q_id"), col("c_id"))
+        val hits = ivf.join(bf, Seq("q_id", "c_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("hits"))
+        probes.select(col("vec_id").as("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("hits"))
+          .withColumn("recall", col("hits").cast("double") / lit(3.0))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ${graft.sim.Ivf.coarseCtes(numCells = 16, nprobe = 4, iters = 5,
+            dim = 64, queryPred = "id < 20")},
+        cand AS (
+          SELECT p.q_id, i.c_id
+          FROM probes p JOIN idx i ON i.cell = p.probe AND i.c_id <> p.q_id),
+        iscored AS (
+          SELECT c.q_id, c.c_id,
+                 round(${cosSql("eq.embedding", "ec.embedding")}, 6) AS score
+          FROM cand c
+          JOIN embeddings eq ON eq.vec_id = c.q_id
+          JOIN embeddings ec ON ec.vec_id = c.c_id),
+        ivf3 AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score DESC, c_id) AS rnk
+            FROM iscored) WHERE rnk <= 3),
+        bf3 AS (
+          SELECT q_id, c_id FROM (
+            SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(${cosSql("e.embedding", "q.embedding")},
+                                    6) DESC, e.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id < 20) WHERE rnk <= 3),
+        h AS (
+          SELECT i.q_id, count(*) AS hits
+          FROM ivf3 i JOIN bf3 b ON b.q_id = i.q_id AND b.c_id = i.c_id
+          GROUP BY i.q_id)
+        SELECT q.vec_id AS q_id,
+               coalesce(h.hits, 0) AS hits,
+               CAST(coalesce(h.hits, 0) AS DOUBLE) / 3.0 AS recall
+        FROM embeddings q LEFT JOIN h ON h.q_id = q.vec_id
+        WHERE q.vec_id < 20
+        ORDER BY q_id""")),
+
     // Top-principal-component projection by deterministic power iteration
     // (graft.sim.Pca): the spectral primitive for whitening, OPQ-style
     // rotation pre-processing, and drift monitoring (batch distribution
