@@ -367,6 +367,71 @@ object SimilarityQueries {
         WHERE vec_id NOT IN (SELECT node FROM dropped)
         ORDER BY vec_id""")),
 
+    // Incremental SemDeDup: the delta batch is assigned to the STANDING
+    // cell index (centroids trained on history only — no retrain), and
+    // candidate pairs are delta-vs-(history ∪ delta) within cells, so a
+    // batch costs O(delta × cell occupancy) and history is never
+    // self-joined — the same delta-vs-standing contract as minhash_incr /
+    // embedding_incr / containment_incr. Odd vec_ids play the delta. The
+    // oracle replays history-only training plus BOTH assignments.
+    "dedup_semantic_incr" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val hist = emb.where(col("vec_id") % 2 === 0)
+        val delta = emb.where(col("vec_id") % 2 === 1)
+        val centroids = graft.sim.Ivf.trainCentroids(hist, k = 8, iters = 3)
+        val idxH = graft.sim.Ivf.index(hist, centroids)
+        val idxD = graft.sim.Ivf.index(delta, centroids)
+        val dh = idxD.as("a").join(idxH.as("b"),
+            col("a.cell") === col("b.cell"))
+          .select(col("a.cell").cast("long").as("cell"),
+            least(col("a.c_id"), col("b.c_id")).as("id_a"),
+            greatest(col("a.c_id"), col("b.c_id")).as("id_b"),
+            VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
+        val dd = idxD.as("a").join(idxD.as("b"),
+            col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
+          .select(col("a.cell").cast("long").as("cell"),
+            col("a.c_id").as("id_a"), col("b.c_id").as("id_b"),
+            VectorOps.cosineRounded(col("a.c_emb"), col("b.c_emb")).as("score"))
+        dh.unionByName(dd)
+          .where(col("score") >= 0.45)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 2 = 0),
+        ${graft.sim.Ivf.coarseCtes(numCells = 8, nprobe = 1, iters = 3,
+            dim = 64, queryPred = "id < 0")},
+        d AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 2 = 1),
+        idxd AS (
+          SELECT id AS c_id, cell FROM (
+            SELECT a.id, c.cell,
+                   row_number() OVER (PARTITION BY a.id
+                     ORDER BY list_dot_product(a.v, c.cv)
+                              - list_dot_product(c.cv, c.cv)/2.0 DESC,
+                              c.cell DESC) AS rn
+            FROM d a CROSS JOIN c3 c) WHERE rn = 1),
+        dh AS (
+          SELECT a.cell, least(a.c_id, b.c_id) AS id_a,
+                 greatest(a.c_id, b.c_id) AS id_b
+          FROM idxd a JOIN idx b ON b.cell = a.cell),
+        dd AS (
+          SELECT a.cell, a.c_id AS id_a, b.c_id AS id_b
+          FROM idxd a JOIN idxd b
+            ON b.cell = a.cell AND a.c_id < b.c_id),
+        u AS (SELECT * FROM dh UNION ALL SELECT * FROM dd),
+        scored AS (
+          SELECT u.cell, u.id_a, u.id_b,
+                 round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS score
+          FROM u
+          JOIN embeddings ea ON ea.vec_id = u.id_a
+          JOIN embeddings eb ON eb.vec_id = u.id_b)
+        SELECT cell, id_a, id_b, score FROM scored
+        WHERE score >= 0.45 ORDER BY id_a, id_b""")),
+
     // Index-quality evaluation AS an operator: per-query recall@3 of the
     // IVF path against the exact brute-force top-3 — the monitor every
     // production ANN deployment runs before trusting an index (and after

@@ -33,7 +33,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // declared-exact hard-negative mining: a broadcast probe BATCH
       // against the corpus scan — O(corpus x probes) by design, the
       // baseline the IVF/PQ indexes accelerate at larger probe counts
-      "sim_hard_negatives")
+      "sim_hard_negatives",
+      // recall evaluation NEEDS the exact reference ranking: its
+      // brute-force side is the ground truth the IVF path is graded
+      // against, over the same broadcast probe batch
+      "sim_ann_recall")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = plans.filter { case (name, p) =>
