@@ -41,6 +41,49 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
 
     // Token counting: \S+ runs + alpha chars + mean token length.
+    // Character-level Shannon entropy — the CCNet-family quality signal
+    // that catches what length/punctuation ratios miss: gibberish and
+    // key-mashing score low, base64/hex blobs score implausibly high and
+    // flat, natural prose sits in a narrow band. Determinism: each
+    // (doc, char) term (c/n)·ln(c/n) is a float of integer ratios both
+    // engines compute identically, rounded to 6 dp and summed in exact
+    // DECIMAL so per-doc accumulation order cannot drift. One explode +
+    // two doc-keyed aggregations, all scan-side.
+    "text_entropy" -> QueryDef(
+      fn = (s, d) => {
+        val chars = t(s, d, "documents").select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+        val cnt = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        cnt.join(tot, "doc_id")
+          .select(col("doc_id"), col("n"),
+            round((col("c") / col("n"))
+              * log(col("c").cast("double") / col("n")), 6)
+              .cast(DecimalType(18, 6)).as("term"))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_chars_counted"),
+            (-sum(col("term"))).cast("double").as("char_entropy"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH ch AS (
+          SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS i
+                FROM documents)),
+        cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        tot AS (SELECT doc_id, count(*) AS n FROM ch GROUP BY 1),
+        t AS (
+          SELECT c.doc_id, t.n,
+                 CAST(round((c.c / t.n) * ln(CAST(c.c AS DOUBLE) / t.n), 6)
+                      AS DECIMAL(18,6)) AS term
+          FROM cnt c JOIN tot t USING (doc_id))
+        SELECT doc_id, max(n) AS n_chars_counted,
+               CAST(-sum(term) AS DOUBLE) AS char_entropy
+        FROM t GROUP BY doc_id ORDER BY doc_id""")),
+
     "text_stats" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
