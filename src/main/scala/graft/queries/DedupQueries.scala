@@ -347,6 +347,79 @@ object DedupQueries {
         WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
         ORDER BY doc_a, doc_b""")),
 
+    // LSH recall evaluation — the dedup twin of sim_ann_recall: how many
+    // of the TRUE near-dup pairs (exact all-pairs Jaccard >= 0.8) does
+    // the banded MinHash pipeline actually surface? Recall < 1 means a
+    // true pair collided in no band (or died in the agreement
+    // pre-filter) — the quality number to re-check whenever band/hash
+    // constants are tuned. The exact reference is quadratic BY DESIGN and
+    // therefore runs on a capped slice (doc_id < 200, the same
+    // bounded-ground-truth pattern as sim_ann_recall's probe set); its
+    // candidate join is keyed on shared shingles — an equi-join, so even
+    // the reference never plans a cartesian product. The LSH side is the
+    // unmodified production pipeline on the same slice. Both paths AND
+    // the intersection count replay in the oracle.
+    "dedup_lsh_recall" -> QueryDef(
+      fn = (s, d) => {
+        val slice = t(s, d, "documents").where(col("doc_id") < 200)
+        val lsh = Dedup.minHashLshPairs(slice, threshold = 0.8)
+          .select("doc_a", "doc_b")
+        val sh = Dedup.shingles(slice)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val exact = Dedup.jaccard(cand, sh).where(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b")
+        val rep = exact
+          .join(lsh.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(coalesce(col("hit"), lit(0))), lit(0)).cast("long")
+              .as("n_hit"))
+          .select(col("n_exact"), col("n_hit"),
+            when(col("n_exact") === 0, lit(1.0))
+              .otherwise(round(col("n_hit").cast("double") /
+                col("n_exact").cast("double"), 6)).as("recall"))
+        val out = rep.persist()
+        out.count() // materialize while the shingle cache is live
+        sh.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH sl AS (SELECT * FROM documents WHERE doc_id < 200),
+        ${minhashPairsCtes(0.8, src = "sl")},
+        ecand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        einter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM ecand c
+          JOIN sh s1 ON s1.doc_id = c.doc_a
+          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        epairs AS (
+          SELECT i.doc_a, i.doc_b
+          FROM einter i
+          JOIN sizes na ON i.doc_a = na.doc_id
+          JOIN sizes nb ON i.doc_b = nb.doc_id
+          WHERE round(i.i / (na.n + nb.n - i.i), 6) >= 0.8),
+        rep AS (
+          SELECT count(*) AS n_exact,
+                 CAST(coalesce(sum(CASE WHEN p.doc_a IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_hit
+          FROM epairs e
+          LEFT JOIN pairs p ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b)
+        SELECT n_exact, n_hit,
+               CASE WHEN n_exact = 0 THEN 1.0
+                    ELSE round(CAST(n_hit AS DOUBLE) /
+                               CAST(n_exact AS DOUBLE), 6) END AS recall
+        FROM rep""")),
+
     // Duplicate-cluster assignment: connected components over the verified
     // MinHash-LSH pairs — every doc in a near-dup pair labeled with the
     // smallest doc_id reachable through pair edges (its cluster's

@@ -559,6 +559,201 @@ object MiscQueries {
         UNION ALL SELECT event_type, n_exact, est FROM mall
         ORDER BY event_type""")),
 
+    // KMV set-operation cardinality (Beyer et al., SIGMOD'07 §4): the
+    // intersection size of two user sets estimated ENTIRELY from their
+    // k-min sketches — |A∩B| ≈ ρ·|A∪B|, with ρ = (union-sketch elements
+    // present in BOTH input sketches)/k and |A∪B| the KMV estimate of the
+    // merged-and-recut union sketch. This is the overlap question ("how
+    // many users do click and purchase share?") answered from kilobytes
+    // of standing sketch state: at 100 TB the per-group sketches are
+    // already maintained (agg_kmv_merge / the streaming sketch sink), so
+    // every pairwise overlap costs k·groups² sketch rows, never a rescan
+    // or a data-sized join. The exact intersection counts ride along as
+    // verification evidence only. Deterministic md5 hashing end-to-end —
+    // the oracle replays sketches, merge, membership flags, and the
+    // estimator bit-for-bit.
+    "agg_kmv_intersect" -> QueryDef(
+      fn = (s, d) => {
+        val k = 64
+        val H = 281474976710656.0 // 2^48, the md5-prefix hash range
+        val pairs = t(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+          .withColumn("h",
+            conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .persist()
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("user_id"))
+        val sk = pairs.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= k)
+          .persist()
+        // unordered type pairs (a < b): group-count-sized, tiny
+        val types = pairs.select("event_type").distinct()
+        val tp = types.select(col("event_type").as("type_a"))
+          .join(types.select(col("event_type").as("type_b")),
+            col("type_a") < col("type_b"))
+        // union rows carry membership flags; grouping collapses an element
+        // present in both sketches into one row with in_a = in_b = 1
+        val ua = tp.join(sk, col("event_type") === col("type_a"))
+          .select(col("type_a"), col("type_b"), col("h"), col("user_id"),
+            lit(1).as("in_a"), lit(0).as("in_b"))
+        val ub = tp.join(sk, col("event_type") === col("type_b"))
+          .select(col("type_a"), col("type_b"), col("h"), col("user_id"),
+            lit(0).as("in_a"), lit(1).as("in_b"))
+        val merged = ua.unionByName(ub)
+          .groupBy("type_a", "type_b", "h", "user_id")
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("type_a"), col("type_b"))
+              .orderBy(col("h"), col("user_id"))))
+          .where(col("rn") <= k)
+        val est = merged.groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("m"),
+            sum(col("in_a") * col("in_b")).as("both"),
+            max(when(col("rn") === k, col("h"))).as("hk"))
+          .select(col("type_a"), col("type_b"),
+            round(
+              when(col("m") < k, col("both").cast("double"))
+                .otherwise(col("both").cast("double") / lit(k.toDouble) *
+                  (lit((k - 1).toDouble * H) / col("hk"))),
+              6).as("est"))
+        // exact intersection: verification evidence (the narrow distinct
+        // relation joined on user across the two types)
+        val exact = pairs.select(col("event_type").as("type_a"),
+            col("user_id"))
+          .join(pairs.select(col("event_type").as("type_b"), col("user_id")),
+            Seq("user_id"))
+          .where(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n_exact"))
+        val result = exact.join(est, Seq("type_a", "type_b"), "left")
+          .select(col("type_a"), col("type_b"), col("n_exact"),
+            coalesce(col("est"), lit(0.0)).as("est"))
+          .orderBy("type_a", "type_b")
+          .persist()
+        result.count() // materialize while the sketch cache is live
+        sk.unpersist(false)
+        pairs.unpersist(false)
+        result
+      },
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (
+          SELECT event_type, user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM d),
+        r AS (
+          SELECT event_type, user_id, h,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY h, user_id) AS rn
+          FROM h),
+        sk AS (SELECT * FROM r WHERE rn <= 64),
+        tp AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM (SELECT DISTINCT event_type FROM d) a
+          JOIN (SELECT DISTINCT event_type FROM d) b
+            ON a.event_type < b.event_type),
+        u AS (
+          SELECT tp.type_a, tp.type_b, sk.h, sk.user_id,
+                 1 AS in_a, 0 AS in_b
+          FROM tp JOIN sk ON sk.event_type = tp.type_a
+          UNION ALL
+          SELECT tp.type_a, tp.type_b, sk.h, sk.user_id,
+                 0 AS in_a, 1 AS in_b
+          FROM tp JOIN sk ON sk.event_type = tp.type_b),
+        g AS (
+          SELECT type_a, type_b, h, user_id,
+                 max(in_a) AS in_a, max(in_b) AS in_b
+          FROM u GROUP BY type_a, type_b, h, user_id),
+        mr AS (
+          SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                       ORDER BY h, user_id) AS rn
+          FROM g),
+        mk AS (SELECT * FROM mr WHERE rn <= 64),
+        es AS (
+          SELECT type_a, type_b,
+                 round(CASE WHEN count(*) < 64
+                            THEN CAST(sum(in_a * in_b) AS DOUBLE)
+                            ELSE CAST(sum(in_a * in_b) AS DOUBLE) / 64.0 *
+                                 (63.0 * 281474976710656 /
+                                  max(CASE WHEN rn = 64 THEN h END))
+                       END, 6) AS est
+          FROM mk GROUP BY type_a, type_b),
+        ex AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*) AS n_exact
+          FROM d a JOIN d b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT ex.type_a, ex.type_b, ex.n_exact,
+               coalesce(es.est, 0.0) AS est
+        FROM ex LEFT JOIN es USING (type_a, type_b)
+        ORDER BY type_a, type_b""")),
+
+    // Count-Min sketch point estimates (Cormode & Muthukrishnan, J.Alg'05):
+    // per-key frequency estimates from a d×w counter grid — bucket
+    // counters are SUMS, so the sketch is commutative/mergeable and the
+    // groupBy builds it with map-side partial aggregation: the shuffle
+    // carries at most d·w·partitions counter rows, never the event
+    // stream. est(u) = min over rows of counter[row][bucket_row(u)] ≥
+    // true count ALWAYS (one-sided error) — the hash grid is md5-derived
+    // and deterministic, so the estimates themselves (not just a
+    // tolerance verdict) are bit-exact against the oracle's replay. At
+    // 100 TB this is the "how often does key X occur" primitive that
+    // needs no per-key state: kilobytes of counters answer any ad-hoc
+    // key, and per-partition grids merge by elementwise addition.
+    "agg_cms_estimate" -> QueryDef(
+      fn = (s, d) => {
+        import graft.functions.Cms
+        val depth = Cms.Depth
+        def bucket(u: org.apache.spark.sql.Column, j: Int) = Cms.bucket(u, j)
+        val ev = t(s, d, "events").select(col("user_id"))
+        // one exploded groupBy: partial aggregation collapses each
+        // partition to <= d*w rows before the exchange
+        val counters = ev
+          .select(explode(array((0 until depth).map(j =>
+            struct(lit(j).as("row"), bucket(col("user_id"), j).as("bucket"))): _*))
+            .as("rb"))
+          .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("c"))
+        val probes = ev.where(col("user_id") % 37 === 0)
+          .groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        val est = (0 until depth).foldLeft(
+          probes.withColumn("est", lit(Long.MaxValue))) { (acc, j) =>
+          acc.join(counters.where(col("row") === j)
+              .select(col("bucket").as(s"b$j"), col("c").as(s"c$j")),
+            bucket(col("user_id"), j) === col(s"b$j"))
+            .withColumn("est", least(col("est"), col(s"c$j")))
+            .drop(s"b$j", s"c$j")
+        }
+        est.select(col("user_id"), col("n_exact"), col("est"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH buckets AS (
+          SELECT e.user_id, j.j,
+                 CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+                                         CAST(e.user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 256 AS bucket
+          FROM events e CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j),
+        counters AS (
+          SELECT j, bucket, count(*) AS c
+          FROM buckets GROUP BY j, bucket),
+        probes AS (
+          SELECT user_id, count(*) AS n_exact
+          FROM events WHERE user_id % 37 = 0 GROUP BY user_id),
+        pb AS (
+          SELECT p.user_id, p.n_exact, j.j,
+                 CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+                                         CAST(p.user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 256 AS bucket
+          FROM probes p CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) j)
+        SELECT pb.user_id, pb.n_exact, min(c.c) AS est
+        FROM pb JOIN counters c ON c.j = pb.j AND c.bucket = pb.bucket
+        GROUP BY pb.user_id, pb.n_exact
+        ORDER BY pb.user_id""")),
+
     // Mergeable quantile sketch — the quantile twin of agg_kmv_merge. A
     // group's sketch is the k=64 rows with the smallest md5(event_id): a
     // deterministic UNIFORM sample, so a quantile estimate is an
@@ -1037,6 +1232,66 @@ object MiscQueries {
         SELECT event_id, v, $zSql AS zval
         FROM xyz ORDER BY zval, event_id"""
       }),
+
+    // Length-bucketed batching report: docs assigned to power-of-two
+    // length buckets (the layout sequence-packing/batching pipelines use
+    // to cut padding FLOPs — batch same-bucket docs and pad to the bucket
+    // cap instead of the global max). Emits per-bucket volume and the
+    // padding waste that bucket cap implies, the number a training
+    // dataloader needs to size its buckets. floor(log2) is computed from
+    // a CASE-corrected ln-ratio — the float estimate can be off by one
+    // either way and the two integer corrections repair it exactly, so
+    // both engines land the identical bucket for every length. One
+    // groupBy over scan-side expressions; at 100 TB the bucket column is
+    // also the natural partitionBy for the packed write.
+    "layout_length_buckets" -> QueryDef(
+      fn = (s, d) => {
+        val x = col("n_chars").cast("double")
+        val l0 = floor(log(2.0, x)).cast("int")
+        val lExact = (l0
+          + when(x >= pow(lit(2.0), (l0 + 1).cast("double")), 1).otherwise(0)
+          - when(x < pow(lit(2.0), l0.cast("double")), 1).otherwise(0))
+        val cap = when(pow(lit(2.0), lExact.cast("double")) === x, x)
+          .otherwise(pow(lit(2.0), (lExact + 1).cast("double")))
+          .cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"), cap.as("bucket_cap"))
+          .groupBy("bucket_cap")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .select(col("bucket_cap"), col("n_docs"), col("total_chars"),
+            (col("bucket_cap") * col("n_docs")).as("padded_chars"),
+            round(lit(1.0) - col("total_chars").cast("double") /
+              (col("bucket_cap") * col("n_docs")).cast("double"), 6)
+              .as("waste_frac"))
+          .orderBy("bucket_cap")
+      },
+      oracle = Some("""
+        WITH l AS (
+          SELECT doc_id, n_chars,
+                 CAST(floor(ln(CAST(n_chars AS DOUBLE)) / ln(2.0)) AS INT)
+                   AS l0
+          FROM documents),
+        lc AS (
+          SELECT doc_id, n_chars,
+                 l0 + (CASE WHEN n_chars >= pow(2.0, l0 + 1) THEN 1 ELSE 0 END)
+                    - (CASE WHEN n_chars < pow(2.0, l0) THEN 1 ELSE 0 END)
+                   AS le
+          FROM l),
+        b AS (
+          SELECT doc_id, n_chars,
+                 CAST(CASE WHEN pow(2.0, le) = n_chars THEN n_chars
+                           ELSE pow(2.0, le + 1) END AS BIGINT) AS bucket_cap
+          FROM lc),
+        g AS (
+          SELECT bucket_cap, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
+          FROM b GROUP BY bucket_cap)
+        SELECT bucket_cap, n_docs, total_chars,
+               bucket_cap * n_docs AS padded_chars,
+               round(1.0 - CAST(total_chars AS DOUBLE) /
+                     CAST(bucket_cap * n_docs AS DOUBLE), 6) AS waste_frac
+        FROM g ORDER BY bucket_cap""")),
 
     // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
     // O(len) winnowing fingerprint, the scale path for shingle hashing.

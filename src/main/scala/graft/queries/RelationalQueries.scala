@@ -236,6 +236,64 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Per-state transition entropy over the same lead-window transition
+    // counts as events_transitions: H(from) = -Σ p·ln(p) over the
+    // next-state distribution. The sequence-predictability signal
+    // (bot/replay traffic shows near-zero entropy, organic browsing sits
+    // high) and the information-theoretic summary a Markov model of user
+    // flows starts from. Per-term p·ln(p) values round to 6dp into
+    // DECIMAL and accumulate exactly — the unigram-logprob determinism
+    // pattern — so the per-state sums hash-match; ratios are int/int
+    // IEEE divisions both engines compute identically. Transition counts
+    // are group-cardinality-sized (|types|²), so everything after the
+    // one lead window is sketch-scale.
+    "events_transition_entropy" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val trans = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = trans.groupBy("from_type")
+          .agg(sum(col("n")).as("total"))
+        trans.join(tot, "from_type")
+          .select(col("from_type"), col("total"),
+            round((col("n").cast("double") / col("total").cast("double")) *
+              log(col("n").cast("double") / col("total").cast("double")), 6)
+              .cast(DecimalType(18, 6)).as("plp"))
+          .groupBy("from_type")
+          .agg(max(col("total")).as("n_transitions"),
+            // + 0.0 folds a possible -0.0 (single-successor state, all
+            // terms zero) to +0.0 on both engines before formatting
+            round(-sum(col("plp")).cast("double") + lit(0.0), 6).as("entropy"))
+          .orderBy("from_type")
+      },
+      oracle = Some("""
+        WITH trans AS (
+          SELECT event_type AS from_type, to_type, count(*) AS n
+          FROM (SELECT event_type,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS to_type
+                FROM events)
+          WHERE to_type IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS total
+          FROM trans GROUP BY from_type),
+        terms AS (
+          SELECT t.from_type, o.total,
+                 CAST(round((CAST(t.n AS DOUBLE) / o.total) *
+                            ln(CAST(t.n AS DOUBLE) / o.total), 6)
+                      AS DECIMAL(18,6)) AS plp
+          FROM trans t JOIN tot o USING (from_type))
+        SELECT from_type, max(total) AS n_transitions,
+               round(-CAST(sum(plp) AS DOUBLE) + 0.0, 6) AS entropy
+        FROM terms GROUP BY from_type ORDER BY from_type""")),
+
     // TPC-H Q6 shape: the pure pushdown benchmark — a conjunctive range
     // filter that must reach the parquet scan and a single exact-decimal
     // aggregate, no joins, no shuffle beyond the final combine.

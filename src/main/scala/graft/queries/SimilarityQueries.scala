@@ -256,6 +256,115 @@ object SimilarityQueries {
         WHERE id_a % 2 = 1 OR id_b % 2 = 1
         ORDER BY id_a, id_b""")),
 
+    // Embedding-table health audit: norm distribution + outlier count in
+    // one narrow pass. Broken embedding exports show up as zero vectors
+    // (failed encodes), near-zero norms (truncated rows), or huge norms
+    // (unnormalized mixes) — the audit every vector load should gate on
+    // before an index build trains on garbage. Norms round to 6dp into
+    // DECIMAL so the mean/std moments accumulate order-independently;
+    // the z-threshold scalars are pulled to the driver (same
+    // threshold-pull pattern as quality_gate) so the outlier count needs
+    // no one-row cross join. One scan, vectors never shuffled.
+    "emb_norm_outliers" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val norms = t(s, d, "embeddings")
+          .select(col("vec_id"),
+            round(VectorOps.norm(col("embedding")), 6)
+              .cast(DecimalType(18, 6)).as("nrm"))
+          .persist()
+        val m = norms
+          .agg(count(lit(1)).as("n"), sum(col("nrm")).as("sx"),
+            sum(col("nrm") * col("nrm")).as("sxx"),
+            sum(when(col("nrm") === 0, 1L).otherwise(0L)).as("nz"))
+          .head()
+        val n = m.getLong(0)
+        val sx = m.getDecimal(1).doubleValue()
+        val sxx = m.getDecimal(2).doubleValue()
+        val nZero = m.getLong(3)
+        val mean = sx / n.toDouble
+        val std = math.sqrt(sxx / n.toDouble - mean * mean)
+        val nOut = norms
+          .where(abs(col("nrm").cast("double") - lit(mean)) > lit(3.0 * std))
+          .count()
+        norms.unpersist(false)
+        // HALF_UP to match both engines' round(double, 6)
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s.range(1).select(lit(n).as("n_vecs"), lit(nZero).as("n_zero"),
+          lit(nOut).as("n_outliers"),
+          lit(r6(mean)).as("mean_norm"), lit(r6(std)).as("std_norm"))
+      },
+      oracle = Some("""
+        WITH nrm AS (
+          SELECT vec_id,
+                 CAST(round(sqrt(list_dot_product(
+                        CAST(embedding AS DOUBLE[]),
+                        CAST(embedding AS DOUBLE[]))), 6) AS DECIMAL(18,6))
+                   AS nrm
+          FROM embeddings),
+        m AS (
+          SELECT count(*) AS n, sum(nrm) AS sx, sum(nrm * nrm) AS sxx,
+                 CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nz
+          FROM nrm),
+        st AS (
+          SELECT n, nz,
+                 CAST(sx AS DOUBLE) / n AS mean,
+                 sqrt(CAST(sxx AS DOUBLE) / n -
+                      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                   AS std
+          FROM m)
+        SELECT st.n AS n_vecs, st.nz AS n_zero,
+               (SELECT count(*) FROM nrm, st
+                WHERE abs(CAST(nrm.nrm AS DOUBLE) - st.mean) > 3.0 * st.std)
+                 AS n_outliers,
+               round(st.mean, 6) AS mean_norm,
+               round(st.std, 6) AS std_norm
+        FROM st""")),
+
+    // Semantic decontamination — the embedding-space complement of the
+    // n-gram text_contamination check: train vectors whose cosine to ANY
+    // eval-suite vector (vec_id % 10 = 0 plays the benchmark) clears the
+    // near-dup threshold. Catches paraphrased/reworded eval leakage that
+    // exact n-gram overlap misses (Yang et al., arXiv:2311.04850 show
+    // rephrased benchmark items survive n-gram decontamination). Shape:
+    // the SAME incremental sign-LSH machinery as dedup_embedding_incr
+    // with the eval suite as the delta — candidates are eval-buckets ×
+    // train-buckets, O(|eval| × occupancy), so the train corpus is never
+    // self-joined and never shuffled whole; in production the train side
+    // is the standing bucket index the ingest path maintains. Output is
+    // the contaminated-train-doc list with hit counts — the rows a
+    // release must drop or flag.
+    "decontam_embedding" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val isBench = (c: org.apache.spark.sql.Column) => c % 10 === 0
+        val pairs = CosineLsh.nearDupPairsIncremental(
+          history = emb.where(!isBench(col("vec_id"))),
+          delta = emb.where(isBench(col("vec_id"))),
+          threshold = 0.45, bits = Some(CosineLsh.BitsPerTable))
+        pairs
+          .where(isBench(col("id_a")) =!= isBench(col("id_b")))
+          .select(
+            when(isBench(col("id_a")), col("id_b")).otherwise(col("id_a"))
+              .as("train_vec_id"),
+            col("score"))
+          .groupBy("train_vec_id")
+          .agg(count(lit(1)).as("n_bench_hits"),
+            max(col("score")).as("max_score"))
+          .orderBy("train_vec_id")
+      },
+      oracle = Some(s"""
+        WITH ${CosineLsh.nearDupPairsCtes(threshold = 0.45)}
+        SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END
+                 AS train_vec_id,
+               count(*) AS n_bench_hits,
+               max(score) AS max_score
+        FROM vpairs
+        WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+        GROUP BY 1 ORDER BY train_vec_id""")),
+
     // Semantic duplicate clusters: the same connected-components step the
     // text pipeline uses, over the cosine near-dup pairs — embeddings
     // whose mutual cosine chains above threshold collapse to one keeper.

@@ -912,6 +912,281 @@ object TextQueries {
         FROM grams GROUP BY bigram
         ORDER BY n_occurrences DESC, bigram LIMIT 20""")),
 
+    // Per-doc n-gram novelty: the fraction of a doc's distinct word
+    // 3-grams whose FIRST corpus occurrence (min doc_id — ingestion
+    // order) is this doc. The memorization/contribution signal data
+    // curation ranks by: a doc whose grams all appeared earlier adds no
+    // new n-gram mass (novelty 0), a fresh doc scores 1. Shape: one
+    // shuffle keyed by gram for the global first-seen aggregate, one
+    // groupBy back to docs — both with map-side partials, no window over
+    // the corpus, no self-join. At 100 TB the first-seen relation is the
+    // same standing gram-count table the span-dedup pipeline maintains,
+    // so the incremental form is a delta-vs-standing lookup. Ratios are
+    // int/int IEEE divisions — bit-identical cross-engine.
+    "text_ngram_novelty" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val grams = Dedup.wordShingles(docs, n = 3, dedup = true)
+        val first = grams.groupBy("shingle")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = grams.join(first, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(1.0))
+              .otherwise(round(col("n_novel").cast("double") /
+                col("n_grams").cast("double"), 6)).as("novelty"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)],
+                           toks[CAST(i+2 AS INT)]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM toks WHERE len(toks) >= 3)),
+        first AS (
+          SELECT shingle, min(doc_id) AS first_doc FROM grams GROUP BY shingle),
+        pd AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM grams g JOIN first f USING (shingle)
+          GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 1.0
+                    ELSE round(CAST(pd.n_novel AS DOUBLE) /
+                               CAST(pd.n_grams AS DOUBLE), 6) END AS novelty
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    // Two-sample Kolmogorov–Smirnov drift monitor over the quality-score
+    // distribution: previous snapshot (even doc_ids) vs current (odd),
+    // KS = max |CDF_A - CDF_B|. The scorer-health check a curation
+    // pipeline runs per release — a quality model that silently shifts
+    // moves the whole CDF even when means barely change (the complement
+    // of emb_centroid_drift, which watches the embedding space). Scores
+    // bin at 3dp, so the CDF relation is bounded (≤1001 bins over [0,1])
+    // and the cumulative window is sketch-sized no matter the corpus;
+    // side totals are pulled to the driver (threshold-pull pattern) so
+    // no one-row cross join appears. CDF ratios are int/int IEEE
+    // divisions — bit-identical cross-engine.
+    "quality_ks_drift" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(round(TextAnalysis.qualityScore(col("text")), 3).as("bin"),
+            (col("doc_id") % 2).as("side"))
+          .persist()
+        val tot = scored.groupBy("side").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (nA, nB) = (tot.getOrElse(0L, 0L), tot.getOrElse(1L, 0L))
+        val counts = scored.groupBy("bin")
+          .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+            sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+        val w = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ks = counts
+          .withColumn("ca", sum(col("a")).over(w))
+          .withColumn("cb", sum(col("b")).over(w))
+          .agg(round(max(abs(
+            col("ca").cast("double") / lit(nA.toDouble) -
+              col("cb").cast("double") / lit(nB.toDouble))), 6).as("ks_stat"))
+          .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("ks_stat"))
+        val out = ks.persist()
+        out.count() // materialize while the scored cache is live
+        scored.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH sc AS (
+          SELECT round($qualitySql, 3) AS bin, doc_id % 2 AS side
+          FROM documents),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+          FROM sc),
+        cnt AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+          FROM sc GROUP BY bin),
+        cum AS (
+          SELECT bin,
+                 sum(a) OVER (ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS ca,
+                 sum(b) OVER (ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cb
+          FROM cnt)
+        SELECT tot.na AS n_a, tot.nb AS n_b,
+               round(max(abs(CAST(ca AS DOUBLE) / tot.na -
+                             CAST(cb AS DOUBLE) / tot.nb)), 6) AS ks_stat
+        FROM cum, tot GROUP BY tot.na, tot.nb""")),
+
+    // Incremental novelty — the delta form of text_ngram_novelty: score a
+    // new batch (odd doc_ids) against an already-ingested history (even
+    // ids) whose gram→first-doc table is standing state. A delta gram's
+    // effective first-seen is least(history first-seen, delta first-seen)
+    // — the history corpus is reduced once to its narrow gram table and
+    // never re-grouped per batch, so per-batch work is O(delta grams +
+    // matched standing rows). Must equal the full pipeline filtered to
+    // delta docs (what the oracle computes), because min is associative:
+    // min over (history ∪ delta) = least(min history, min delta).
+    "text_ngram_novelty_incr" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val hist = docs.where(col("doc_id") % 2 === 0)
+        val delta = docs.where(col("doc_id") % 2 === 1)
+        // standing state: the history's gram → first-doc table
+        val standing = Dedup.wordShingles(hist, n = 3, dedup = true)
+          .groupBy("shingle").agg(min(col("doc_id")).as("hist_first"))
+        val deltaGrams = Dedup.wordShingles(delta, n = 3, dedup = true)
+        val deltaFirst = deltaGrams.groupBy("shingle")
+          .agg(min(col("doc_id")).as("delta_first"))
+          .join(standing, Seq("shingle"), "left")
+          .select(col("shingle"),
+            least(coalesce(col("hist_first"), col("delta_first")),
+              col("delta_first")).as("first_doc"))
+        val perDoc = deltaGrams.join(deltaFirst, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        delta.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(1.0))
+              .otherwise(round(col("n_novel").cast("double") /
+                col("n_grams").cast("double"), 6)).as("novelty"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)],
+                           toks[CAST(i+2 AS INT)]) AS shingle
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM toks WHERE len(toks) >= 3)),
+        first AS (
+          SELECT shingle, min(doc_id) AS first_doc FROM grams GROUP BY shingle),
+        pd AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM grams g JOIN first f USING (shingle)
+          WHERE g.doc_id % 2 = 1
+          GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 1.0
+                    ELSE round(CAST(pd.n_novel AS DOUBLE) /
+                               CAST(pd.n_grams AS DOUBLE), 6) END AS novelty
+        FROM documents d LEFT JOIN pd USING (doc_id)
+        WHERE d.doc_id % 2 = 1
+        ORDER BY d.doc_id""")),
+
+    // Zipf-fit corpus health check: OLS slope/intercept of ln(freq) vs
+    // ln(rank) over the frequency-ranked vocabulary head. Natural text
+    // sits near slope -1; synthetic/templated/spam corpora bend the curve
+    // — the one-row distributional fingerprint to track across corpus
+    // versions. Scale: ranking is confined to the top-K head (limit 1000)
+    // — a global window over the full vocabulary (billions of types at
+    // 100 TB) would single-partition sort it; the head is all Zipf needs.
+    // Determinism: per-point lns round to 6dp into DECIMAL and all four
+    // regression moments accumulate in exact decimal (products included),
+    // so accumulation order cannot perturb the fit; the closing
+    // slope/intercept arithmetic is identical scalar IEEE on both sides.
+    "text_zipf_fit" -> QueryDef(
+      fn = (s, d) => {
+        val toks = t(s, d, "documents").select(
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .as("w"))
+        val cnt = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        val head = cnt.orderBy(col("c").desc, col("w")).limit(1000)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("c").desc, col("w")))
+              .cast("long"))
+        val x = round(log(col("rank").cast("double")), 6)
+          .cast(DecimalType(18, 6))
+        val y = round(log(col("c").cast("double")), 6)
+          .cast(DecimalType(18, 6))
+        val m = head.select(x.as("x"), y.as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        m.select(col("n").as("n_head"),
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")), 6)
+              .as("slope"),
+            round((col("sy").cast("double") -
+              ((col("n").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double"))) *
+                col("sx").cast("double")) / col("n").cast("double"), 6)
+              .as("intercept"))
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        head AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+          FROM cnt ORDER BY c DESC, w LIMIT 1000),
+        pts AS (
+          SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6))
+                   AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+          FROM head),
+        m AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM pts)
+        SELECT n AS n_head,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+               round((CAST(sy AS DOUBLE) -
+                      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+                       CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                 AS intercept
+        FROM m""")),
+
     // BPE pair statistics (Bpe.pairCounts over the char-split word vocab):
     // the top-20 most frequent adjacent character pairs weighted by word
     // frequency — iteration 0 of BPE tokenizer training, hash-checking the

@@ -788,6 +788,68 @@ object StreamingIngest {
           .otherwise(lit((k - 1).toDouble * H) / col("hk")), 6).as("est"))
   }
 
+  /** Streaming Count-Min sketch maintenance — the frequency twin of
+    * [[toSketchSink]]: every micro-batch writes its own d×w counter grid
+    * ([[graft.functions.Cms]]) into a TAG PARTITION of the standing
+    * `db.table_cms(row, bucket, c, tag)` table. Counter addition is not
+    * idempotent, so unlike the KMV set-union fold the grids are kept
+    * per-batch and summed at read time: a retried batch id overwrites
+    * its own partition (dynamic partition overwrite) instead of
+    * double-counting, and [[Compact.rollbackToTag]]/expireTags manage
+    * the partitions like any other tag-partitioned sink. The standing
+    * state is sketch-sized (≤ d·w rows per batch) regardless of stream
+    * volume; [[cmsEstimates]] answers ad-hoc per-key frequency queries
+    * off it without ever rescanning ingested data. */
+  def toCmsSink(
+      events: DataFrame, db: String, table: String,
+      keyCol: String = "user_id",
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          foldCmsBatch(batch, db, table, keyCol,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+    }
+
+  /** One micro-batch CMS fold (the foreachBatch body of [[toCmsSink]],
+    * factored out for direct retry tests). Idempotent for a given tag. */
+  private[graft] def foldCmsBatch(
+      batch: DataFrame, db: String, table: String,
+      keyCol: String, tag: String,
+      tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.functions.Cms
+    val grid = batch.select(col(keyCol).as("k"))
+      .select(explode(array((0 until Cms.Depth).map(j =>
+        struct(lit(j).as("row"), Cms.bucket(col("k"), j).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn(tagColumn, lit(tag))
+    writeTagPartition(grid, s"$db.${table}_cms", tagColumn)
+  }
+
+  /** Per-key frequency estimates off the standing CMS table: counters
+    * sum across batch tags (grid merge = elementwise addition), the
+    * estimate is the min over the d rows — ≥ the true count always. A
+    * key whose bucket was never touched reads 0 (provably unseen). */
+  def cmsEstimates(
+      spark: SparkSession, db: String, table: String,
+      keys: Seq[Long]): DataFrame = {
+    import graft.functions.Cms
+    val counters = spark.table(s"$db.${table}_cms")
+      .groupBy("row", "bucket").agg(sum(col("c")).as("c"))
+    val probes = spark.createDataFrame(keys.map(Tuple1(_))).toDF("key_id")
+    (0 until Cms.Depth).foldLeft(
+      probes.withColumn("est", lit(Long.MaxValue))) { (acc, j) =>
+      acc.join(counters.where(col("row") === j)
+          .select(col("bucket").as(s"b$j"), col("c").as(s"c$j")),
+        Cms.bucket(col("key_id"), j) === col(s"b$j"), "left")
+        .withColumn("est", least(col("est"), coalesce(col(s"c$j"), lit(0L))))
+        .drop(s"b$j", s"c$j")
+    }.select(col("key_id"), col("est"))
+  }
+
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)

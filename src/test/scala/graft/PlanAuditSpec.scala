@@ -37,7 +37,13 @@ class PlanAuditSpec extends AnyFunSuite {
       // recall evaluation NEEDS the exact reference ranking: its
       // brute-force side is the ground truth the IVF path is graded
       // against, over the same broadcast probe batch
-      "sim_ann_recall")
+      "sim_ann_recall",
+      // the unordered group-pair list (type_a < type_b over DISTINCT
+      // event types) is an inherently non-equi self-join of a
+      // group-cardinality-sized relation — bounded by the number of
+      // sketch groups, never by data volume; everything downstream of
+      // it joins equi on the pair key
+      "agg_kmv_intersect")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = plans.filter { case (name, p) =>

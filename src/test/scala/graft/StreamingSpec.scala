@@ -743,4 +743,69 @@ class StreamingSpec extends AnyFunSuite {
     }
     spark.sql("DROP DATABASE kmv_sink CASCADE")
   }
+
+  test("CMS sink keeps per-batch counter grids; estimates bound exact counts") {
+    import graft.functions.Cms
+    val dir = Files.createTempDirectory("graft-stream-cms").toString
+    staticEvents.where(col("event_id") < 400).write.mode("overwrite")
+      .parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS cms_sink")
+    spark.sql("DROP TABLE IF EXISTS cms_sink.events_cms")
+
+    val stream = spark.readStream.schema(staticEvents.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toCmsSink(stream, "cms_sink", "events").start()
+    try {
+      q.processAllAvailable()
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("cms_sink.events_cms")
+
+    // standing state is sketch-sized: <= d*w rows per batch tag
+    val perTag = spark.table("cms_sink.events_cms")
+      .groupBy("dl_ingest_date").count().collect()
+    assert(perTag.length == 2, "expected one counter grid per micro-batch")
+    perTag.foreach(r => assert(r.getLong(1) <= Cms.Depth.toLong * Cms.Width,
+      s"batch grid larger than d*w: $r"))
+
+    // summed grids equal the single-pass CMS over all events (merge =
+    // elementwise addition — deterministic equality, not a tolerance)
+    val standing = spark.table("cms_sink.events_cms")
+      .groupBy("row", "bucket").agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = staticEvents.select(col("user_id").as("k"))
+      .select(explode(array((0 until Cms.Depth).map(j =>
+        struct(lit(j).as("row"), Cms.bucket(col("k"), j).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(standing == direct,
+      "summed per-batch grids diverge from the single-pass CMS")
+
+    // a RETRIED batch tag overwrites its own partition — no double count
+    StreamingIngest.foldCmsBatch(
+      staticEvents.where(col("event_id") >= 400), "cms_sink", "events",
+      keyCol = "user_id", tag = "stream_b00001")
+    spark.catalog.refreshTable("cms_sink.events_cms")
+    val afterRetry = spark.table("cms_sink.events_cms")
+      .groupBy("row", "bucket").agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(afterRetry == direct, "retried tag double-counted its batch")
+
+    // estimates: one-sided error (est >= exact) for every probed key,
+    // and 0 for a key the stream never carried
+    val keys = staticEvents.select("user_id").distinct()
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    val est = StreamingIngest.cmsEstimates(spark, "cms_sink", "events",
+        keys :+ 999999999L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = staticEvents.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { u =>
+      assert(est(u) >= exact(u), s"CMS underestimated key $u")
+    }
+    assert(est(999999999L) >= 0)
+    spark.sql("DROP DATABASE cms_sink CASCADE")
+  }
 }
