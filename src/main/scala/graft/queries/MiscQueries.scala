@@ -54,6 +54,55 @@ object MiscQueries {
       WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
+  /** DuckDB mirror of Ann.topKMips with its default planes
+    * (hyperplanes(numPlanes, 65, seed=42)): the same max-norm scalar,
+    * augmented corpus bucket bits (the 65th plane coordinate multiplies
+    * sqrt(M² − |x|²)), plain query bits, Hamming<=1 probes, and
+    * rounded-inner-product ranking. */
+  private def mipsLshOracle(numPlanes: Int, k: Int): String = {
+    val planes = Ann.hyperplanes(numPlanes, 65)
+    def lits(p: Array[Double]) =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val corpusBits = planes.zipWithIndex.map { case (p, h) =>
+      val w65 = if (p(64) > 0) "1.0" else "-1.0"
+      s"""(CASE WHEN list_dot_product(v, ${lits(p.take(64))})
+         |      + $w65 * sqrt(greatest(0.0, m.m2 - list_dot_product(v, v)))
+         |      >= 0 THEN ${1L << h} ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    val queryBits = planes.zipWithIndex.map { case (p, h) =>
+      s"(CASE WHEN list_dot_product(v, ${lits(p.take(64))}) >= 0 THEN ${1L << h} ELSE 0 END)"
+    }.mkString(" + ")
+    val probes = ("qb" +: (0 until numPlanes).map(h => s"xor(qb, ${1L << h})"))
+      .mkString("[", ", ", "]")
+    s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+      idx AS (SELECT vec_id, $corpusBits AS bucket FROM e, m),
+      probes AS (
+        SELECT q.vec_id AS q_id, unnest($probes) AS probe
+        FROM (SELECT vec_id, $queryBits AS qb FROM e WHERE vec_id < 20) q),
+      cand AS (
+        SELECT DISTINCT p.q_id, i.vec_id AS c_id
+        FROM probes p JOIN idx i ON i.bucket = p.probe
+        WHERE i.vec_id <> p.q_id),
+      scored AS (
+        SELECT c.q_id, c.c_id,
+               round(list_dot_product(CAST(eq.embedding AS DOUBLE[]),
+                                      CAST(ec.embedding AS DOUBLE[])), 6)
+                 AS score
+        FROM cand c
+        JOIN embeddings eq ON eq.vec_id = c.q_id
+        JOIN embeddings ec ON ec.vec_id = c.c_id),
+      ranked AS (
+        SELECT q_id, c_id, score,
+               row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id)
+                 AS rnk
+        FROM scored)
+      SELECT q_id, rnk, c_id, score FROM ranked
+      WHERE rnk <= $k ORDER BY q_id, rnk"""
+  }
+
   /** DuckDB mirror of RollingHashMin(text, 8): the base-257 polynomial of
     * each 8-byte window computed EXACTLY in HUGEINT (max value ~2^64.1,
     * well inside int128), reduced mod 2^64 once, then reinterpreted as a
@@ -93,6 +142,21 @@ object MiscQueries {
       },
       oracle = Some(annLshOracle(numPlanes = 8, k = 3)),
       bench = true),
+
+    // Maximum-inner-product retrieval (Ann.topKMips): the norm-
+    // augmentation reduction folds sqrt(M²-|x|²) into the corpus bucket
+    // bits scan-side, queries hash with their own coordinates (their
+    // augmented coord is 0), candidates verify on the RAW inner product —
+    // recommendation retrieval's native score, which cosine LSH ranks
+    // wrong whenever norms carry signal. The oracle replays the max-norm
+    // scalar, the augmented plane bits, the Hamming-1 probe expansion,
+    // and the ranked dot products bit-for-bit.
+    "sim_mips_lsh" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Ann.topKMips(emb, emb.where(col("vec_id") < 20), k = 3)
+      },
+      oracle = Some(mipsLshOracle(numPlanes = 8, k = 3))),
 
     // ANN via IVF (k-means coarse quantizer + nprobe): the second scale
     // path. Training is deterministic (stride init, fixed iterations,
@@ -1183,6 +1247,49 @@ object MiscQueries {
         GROUP BY 1, 2
         HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 6
         ORDER BY nation, segment""")),
+
+    // Differentially-private count release (Dwork et al., TCC'06): the
+    // Laplace mechanism over per-language document counts — sensitivity-1
+    // counting query, b = 1/ε with ε = 1, noisy = count +
+    // Laplace-inverse-CDF(u − 0.5)·b. For THIS test harness the uniform u
+    // is md5-derived from the group key so the released values replay
+    // bit-for-bit in the oracle; a production release swaps in real
+    // entropy (one scalar draw per group — the pipeline shape, one
+    // groupBy + scan-side noise arithmetic, is identical and is what is
+    // under test; hash-seeded noise is NOT private). Negative noisy
+    // counts clamp at 0, the standard post-processing step.
+    "privacy_dp_counts" -> QueryDef(
+      fn = (s, d) => {
+        val H = 281474976710656.0 // 2^48
+        val u = conv(substring(md5(concat(lit("dp:"), col("lang"))), 1, 12),
+          16, 10).cast("double") / lit(H)
+        val centered = u - lit(0.5)
+        val noise = when(centered >= 0,
+            -log(lit(1.0) - lit(2.0) * centered))
+          .otherwise(log(lit(1.0) + lit(2.0) * centered))
+        t(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_true"))
+          .select(col("lang"), col("n_true"),
+            greatest(lit(0.0),
+              round(col("n_true").cast("double") + noise, 6))
+              .as("n_released"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT lang, count(*) AS n_true FROM documents GROUP BY lang),
+        u AS (
+          SELECT lang, n_true,
+                 CAST('0x' || substr(md5('dp:' || lang), 1, 12) AS BIGINT)
+                   / 281474976710656.0 - 0.5 AS c
+          FROM g)
+        SELECT lang, n_true,
+               greatest(0.0,
+                 round(CAST(n_true AS DOUBLE) +
+                       CASE WHEN c >= 0 THEN -ln(1.0 - 2.0 * c)
+                            ELSE ln(1.0 + 2.0 * c) END, 6)) AS n_released
+        FROM u ORDER BY lang""")),
 
     // Deterministic training-order shuffle: md5-hash shard + within-shard
     // position (Layout.shuffleOrder) — the reproducible global permutation

@@ -1111,8 +1111,12 @@ object RelationalQueries {
     // The same per-group top-3 computed by the PARTIAL-AGGREGATION path:
     // a typed bounded-buffer Aggregator (TopKAgg) keeps k rows per group
     // map-side, so the shuffle carries at most k rows per group per
-    // partition — at 100 TB the window form above sorts the whole fact;
-    // this merges k-row buffers. Same total order, identical oracle rows.
+    // partition. (Spark's WindowGroupLimit rule gives the bare window
+    // form above the same bounded shuffle — ScaleSmoke measures both
+    // ~200 KiB on a 240 MB relation; the Aggregator's standing value is
+    // riding inside a groupBy NEXT TO other aggregates, where the window
+    // form forces a second pass over the fact.) Same total order,
+    // identical oracle rows.
     "agg_topk_partial" -> QueryDef(
       fn = (s, d) => {
         val topk = udaf(new graft.functions.TopKAgg(3))

@@ -833,6 +833,52 @@ object TextQueries {
                 FROM documents))
         WHERE q_pct >= 0.5 ORDER BY doc_id""")),
 
+    // Binned per-doc quality percentile — the 100 TB-safe form of the
+    // normalization quality_calibrated's exact percent_rank gives: that
+    // window sorts EVERY doc per language; here scores bin at 3dp, the
+    // CDF is computed over the bounded (lang, bin) relation (≤1001 rows
+    // per language regardless of corpus size), and docs pick up their
+    // percentile by a (lang, bin) join — a bounded build side AQE can
+    // broadcast. Percentile = CDF at the doc's bin (fraction of same-
+    // language docs scoring ≤ this bin), so the column is a drop-in
+    // mixture-preserving normalized feature.
+    "quality_percentile_binned" -> QueryDef(
+      fn = (s, d) => {
+        val scored = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            round(TextAnalysis.qualityScore(col("text")), 3).as("bin"))
+        val cnt = scored.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy("lang").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wt = Window.partitionBy("lang")
+        val cdf = cnt
+          .withColumn("cum", sum(col("c")).over(wc))
+          .withColumn("tot", sum(col("c")).over(wt))
+          .select(col("lang"), col("bin"),
+            round(col("cum").cast("double") / col("tot").cast("double"), 6)
+              .as("q_pct"))
+        scored.join(cdf, Seq("lang", "bin"))
+          .select(col("doc_id"), col("lang"), col("bin"), col("q_pct"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH sc AS (
+          SELECT doc_id, lang, round($qualitySql, 3) AS bin
+          FROM documents),
+        cnt AS (
+          SELECT lang, bin, count(*) AS c FROM sc GROUP BY lang, bin),
+        cdf AS (
+          SELECT lang, bin,
+                 round(CAST(sum(c) OVER (PARTITION BY lang ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) /
+                       CAST(sum(c) OVER (PARTITION BY lang) AS DOUBLE), 6)
+                   AS q_pct
+          FROM cnt)
+        SELECT sc.doc_id, sc.lang, sc.bin, cdf.q_pct
+        FROM sc JOIN cdf USING (lang, bin)
+        ORDER BY sc.doc_id""")),
+
     // The "data card" rollup every curation run ends with: per-language
     // doc counts, token volume, and near-duplicate rate — composed from
     // the dedup clustering (non-keeper docs) and the token counter. One
@@ -924,25 +970,7 @@ object TextQueries {
     // so the incremental form is a delta-vs-standing lookup. Ratios are
     // int/int IEEE divisions — bit-identical cross-engine.
     "text_ngram_novelty" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        val grams = Dedup.wordShingles(docs, n = 3, dedup = true)
-        val first = grams.groupBy("shingle")
-          .agg(min(col("doc_id")).as("first_doc"))
-        val perDoc = grams.join(first, "shingle")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(1.0))
-              .otherwise(round(col("n_novel").cast("double") /
-                col("n_grams").cast("double"), 6)).as("novelty"))
-          .orderBy("doc_id")
-      },
+      fn = (s, d) => graft.text.Novelty.score(t(s, d, "documents")),
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id,
@@ -1053,31 +1081,10 @@ object TextQueries {
     "text_ngram_novelty_incr" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val hist = docs.where(col("doc_id") % 2 === 0)
-        val delta = docs.where(col("doc_id") % 2 === 1)
-        // standing state: the history's gram → first-doc table
-        val standing = Dedup.wordShingles(hist, n = 3, dedup = true)
-          .groupBy("shingle").agg(min(col("doc_id")).as("hist_first"))
-        val deltaGrams = Dedup.wordShingles(delta, n = 3, dedup = true)
-        val deltaFirst = deltaGrams.groupBy("shingle")
-          .agg(min(col("doc_id")).as("delta_first"))
-          .join(standing, Seq("shingle"), "left")
-          .select(col("shingle"),
-            least(coalesce(col("hist_first"), col("delta_first")),
-              col("delta_first")).as("first_doc"))
-        val perDoc = deltaGrams.join(deltaFirst, "shingle")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-              .as("n_novel"))
-        delta.select("doc_id").join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-            when(coalesce(col("n_grams"), lit(0L)) === 0, lit(1.0))
-              .otherwise(round(col("n_novel").cast("double") /
-                col("n_grams").cast("double"), 6)).as("novelty"))
-          .orderBy("doc_id")
+        graft.text.Novelty.scoreIncremental(
+          delta = docs.where(col("doc_id") % 2 === 1),
+          standing = graft.text.Novelty.firstSeen(
+            docs.where(col("doc_id") % 2 === 0)))
       },
       oracle = Some("""
         WITH toks AS (

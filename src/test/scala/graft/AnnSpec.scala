@@ -59,4 +59,70 @@ class AnnSpec extends AnyFunSuite {
     assert(biggestBucket < emb.count() / 4,
       "buckets are degenerate - hashing is not spreading the corpus")
   }
+
+  private def bruteTopKDot(k: Int): Map[(Long, Long), Double] = {
+    val q = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    c.join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        round(VectorOps.dot(col("c_emb"), col("q_emb")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  }
+
+  test("MIPS scores are exact inner products; augmented recall clears the floor") {
+    val mips = Ann.topKMips(emb, emb.where(col("vec_id") < 20), k = 10,
+      numPlanes = 6, probeRadius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val exactAll = bruteTopKDot(499)
+    mips.foreach { case (pair, score) =>
+      assert(math.abs(exactAll(pair) - score) < 1e-9,
+        s"MIPS score for $pair diverges from the exact inner product")
+    }
+    val exact = bruteTopKDot(10).keySet
+    val recall = (exact & mips.keySet).size.toDouble / exact.size
+    assert(recall > 0.40, s"MIPS recall@10 = $recall")
+  }
+
+  test("MIPS ranking is by inner product, not cosine") {
+    // the fixture's random vectors have near-uniform norms (so dot and
+    // cosine orders coincide) — inject a norm signal: scale each vector
+    // by 1 + vec_id % 5. Now the orders MUST disagree somewhere, and
+    // topKMips must follow the dot order, not the cosine one.
+    val scaled = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> x * (1.0 + vec_id % 5))")
+        .cast("array<float>").as("embedding"))
+    import org.apache.spark.sql.expressions.Window
+    def top1(score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Map[Long, Long] = {
+      val q = scaled.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = scaled.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+      c.join(broadcast(q), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          score(col("c_emb"), col("q_emb")).as("score"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val byDot = top1((c, q) => round(VectorOps.dot(c, q), 6))
+    val byCos = top1((c, q) => VectorOps.cosineRounded(c, q))
+    assert(byDot != byCos,
+      "top-1 by dot and by cosine agree on every probe despite injected norm skew")
+    // high-radius MIPS probe: returned top-1 must equal the exact DOT
+    // top-1 wherever the probe surfaced it, never the cosine top-1
+    val mips = Ann.topKMips(scaled, scaled.where(col("vec_id") < 20), k = 1,
+      numPlanes = 6, probeRadius = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val followed = mips.count { case (qId, cId) => byDot(qId) == cId }
+    val betrayed = mips.count { case (qId, cId) =>
+      byDot(qId) != cId && byCos(qId) == cId }
+    assert(followed > betrayed,
+      s"MIPS tracked the cosine order ($betrayed probes) over the dot order ($followed)")
+  }
 }
