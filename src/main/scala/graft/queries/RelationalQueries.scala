@@ -236,6 +236,39 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Hour-of-day seasonality profile: each event type's share of
+    // activity per UTC hour — the diurnal fingerprint that separates
+    // organic traffic (follows the sun) from automated load (flat), and
+    // the baseline a rate-anomaly monitor normalizes against before
+    // alerting. Two group-cardinality-sized aggregates (|types|·24 and
+    // |types| rows); shares are int/int IEEE divisions.
+    "events_seasonality" -> QueryDef(
+      fn = (s, d) => {
+        val hourOfDay = Tables.eventHour % 24 // integer DIV, never /
+        val byHour = t(s, d, "events")
+          .groupBy(col("event_type"), hourOfDay.as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val byType = byHour.groupBy("event_type")
+          .agg(sum(col("n")).as("total"))
+        byHour.join(byType, "event_type")
+          .select(col("event_type"), col("hour"), col("n"),
+            round(col("n").cast("double") / col("total").cast("double"), 6)
+              .as("share"))
+          .orderBy("event_type", "hour")
+      },
+      oracle = Some("""
+        WITH bh AS (
+          SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        bt AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+          FROM bh GROUP BY event_type)
+        SELECT bh.event_type, bh.hour, bh.n,
+               round(CAST(bh.n AS DOUBLE) / bt.total, 6) AS share
+        FROM bh JOIN bt USING (event_type)
+        ORDER BY bh.event_type, bh.hour""")),
+
     // Per-state transition entropy over the same lead-window transition
     // counts as events_transitions: H(from) = -Σ p·ln(p) over the
     // next-state distribution. The sequence-predictability signal

@@ -844,9 +844,15 @@ object TextQueries {
     // mixture-preserving normalized feature.
     "quality_percentile_binned" -> QueryDef(
       fn = (s, d) => {
+        // the regex-heavy scoring projection feeds BOTH the CDF build and
+        // the join back — persist the narrow (doc_id, lang, bin) so the
+        // corpus text is scored once; both plan branches then read the
+        // same InMemoryRelation (the quality_gate pattern). The cache
+        // intentionally outlives the builder: the returned plan reads it.
         val scored = t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
             round(TextAnalysis.qualityScore(col("text")), 3).as("bin"))
+          .persist()
         val cnt = scored.groupBy("lang", "bin").agg(count(lit(1)).as("c"))
         val wc = Window.partitionBy("lang").orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1117,6 +1123,40 @@ object TextQueries {
         FROM documents d LEFT JOIN pd USING (doc_id)
         WHERE d.doc_id % 2 = 1
         ORDER BY d.doc_id""")),
+
+    // Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
+    // per-doc term-frequency vectors over a FIXED-width hashed feature
+    // space — the vectorizer that needs no vocabulary build, no
+    // dictionary broadcast, and no fit/transform split, which is what
+    // makes it the 100 TB text-featurization default (any tokens, any
+    // language, one scan, map-side partial counts). Emitted long-form
+    // (doc_id, bucket, cnt) with zero buckets omitted; downstream
+    // learners consume it as a sparse vector. md5-derived bucket ids
+    // replay exactly in the oracle.
+    "text_hash_features" -> QueryDef(
+      fn = (s, d) => {
+        val width = 16
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+              % width).as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents)
+        SELECT doc_id,
+               CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 16 AS bucket,
+               count(*) AS cnt
+        FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""")),
 
     // Zipf-fit corpus health check: OLS slope/intercept of ln(freq) vs
     // ln(rank) over the frequency-ranked vocabulary head. Natural text

@@ -788,6 +788,60 @@ object StreamingIngest {
           .otherwise(lit((k - 1).toDouble * H) / col("hk")), 6).as("est"))
   }
 
+  /** Streaming novelty annotation (graft.text.Novelty at ingest): every
+    * micro-batch is scored against the STANDING gram→first-doc table and
+    * written tag-partitioned with its novelty columns; the batch's own
+    * per-gram min-doc contribution lands in a tag partition of
+    * `db.table_novelty_grams`, so the standing state is the min across
+    * tag partitions — min is a set-style merge, which makes a retried
+    * tag a no-op (it overwrites its own partition and min(x, x) = x).
+    * History text is never re-tokenized: per-batch work is O(batch grams
+    * + matched standing rows). Assumes doc_ids are assigned in ingestion
+    * order (the same contract the batch pipeline documents). */
+  def toNoveltySink(
+      docs: DataFrame, db: String, table: String,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          scoreNoveltyBatch(batch, db, table,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+          ()
+        }
+    }
+
+  /** One micro-batch of the novelty pipeline (the foreachBatch body of
+    * [[toNoveltySink]], factored out for direct retry tests). Idempotent
+    * for a given tag. */
+  private[graft] def scoreNoveltyBatch(
+      batch0: DataFrame, db: String, table: String,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    import graft.text.Novelty
+    val spark = batch0.sparkSession
+    val batch = batch0.persist()
+    val full = s"$db.$table"
+    val gramsTable = s"${full}_novelty_grams"
+    val scored =
+      if (spark.catalog.tableExists(gramsTable)) {
+        // a RETRIED tag must not count its own previous attempt as history
+        val standing = spark.table(gramsTable)
+          .where(col(tagColumn) =!= lit(tag))
+          .groupBy("shingle").agg(min(col("first_doc")).as("hist_first"))
+        Novelty.scoreIncremental(batch, standing)
+      } else Novelty.score(batch) // first batch: corpus = batch
+    // localCheckpoint severs the plan's read of the gram table before the
+    // tag-partition overwrite below (overwrite-of-a-read-table hazard)
+    val annotated = batch.join(scored, Seq("doc_id")).localCheckpoint(true)
+    writeTagPartition(annotated.withColumn(tagColumn, lit(tag)), full, tagColumn)
+    writeTagPartition(
+      Novelty.firstSeen(batch)
+        .select(col("shingle"), col("hist_first").as("first_doc"))
+        .withColumn(tagColumn, lit(tag)),
+      gramsTable, tagColumn)
+    batch.unpersist()
+  }
+
   /** Streaming Count-Min sketch maintenance — the frequency twin of
     * [[toSketchSink]]: every micro-batch writes its own d×w counter grid
     * ([[graft.functions.Cms]]) into a TAG PARTITION of the standing

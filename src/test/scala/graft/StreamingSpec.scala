@@ -744,6 +744,71 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE kmv_sink CASCADE")
   }
 
+  test("novelty sink scores batches against the standing gram table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-novelty").toString
+    // doc 1 establishes grams; doc 2 repeats them; doc 3 is fresh
+    val b1 = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "x y z w v")).toDF("doc_id", "text")
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS nov_sink")
+    spark.sql("DROP TABLE IF EXISTS nov_sink.docs")
+    spark.sql("DROP TABLE IF EXISTS nov_sink.docs_novelty_grams")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toNoveltySink(stream, "nov_sink", "docs").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 11 copies doc 1 (novelty 0 vs standing grams),
+      // doc 12 is new (novelty 1)
+      publishBatch(Seq((11L, "a b c d e"), (12L, "m n o p q"))
+        .toDF("doc_id", "text"), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("nov_sink.docs")
+    val nov = spark.table("nov_sink.docs")
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(nov == Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0, 11L -> 0.0, 12L -> 1.0),
+      s"streamed novelty diverged: $nov")
+    // cross-batch stream state equals the one-shot batch pipeline over
+    // the same corpus in ingestion order
+    val all = b1.unionByName(
+      Seq((11L, "a b c d e"), (12L, "m n o p q")).toDF("doc_id", "text"))
+    val batchNov = graft.text.Novelty.score(all)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(nov == batchNov, "stream state diverges from the batch pipeline")
+    spark.sql("DROP DATABASE nov_sink CASCADE")
+  }
+
+  test("novelty batches are idempotent under retry") {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS nov_retry")
+    spark.sql("DROP TABLE IF EXISTS nov_retry.docs")
+    spark.sql("DROP TABLE IF EXISTS nov_retry.docs_novelty_grams")
+    val b1 = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    StreamingIngest.scoreNoveltyBatch(b1, "nov_retry", "docs", tag = "t_b00000")
+    // at-least-once delivery: same batch, same tag — min-merge makes the
+    // gram contribution a no-op, and the doc partition overwrites itself
+    StreamingIngest.scoreNoveltyBatch(b1, "nov_retry", "docs", tag = "t_b00000")
+    spark.catalog.refreshTable("nov_retry.docs")
+    spark.catalog.refreshTable("nov_retry.docs_novelty_grams")
+    assert(spark.table("nov_retry.docs").count() == 1)
+    // the retried tag's own contribution is excluded from its history, so
+    // the doc still scores fully novel
+    val n = spark.table("nov_retry.docs").select("novelty").as[Double].head()
+    assert(n == 1.0, s"retry polluted the doc's own history: novelty $n")
+    // a later copy sees single-counted history and scores 0
+    StreamingIngest.scoreNoveltyBatch(
+      Seq((11L, "a b c d e")).toDF("doc_id", "text"),
+      "nov_retry", "docs", tag = "t_b00001")
+    spark.catalog.refreshTable("nov_retry.docs")
+    val n11 = spark.table("nov_retry.docs").where($"doc_id" === 11L)
+      .select("novelty").as[Double].head()
+    assert(n11 == 0.0, s"copy of an ingested doc scored novel: $n11")
+    spark.sql("DROP DATABASE nov_retry CASCADE")
+  }
+
   test("CMS sink keeps per-batch counter grids; estimates bound exact counts") {
     import graft.functions.Cms
     val dir = Files.createTempDirectory("graft-stream-cms").toString
