@@ -1124,6 +1124,87 @@ object TextQueries {
         WHERE d.doc_id % 2 = 1
         ORDER BY d.doc_id""")),
 
+    // Windowed PMI word-pair mining (Church & Hanks, CL'90): pointwise
+    // mutual information ln(p(a,b)/(p(a)p(b))) over unordered token
+    // pairs co-occurring within a 4-token forward window — the
+    // distributional-association statistic SGNS embeddings implicitly
+    // factorize (Levy & Goldberg, NIPS'14), and the collocation signal
+    // phrase-mining/tokenizer pipelines rank by. Pair generation is a
+    // scan-side nested-transform (no self-join); counts aggregate with
+    // map-side partials; the N/P normalizers are two driver-pulled
+    // scalars, so no one-row cross join. Floor c_ab >= 5 kills the
+    // low-count PMI explosion; identical division order both engines.
+    "corpus_pmi" -> QueryDef(
+      fn = (s, d) => {
+        val toksDf = t(s, d, "documents")
+          .select(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
+            .as("toks"))
+          .where(size(col("toks")) >= 2)
+          .persist()
+        val uni = toksDf.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val pairsRaw = toksDf.select(explode(expr("""
+            flatten(
+              transform(sequence(1, size(toks) - 1),
+                i -> transform(sequence(i + 1, least(i + 4, size(toks))),
+                  j -> struct(
+                    least(element_at(toks, i), element_at(toks, j)) AS a,
+                    greatest(element_at(toks, i), element_at(toks, j)) AS b))))
+          """)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val pairs = pairsRaw
+          .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .where(col("c_ab") >= 5)
+        val n: Long = toksDf.select(explode(col("toks"))).count()
+        val p: Long = pairsRaw.count()
+        val out = pairs
+          .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+          .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
+          .select(col("a"), col("b"), col("c_ab"),
+            round(log((col("c_ab").cast("double") / lit(p.toDouble)) /
+              ((col("ca").cast("double") / lit(n.toDouble)) *
+                (col("cb").cast("double") / lit(n.toDouble)))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b"))
+          .limit(20)
+          .persist()
+        out.count() // materialize while the token cache is live
+        toksDf.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        tk2 AS (SELECT toks FROM tk WHERE len(toks) >= 2),
+        uni AS (
+          SELECT w, count(*) AS cw
+          FROM (SELECT unnest(toks) AS w FROM tk2) GROUP BY w),
+        n AS (SELECT count(*) AS nt FROM (SELECT unnest(toks) FROM tk2)),
+        p1 AS (
+          SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+          FROM tk2),
+        p2 AS (
+          SELECT toks, i,
+                 unnest(generate_series(i + 1, least(i + 4, len(toks)))) AS j
+          FROM p1),
+        pr AS (
+          SELECT least(toks[CAST(i AS INT)], toks[CAST(j AS INT)]) AS a,
+                 greatest(toks[CAST(i AS INT)], toks[CAST(j AS INT)]) AS b
+          FROM p2),
+        pc AS (
+          SELECT a, b, count(*) AS c_ab FROM pr GROUP BY a, b
+          HAVING count(*) >= 5),
+        pt AS (SELECT count(*) AS np FROM pr)
+        SELECT pc.a, pc.b, pc.c_ab,
+               round(ln((CAST(pc.c_ab AS DOUBLE) / np) /
+                        ((CAST(ua.cw AS DOUBLE) / nt) *
+                         (CAST(ub.cw AS DOUBLE) / nt))), 6) AS pmi
+        FROM pc
+        JOIN uni ua ON ua.w = pc.a
+        JOIN uni ub ON ub.w = pc.b, n, pt
+        ORDER BY pmi DESC, pc.a, pc.b LIMIT 20""")),
+
     // Feature hashing (the "hashing trick", Weinberger et al. ICML'09):
     // per-doc term-frequency vectors over a FIXED-width hashed feature
     // space — the vectorizer that needs no vocabulary build, no
