@@ -236,6 +236,100 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Funnel step latency: per conversion step, how long users take —
+    // first A to first subsequent B per user, summarized as p50/p90 over
+    // the deterministic bottom-64-by-md5(user) sample (the
+    // agg_quantile_sketch machinery: a mergeable uniform sample, so per-
+    // partition sketches roll up without sorting per-user delays
+    // globally — at 100 TB "sort all converting users per step" is the
+    // cost this avoids). Exact converted-user counts ride along as
+    // evidence. All-integer order statistics; ceil-rank indices.
+    "events_time_to_convert" -> QueryDef(
+      fn = (s, d) => {
+        val k = 64
+        val ev = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"), col("event_type"))
+        def delays(a: String, b: String) = {
+          val ta = ev.where(col("event_type") === a)
+            .groupBy("user_id").agg(min(col("us")).as("ta"))
+          ev.where(col("event_type") === b)
+            .join(ta, "user_id")
+            .where(col("us") > col("ta"))
+            .groupBy("user_id", "ta").agg(min(col("us")).as("tb"))
+            .select(lit(s"$a->$b").as("step"), col("user_id"),
+              (col("tb") - col("ta")).as("delay_us"))
+        }
+        val all = delays("view", "click")
+          .unionByName(delays("click", "purchase"))
+          .persist()
+        val n = all.groupBy("step").agg(count(lit(1)).as("n_converted"))
+        val samp = all.withColumn("h",
+            conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("step").orderBy(col("h"), col("user_id"))))
+          .where(col("rn") <= k)
+        val ranked = samp
+          .withColumn("vr", row_number().over(
+            Window.partitionBy("step").orderBy(col("delay_us"), col("user_id"))))
+          .join(samp.groupBy("step").agg(count(lit(1)).as("m")), "step")
+        val p50 = ranked.where(col("vr") === ceil(col("m") * 0.5))
+          .select(col("step"), col("delay_us").as("p50_us"))
+        val p90 = ranked.where(col("vr") === ceil(col("m") * 0.9))
+          .select(col("step"), col("delay_us").as("p90_us"))
+        val out = n.join(p50, "step").join(p90, "step").orderBy("step")
+          .persist()
+        out.count() // materialize while the delay cache is live
+        all.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        ta1 AS (SELECT user_id, min(us) AS ta FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+        d1 AS (
+          SELECT 'view->click' AS step, e.user_id,
+                 min(e.us) - t.ta AS delay_us
+          FROM ev e JOIN ta1 t USING (user_id)
+          WHERE e.event_type = 'click' AND e.us > t.ta
+          GROUP BY e.user_id, t.ta),
+        ta2 AS (SELECT user_id, min(us) AS ta FROM ev
+                WHERE event_type = 'click' GROUP BY user_id),
+        d2 AS (
+          SELECT 'click->purchase' AS step, e.user_id,
+                 min(e.us) - t.ta AS delay_us
+          FROM ev e JOIN ta2 t USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.us > t.ta
+          GROUP BY e.user_id, t.ta),
+        alld AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2),
+        n AS (SELECT step, count(*) AS n_converted FROM alld GROUP BY step),
+        h AS (
+          SELECT step, user_id, delay_us,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM alld),
+        samp AS (
+          SELECT * FROM (
+            SELECT step, user_id, delay_us,
+                   row_number() OVER (PARTITION BY step ORDER BY h, user_id)
+                     AS rn
+            FROM h)
+          WHERE rn <= 64),
+        m AS (SELECT step, count(*) AS m FROM samp GROUP BY step),
+        ranked AS (
+          SELECT s.step, s.delay_us, m.m,
+                 row_number() OVER (PARTITION BY s.step
+                                    ORDER BY s.delay_us, s.user_id) AS vr
+          FROM samp s JOIN m USING (step)),
+        p50 AS (SELECT step, delay_us AS p50_us FROM ranked
+                WHERE vr = ceil(m * 0.5)),
+        p90 AS (SELECT step, delay_us AS p90_us FROM ranked
+                WHERE vr = ceil(m * 0.9))
+        SELECT n.step, n.n_converted, p50.p50_us, p90.p90_us
+        FROM n JOIN p50 USING (step) JOIN p90 USING (step)
+        ORDER BY step""")),
+
     // Hour-of-day seasonality profile: each event type's share of
     // activity per UTC hour — the diurnal fingerprint that separates
     // organic traffic (follows the sun) from automated load (flat), and

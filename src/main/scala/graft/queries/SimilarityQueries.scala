@@ -627,6 +627,17 @@ object SimilarityQueries {
       fn = (s, d) => graft.sim.Pca.project(t(s, d, "embeddings")),
       oracle = Some(graft.sim.Pca.projectOracleSql())),
 
+    // Explained-variance ratio of that component: Var(projection)/total
+    // variance via E[|v|²] − |µ|² — the "is one direction dominating the
+    // space" spectral health number (anisotropy/collapse monitor for an
+    // embedding model; also the stopping signal for how many PCs a
+    // whitening step needs). Reuses the oracle-replayed trained u, so
+    // both engines score the identical eigenvector; moment scalars are
+    // driver-pulled, no one-row cross joins.
+    "emb_pca_variance_ratio" -> QueryDef(
+      fn = (s, d) => graft.sim.Pca.varianceRatio(t(s, d, "embeddings")),
+      oracle = Some(graft.sim.Pca.varianceRatioOracleSql())),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)

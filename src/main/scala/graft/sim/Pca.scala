@@ -73,11 +73,10 @@ object Pca {
       .orderBy(idCol)
   }
 
-  /** DuckDB oracle replaying [[project]] END-TO-END: the same µ
-    * quantization, the same u₀, the `iters` power rounds unrolled as CTEs
-    * (per-round: score per vector, per-coordinate weighted sums, L2
-    * normalize, quantize), then the same rounded projection. */
-  def projectOracleSql(iters: Int = 5, dim: Int = 64): String = {
+  /** The training replay as a WITH-body prefix ending in `u$iters` —
+    * shared by the projection oracle and the variance-ratio oracle so the
+    * replayed eigenvector can never diverge between them. */
+  def oracleCtes(iters: Int = 5, dim: Int = 64): String = {
     val rounds = (1 to iters).map { i =>
       s"""
       s$i AS (
@@ -95,10 +94,10 @@ object Pca {
       u$i AS (
         SELECT list_transform(wv, x ->
           round(x / sqrt(list_dot_product(wv, wv)), ${Scale})) AS uv
-        FROM w$i),"""
+        FROM w$i)${if (i == iters) "" else ","}"""
     }.mkString
     s"""
-      WITH v AS (
+      v AS (
         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings),
       mu AS (
@@ -109,12 +108,67 @@ object Pca {
       u0 AS (
         SELECT list_transform(generate_series(1, $dim), x ->
           round(1.0 / sqrt($dim), ${Scale})) AS uv),
-      $rounds
+      $rounds"""
+  }
+
+  /** DuckDB oracle replaying [[project]] END-TO-END: the same µ
+    * quantization, the same u₀, the `iters` power rounds unrolled as CTEs
+    * (per-round: score per vector, per-coordinate weighted sums, L2
+    * normalize, quantize), then the same rounded projection. */
+  def projectOracleSql(iters: Int = 5, dim: Int = 64): String =
+    s"""
+      WITH ${oracleCtes(iters, dim)},
       proj AS (
         SELECT e.id AS vec_id,
                round(list_dot_product(e.v, u.uv)
                      - list_dot_product(m.mv, u.uv), ${Scale}) AS pc1_proj
         FROM v e, mu m, u$iters u)
       SELECT vec_id, pc1_proj FROM proj ORDER BY vec_id"""
+
+  /** Explained-variance ratio of the trained top component:
+    * Var(s)/Σ_j Var(v_j) with s = (v−µ)·u, total variance via the
+    * identity Σ_j Var(v_j) = E[|v|²] − |µ|². Moment scalars are pulled
+    * to the driver (same style as training); the per-expression rounding
+    * below mirrors [[varianceRatioOracleSql]] term for term. */
+  def varianceRatio(emb: DataFrame, iters: Int = 5,
+      embCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val (mu, u) = trainTopComponent(emb, iters, embCol)
+    val muDotU = mu.zip(u).map { case (a, b) => a * b }.sum
+    val v = emb.select(col(embCol).cast("array<double>").as("v"))
+    val sdf = v.select((VectorOps.dot(col("v"), lit(u)) - lit(muDotU)).as("sc"))
+    val st = sdf.agg(round(avg(col("sc")), Scale).as("ms"),
+      round(avg(col("sc") * col("sc")), Scale).as("ms2")).head()
+    val (ms, ms2) = (st.getDouble(0), st.getDouble(1))
+    val e2 = v.agg(round(avg(VectorOps.dot(col("v"), col("v"))), Scale))
+      .head().getDouble(0)
+    val mu2 = mu.map(x => x * x).sum
+    val varPc1 = ms2 - ms * ms
+    val varTotal = e2 - mu2
+    spark.range(1).select(
+      lit(round6(varPc1)).as("var_pc1"),
+      lit(round6(varTotal)).as("var_total"),
+      lit(round6(varPc1 / varTotal)).as("ratio"))
   }
+
+  /** DuckDB oracle for [[varianceRatio]]: the shared training replay plus
+    * the same rounded moment arithmetic. */
+  def varianceRatioOracleSql(iters: Int = 5, dim: Int = 64): String =
+    s"""
+      WITH ${oracleCtes(iters, dim)},
+      sc AS (
+        SELECT list_dot_product(e.v, u.uv)
+                 - list_dot_product(m.mv, u.uv) AS sc
+        FROM v e, mu m, u$iters u),
+      st AS (
+        SELECT round(avg(sc), ${Scale}) AS ms,
+               round(avg(sc * sc), ${Scale}) AS ms2
+        FROM sc),
+      tv AS (
+        SELECT round(avg(list_dot_product(v, v)), ${Scale}) AS e2 FROM v),
+      mm AS (SELECT list_dot_product(mv, mv) AS mu2 FROM mu)
+      SELECT round(ms2 - ms * ms, ${Scale}) AS var_pc1,
+             round(e2 - mu2, ${Scale}) AS var_total,
+             round((ms2 - ms * ms) / (e2 - mu2), ${Scale}) AS ratio
+      FROM st, tv, mm"""
 }
