@@ -54,6 +54,36 @@ object MiscQueries {
       WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
+  /** Shared pHash pipeline CTEs ending in `ppairs(media_a, media_b,
+    * hamming)` — the stub decode kernel's bigram-bin hash, the LEFT-JOIN
+    * zero-hash default for sub-bigram docs, and the quadratic verify
+    * (oracle-side ground truth proving the banded engine path lossless).
+    * Shared by the pair query and the clustering so they cannot drift. */
+  private val phashPairCtes: String = """
+        grams AS (
+          SELECT doc_id,
+                 (unicode(substr(text, CAST(i AS INT), 1)) * 31 +
+                  unicode(substr(text, CAST(i + 1 AS INT), 1))) % 63 AS bin,
+                 length(text) - 1 AS n
+          FROM (SELECT doc_id, text,
+                       unnest(generate_series(1, length(text) - 1)) AS i
+                FROM documents)),
+        cnts AS (SELECT doc_id, bin, any_value(n) AS n, count(*) AS cnt
+                 FROM grams GROUP BY 1, 2),
+        ph AS (
+          SELECT d.doc_id, coalesce(p.phash, 0) AS phash
+          FROM documents d LEFT JOIN
+            (SELECT doc_id,
+                    CAST(sum(CASE WHEN cnt * 63 > n THEN (1::BIGINT << bin)
+                             ELSE 0 END) AS BIGINT) AS phash
+             FROM cnts GROUP BY 1) p
+          ON d.doc_id = p.doc_id),
+        ppairs AS (
+          SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 2)"""
+
   /** DuckDB mirror of Ann.topKMips with its default planes
     * (hyperplanes(numPlanes, 65, seed=42)): the same max-norm scalar,
     * augmented corpus bucket bits (the 65th plane coordinate multiplies
@@ -333,30 +363,37 @@ object MiscQueries {
         Multimodal.phashNearDupPairs(
             s, Multimodal.mediaTable(t(s, d, "documents")), maxHamming = 2)
           .orderBy("media_a", "media_b"),
-      oracle = Some("""
-        WITH grams AS (
-          SELECT doc_id,
-                 (unicode(substr(text, CAST(i AS INT), 1)) * 31 +
-                  unicode(substr(text, CAST(i + 1 AS INT), 1))) % 63 AS bin,
-                 length(text) - 1 AS n
-          FROM (SELECT doc_id, text,
-                       unnest(generate_series(1, length(text) - 1)) AS i
-                FROM documents)),
-        cnts AS (SELECT doc_id, bin, any_value(n) AS n, count(*) AS cnt
-                 FROM grams GROUP BY 1, 2),
-        ph AS (
-          SELECT d.doc_id, coalesce(p.phash, 0) AS phash
-          FROM documents d LEFT JOIN
-            (SELECT doc_id,
-                    CAST(sum(CASE WHEN cnt * 63 > n THEN (1::BIGINT << bin)
-                             ELSE 0 END) AS BIGINT) AS phash
-             FROM cnts GROUP BY 1) p
-          ON d.doc_id = p.doc_id)
-        SELECT a.doc_id AS media_a, b.doc_id AS media_b,
-               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      oracle = Some(s"""
+        WITH $phashPairCtes
+        SELECT media_a, media_b, hamming FROM ppairs
         ORDER BY media_a, media_b""")),
+
+    // Media duplicate clusters: the same connected-components step the
+    // text and embedding pipelines use, over the perceptual-hash pairs —
+    // re-encoded/rotated/recompressed copies of one asset chain above
+    // the hamming threshold and collapse to one canonical keeper, the
+    // asset-level release unit (keep one rendition, drop the rest).
+    "mm_phash_clusters" -> QueryDef(
+      fn = (s, d) =>
+        graft.dedup.Dedup.connectedComponents(
+          Multimodal.phashNearDupPairs(
+              s, Multimodal.mediaTable(t(s, d, "documents")), maxHamming = 2)
+            .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+          .select(col("doc_id").as("media_id"), col("cluster_id"))
+          .orderBy("media_id"),
+      oracle = Some(s"""
+        WITH RECURSIVE $phashPairCtes,
+        edges AS (
+          SELECT media_a AS a, media_b AS b FROM ppairs
+          UNION
+          SELECT media_b, media_a FROM ppairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e2.a, r.lbl FROM edges e2 JOIN reach r ON r.node = e2.b)
+        SELECT node AS media_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node
+        ORDER BY media_id""")),
 
     // Incremental pHash near-dup: only the delta half runs the decode
     // kernel; the history contributes its standing hash table. The oracle

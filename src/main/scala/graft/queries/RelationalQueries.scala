@@ -236,6 +236,40 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Sequential path mining one step deeper than the pair transitions:
+    // top-20 length-3 event paths per user timeline (two lead windows
+    // over the same per-user ordering events_transitions uses). The
+    // trigram flow view that finds multi-step loops and dead-ends a
+    // pair matrix hides; path counts are group-cardinality-bounded
+    // (≤|types|³ rows), so everything after the one user-keyed window
+    // shuffle is sketch-scale.
+    "events_path_mining" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("step2", lead(col("event_type"), 1).over(w))
+          .withColumn("step3", lead(col("event_type"), 2).over(w))
+          .where(col("step2").isNotNull && col("step3").isNotNull)
+          .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT step1, step2, step3, count(*) AS n
+        FROM (SELECT event_type AS step1,
+                     lead(event_type, 1) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS step2,
+                     lead(event_type, 2) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS step3
+              FROM events)
+        WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, step1, step2, step3 LIMIT 20""")),
+
     // Funnel step latency: per conversion step, how long users take —
     // first A to first subsequent B per user, summarized as p50/p90 over
     // the deterministic bottom-64-by-md5(user) sample (the
