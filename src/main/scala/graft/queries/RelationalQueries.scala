@@ -236,6 +236,45 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Exponentially time-decayed event counts (half-life 24h): each
+    // event contributes 2^(-age/h) relative to the corpus's newest
+    // timestamp — the recency-weighted popularity primitive behind
+    // trending rankings and decayed feature stores. Decay is mergeable
+    // (a partial computed against any later reference T rescales by one
+    // factor 2^(-(T'-T)/h)), so partition partials combine and standing
+    // snapshots roll forward without rescanning history. The reference
+    // time is one driver-pulled max; per-event weights round to 6dp into
+    // DECIMAL so accumulation order cannot perturb the sums.
+    "events_decayed_counts" -> QueryDef(
+      fn = (s, d) => {
+        val halfLifeUs = 86400000000L // 24h
+        val ev = t(s, d, "events")
+          .select(col("event_type"), Tables.eventUs.as("us"))
+        val tMax: Long = ev.agg(max(col("us"))).head.getLong(0)
+        ev.select(col("event_type"),
+            round(pow(lit(2.0),
+              -((lit(tMax) - col("us")).cast("double") /
+                lit(halfLifeUs.toDouble))), 6)
+              .cast(DecimalType(18, 6)).as("wt"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("wt")).cast("double"), 6).as("decayed"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT event_type, epoch_us(ts) AS us FROM events),
+        tm AS (SELECT max(us) AS t FROM ev),
+        wts AS (
+          SELECT event_type,
+                 CAST(round(pow(2.0,
+                        -(CAST(tm.t - us AS DOUBLE) / 86400000000.0)), 6)
+                      AS DECIMAL(18,6)) AS wt
+          FROM ev, tm)
+        SELECT event_type, count(*) AS n_events,
+               round(CAST(sum(wt) AS DOUBLE), 6) AS decayed
+        FROM wts GROUP BY event_type ORDER BY event_type""")),
+
     // Sequential path mining one step deeper than the pair transitions:
     // top-20 length-3 event paths per user timeline (two lead windows
     // over the same per-user ordering events_transitions uses). The
