@@ -236,6 +236,88 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Trailing exponential smoothing (8-tap EWMA, weight 2^-j on the
+    // j-th lag): the per-entity metric smoother — half-decay weights are
+    // EXACT in decimal (2^-7 = 0.0078125 needs 10 fractional digits),
+    // lagged values round to 6dp into decimal, and the weight mass
+    // renormalizes over the lags that exist near a series head, so the
+    // numerator/denominator are exact decimals and only the final
+    // division is IEEE (identical both engines). One per-user window,
+    // no unbounded frame.
+    "events_ewma" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val taps = 0 until 8
+        val lagged = taps.map(j =>
+          round(lag(col("value"), j).over(w), 6)
+            .cast(DecimalType(18, 6)).as(s"v$j"))
+        val base = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"),
+            col("event_id"), col("value"))
+          .select(Seq(col("user_id"), col("us"), col("event_id")) ++ lagged: _*)
+        val wj = taps.map(j => BigDecimal(0.5).pow(j))
+        val num = taps.map(j =>
+          when(col(s"v$j").isNotNull,
+            col(s"v$j") * lit(wj(j).bigDecimal)).otherwise(lit(BigDecimal(0).bigDecimal)))
+          .reduce(_ + _)
+        val den = taps.map(j =>
+          when(col(s"v$j").isNotNull, lit(wj(j).bigDecimal))
+            .otherwise(lit(BigDecimal(0).bigDecimal)))
+          .reduce(_ + _)
+        base.select(col("user_id"), col("event_id"),
+            round(num.cast("double") / den.cast("double"), 6).as("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some {
+        val taps = 0 until 8
+        val lags = taps.map(j =>
+          s"CAST(round(lag(value, $j) OVER (PARTITION BY user_id " +
+            s"ORDER BY epoch_us(ts), event_id), 6) AS DECIMAL(18,6)) AS v$j")
+          .mkString(", ")
+        def wj(j: Int) = BigDecimal(0.5).pow(j).toString
+        val num = taps.map(j =>
+          s"CASE WHEN v$j IS NOT NULL THEN v$j * ${wj(j)} ELSE 0 END")
+          .mkString(" + ")
+        val den = taps.map(j =>
+          s"CASE WHEN v$j IS NOT NULL THEN ${wj(j)} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH lagged AS (
+          SELECT user_id, event_id, $lags FROM events)
+        SELECT user_id, event_id,
+               round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+        FROM lagged ORDER BY user_id, event_id"""
+      }),
+
+    // Burst/rate-limit audit: per-user peak events-per-minute vs a cap —
+    // the abuse/bot gate every event pipeline fronts with (a scraper
+    // shows a hot minute where an organic user's peak stays low).
+    // Minute bucketing is integer DIV; two bounded aggregates, report =
+    // only the violators.
+    "events_rate_limit_audit" -> QueryDef(
+      fn = (s, d) => {
+        val cap = 2L // low threshold fits the sparse fixture; a parameter in production
+        val minute = expr("unix_micros(cast(ts AS timestamp)) DIV 60000000")
+        t(s, d, "events")
+          .groupBy(col("user_id"), minute.as("minute"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("user_id")
+          .agg(max(col("c")).as("peak_per_minute"),
+            count(lit(1)).as("n_active_minutes"))
+          .where(col("peak_per_minute") >= cap)
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        SELECT user_id, max(c) AS peak_per_minute,
+               count(*) AS n_active_minutes
+        FROM (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2)
+        GROUP BY user_id
+        HAVING max(c) >= 2
+        ORDER BY user_id""")),
+
     // Exponentially time-decayed event counts (half-life 24h): each
     // event contributes 2^(-age/h) relative to the corpus's newest
     // timestamp — the recency-weighted popularity primitive behind
