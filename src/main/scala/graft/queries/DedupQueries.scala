@@ -347,6 +347,43 @@ object DedupQueries {
         WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
         ORDER BY doc_a, doc_b""")),
 
+    // MinHash estimator calibration: per verified near-dup pair, the
+    // signature-agreement Jaccard estimate (agreeing coordinates / k —
+    // the unbiased estimator the two-stage pre-filter thresholds on)
+    // against the exact shingle-set Jaccard. The companion eval to
+    // dedup_lsh_recall: recall grades the BANDS, this grades the
+    // SIGNATURES — a drifting estimator silently mistunes minAgree and
+    // shows up here as systematic abs_err before it costs recall.
+    // Sketch-calibration checks run on the pair relation (tiny), never
+    // the corpus.
+    "dedup_minhash_est_quality" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minHashLshPairs(docs, threshold = 0.8)
+        val sigs = Dedup.minHashSignatures(docs)
+        val sa = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") "doc_a" else s"${c}_a"): _*)
+        val sb = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") "doc_b" else s"${c}_b"): _*)
+        val agree = (0 until Dedup.NumHashes)
+          .map(i => when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0))
+          .reduce(_ + _)
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            round(agree / lit(16.0), 6).as("est"),
+            round(abs(agree / lit(16.0) - col("jaccard")), 6).as("abs_err"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH ${minhashPairsCtes(0.8)}
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               round(($agreeSumSql) / 16.0, 6) AS est,
+               round(abs(($agreeSumSql) / 16.0 - p.jaccard), 6) AS abs_err
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+        ORDER BY p.doc_a, p.doc_b""")),
+
     // LSH recall evaluation — the dedup twin of sim_ann_recall: how many
     // of the TRUE near-dup pairs (exact all-pairs Jaccard >= 0.8) does
     // the banded MinHash pipeline actually surface? Recall < 1 means a
