@@ -1124,6 +1124,66 @@ object TextQueries {
         WHERE d.doc_id % 2 = 1
         ORDER BY d.doc_id""")),
 
+    // Vocabulary coverage curve: what fraction of corpus token mass the
+    // top-N vocabulary types cover, for a ladder of N — the tokenizer-
+    // sizing curve (pick the smallest vocab whose coverage clears the
+    // OOV budget; the aggregate view text_oov_rate gives per-doc for one
+    // fixed N). Ranking is confined to the top-5000 head via limit, so
+    // no global vocabulary sort; the total-mass denominator is one
+    // driver-pulled scalar.
+    "corpus_vocab_coverage" -> QueryDef(
+      fn = (s, d) => {
+        val ladder = Seq(10, 50, 100, 500, 1000)
+        val toks = t(s, d, "documents").select(
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .as("w"))
+        val total: Long = toks.count()
+        val head = toks.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(5000)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("c").desc, col("w")))
+              .cast("long"))
+        val cum = head.withColumn("cum",
+          sum(col("c")).over(Window.orderBy("rnk")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .persist()
+        // a ladder step past the actual vocabulary saturates at the last
+        // rank (full head mass) instead of silently dropping its row
+        val maxRnk: Long = cum.agg(max(col("rnk"))).head.getLong(0)
+        val steps = ladder.map(n =>
+          cum.where(col("rnk") === math.min(n.toLong, maxRnk))
+            .select(lit(n.toLong).as("n_vocab"),
+              col("cum").as("covered_tokens"),
+              round(col("cum").cast("double") / lit(total.toDouble), 6)
+                .as("coverage")))
+        val out = steps.reduce(_ unionByName _).orderBy("n_vocab").persist()
+        out.count() // materialize while the cum cache is live
+        cum.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM tok),
+        head AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+          FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+          ORDER BY c DESC, w LIMIT 5000),
+        cum AS (
+          SELECT rnk, sum(c) OVER (ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM head),
+        mx AS (SELECT max(rnk) AS m FROM cum),
+        ladder AS (SELECT unnest([10, 50, 100, 500, 1000]) AS n_vocab)
+        SELECT CAST(l.n_vocab AS BIGINT) AS n_vocab,
+               CAST(c.cum AS BIGINT) AS covered_tokens,
+               round(CAST(c.cum AS DOUBLE) / t.n, 6) AS coverage
+        FROM ladder l, mx
+        JOIN cum c ON c.rnk = least(l.n_vocab, mx.m), tot t
+        ORDER BY n_vocab""")),
+
     // Windowed PMI word-pair mining (Church & Hanks, CL'90): pointwise
     // mutual information ln(p(a,b)/(p(a)p(b))) over unordered token
     // pairs co-occurring within a 4-token forward window — the
