@@ -287,13 +287,20 @@ object Dedup {
     * are materialized ONLY for docs that survive the pre-filter
     * (semi-join), so verify cost scales with *plausible* collisions, not
     * corpus size and not raw band-bucket collisions. */
-  def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     // Signatures feed banding AND both sides of the agreement filter;
-    // persist or the signature scan runs three times.
-    val sigs = minHashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    // persist or the signature scan runs three times. Callers that need
+    // the signatures themselves (estimator evals, standing indexes) pass
+    // an already-persisted relation via `precomputedSigs` so the corpus
+    // signature scan runs once across every consumer — that cache is
+    // caller-owned and NOT unpersisted here.
+    val owned = precomputedSigs.isEmpty
+    val sigs = precomputedSigs.getOrElse(
+      minHashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
     val bands = bandKeys(sigs).persist(StorageLevel.MEMORY_AND_DISK)
     val result = verifiedPairs(docs, candidatePairs(bands), sigs, threshold)
-    sigs.unpersist(false)
+    if (owned) sigs.unpersist(false)
     bands.unpersist(false)
     result
   }

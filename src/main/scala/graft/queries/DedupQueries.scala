@@ -355,12 +355,18 @@ object DedupQueries {
     // SIGNATURES — a drifting estimator silently mistunes minAgree and
     // shows up here as systematic abs_err before it costs recall.
     // Sketch-calibration checks run on the pair relation (tiny), never
-    // the corpus.
+    // the corpus. The signature relation is computed ONCE (persisted)
+    // and shared between the pairs pipeline and the agreement columns —
+    // the corpus signature scan must not run twice; the estimator
+    // divisor derives from Dedup.NumHashes on both sides so a hash-count
+    // retune cannot silently skew it.
     "dedup_minhash_est_quality" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.minHashLshPairs(docs, threshold = 0.8)
         val sigs = Dedup.minHashSignatures(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs =
+          Dedup.minHashLshPairs(docs, threshold = 0.8, precomputedSigs = Some(sigs))
         val sa = sigs.toDF(sigs.columns.map(c =>
           if (c == "doc_id") "doc_a" else s"${c}_a"): _*)
         val sb = sigs.toDF(sigs.columns.map(c =>
@@ -368,17 +374,22 @@ object DedupQueries {
         val agree = (0 until Dedup.NumHashes)
           .map(i => when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0))
           .reduce(_ + _)
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        val k = lit(Dedup.NumHashes.toDouble)
+        val out = pairs.join(sa, "doc_a").join(sb, "doc_b")
           .select(col("doc_a"), col("doc_b"), col("jaccard"),
-            round(agree / lit(16.0), 6).as("est"),
-            round(abs(agree / lit(16.0) - col("jaccard")), 6).as("abs_err"))
+            round(agree / k, 6).as("est"),
+            round(abs(agree / k - col("jaccard")), 6).as("abs_err"))
           .orderBy("doc_a", "doc_b")
+          .persist()
+        out.count() // materialize while the shared signature cache is live
+        sigs.unpersist(false)
+        out
       },
       oracle = Some(s"""
         WITH ${minhashPairsCtes(0.8)}
         SELECT p.doc_a, p.doc_b, p.jaccard,
-               round(($agreeSumSql) / 16.0, 6) AS est,
-               round(abs(($agreeSumSql) / 16.0 - p.jaccard), 6) AS abs_err
+               round(($agreeSumSql) / ${Dedup.NumHashes}.0, 6) AS est,
+               round(abs(($agreeSumSql) / ${Dedup.NumHashes}.0 - p.jaccard), 6) AS abs_err
         FROM pairs p
         JOIN sigs sa ON sa.doc_id = p.doc_a
         JOIN sigs sb ON sb.doc_id = p.doc_b

@@ -404,18 +404,39 @@ object RelationalQueries {
         val k = 64
         val ev = t(s, d, "events")
           .select(col("user_id"), Tables.eventUs.as("us"), col("event_type"))
-        def delays(a: String, b: String) = {
-          val ta = ev.where(col("event_type") === a)
-            .groupBy("user_id").agg(min(col("us")).as("ta"))
-          ev.where(col("event_type") === b)
-            .join(ta, "user_id")
-            .where(col("us") > col("ta"))
-            .groupBy("user_id", "ta").agg(min(col("us")).as("tb"))
-            .select(lit(s"$a->$b").as("step"), col("user_id"),
-              (col("tb") - col("ta")).as("delay_us"))
-        }
-        val all = delays("view", "click")
-          .unionByName(delays("click", "purchase"))
+        // ONE events scan for both funnel steps: a per-user window pins
+        // the step anchors (first view / first click) onto every row,
+        // then a per-user conditional min picks the first post-anchor
+        // conversion. The groupBy keys on the window's partition column,
+        // so the aggregate reuses the window's hash partitioning — one
+        // shuffle total (previously: four events scans across two
+        // aggregate+join step builders).
+        val w = Window.partitionBy("user_id")
+        val anchored = ev
+          .withColumn("ta1",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("ta2",
+            min(when(col("event_type") === "click", col("us"))).over(w))
+        val perUser = anchored.groupBy("user_id").agg(
+          min(col("ta1")).as("ta1"),
+          min(col("ta2")).as("ta2"),
+          min(when(col("event_type") === "click" && col("us") > col("ta1"),
+            col("us"))).as("tb1"),
+          min(when(col("event_type") === "purchase" && col("us") > col("ta2"),
+            col("us"))).as("tb2"))
+        // Both steps unfold from the ONE per-user row (a 2-element array
+        // explode), not a union of two branches — a union would execute
+        // the per-user aggregate twice. delay_us is null exactly when the
+        // step did not convert (tb null ⇒ the subtraction is null).
+        val all = perUser
+          .select(col("user_id"), explode(array(
+            struct(lit("view->click").as("step"),
+              (col("tb1") - col("ta1")).as("delay_us")),
+            struct(lit("click->purchase").as("step"),
+              (col("tb2") - col("ta2")).as("delay_us")))).as("st"))
+          .select(col("st.step").as("step"), col("user_id"),
+            col("st.delay_us").as("delay_us"))
+          .where(col("delay_us").isNotNull)
           .persist()
         val n = all.groupBy("step").agg(count(lit(1)).as("n_converted"))
         val samp = all.withColumn("h",

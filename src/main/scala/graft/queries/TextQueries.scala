@@ -1192,8 +1192,12 @@ object TextQueries {
     // phrase-mining/tokenizer pipelines rank by. Pair generation is a
     // scan-side nested-transform (no self-join); counts aggregate with
     // map-side partials; the N/P normalizers are two driver-pulled
-    // scalars, so no one-row cross join. Floor c_ab >= 5 kills the
-    // low-count PMI explosion; identical division order both engines.
+    // scalars DERIVED FROM THE AGGREGATES (P = sum(c_ab) before the
+    // count floor, N = sum(cw) over the unigram counts), so the
+    // O(tokens x window) pair explode and the token explode each run
+    // exactly once — no second corpus pass for normalization, no
+    // one-row cross join. Floor c_ab >= 5 kills the low-count PMI
+    // explosion; identical division order both engines.
     "corpus_pmi" -> QueryDef(
       fn = (s, d) => {
         val toksDf = t(s, d, "documents")
@@ -1201,9 +1205,15 @@ object TextQueries {
             .as("toks"))
           .where(size(col("toks")) >= 2)
           .persist()
+        // vocab-bounded: persisted so the token explode runs once for
+        // both the PMI joins and the N normalizer
         val uni = toksDf.select(explode(col("toks")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
-        val pairsRaw = toksDf.select(explode(expr("""
+          .persist()
+        // vocab^2-bounded (far smaller than the explode it caps):
+        // persisted so the pair explode runs once for both the floored
+        // pair relation and the P normalizer
+        val pairCounts = toksDf.select(explode(expr("""
             flatten(
               transform(sequence(1, size(toks) - 1),
                 i -> transform(sequence(i + 1, least(i + 4, size(toks))),
@@ -1212,12 +1222,12 @@ object TextQueries {
                     greatest(element_at(toks, i), element_at(toks, j)) AS b))))
           """)).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
-        val pairs = pairsRaw
           .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .persist()
+        val p: Long = pairCounts.agg(sum("c_ab")).head.getLong(0)
+        val n: Long = uni.agg(sum("cw")).head.getLong(0)
+        val out = pairCounts
           .where(col("c_ab") >= 5)
-        val n: Long = toksDf.select(explode(col("toks"))).count()
-        val p: Long = pairsRaw.count()
-        val out = pairs
           .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
           .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
           .select(col("a"), col("b"), col("c_ab"),
@@ -1227,7 +1237,9 @@ object TextQueries {
           .orderBy(col("pmi").desc, col("a"), col("b"))
           .limit(20)
           .persist()
-        out.count() // materialize while the token cache is live
+        out.count() // materialize while the aggregate caches are live
+        pairCounts.unpersist(false)
+        uni.unpersist(false)
         toksDf.unpersist(false)
         out
       },
