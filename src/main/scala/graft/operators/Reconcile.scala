@@ -46,4 +46,46 @@ object Reconcile {
     val latest = latestPerKey(history, keys, order)
     softDeleteCol.fold(latest)(d => latest.where(col(d).isNull))
   }
+
+  /** MERGE-shaped CDC data card: classify a delta batch against the standing
+    * state and report what a MERGE INTO would have done — the per-batch
+    * audit row an ingestion pipeline logs next to each merge
+    * (inserts/updates/soft-deletes, plus no-op deletes for keys that never
+    * existed). Each delta key is judged by its LATEST row in the batch
+    * (same total order as [[reconcile]]); `n_keys` <= `n_rows` whenever the
+    * batch carries superseded intra-batch versions.
+    *
+    * Scale: one window shuffle over the DELTA (batch-sized), one distinct
+    * over the history's key columns — which plans exchange-free when the
+    * history is key-bucketed (Ingest.DefaultHistoryBuckets, the default
+    * incremental-merge layout) — and one key join AQE sizes at runtime
+    * (batch side broadcasts when small). The history's payload columns are
+    * never read: only its keys. Output is a single row of BIGINT counts.
+    */
+  def cdcCounts(
+      history: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      lastModified: String,
+      tieBreak: Seq[String] = Nil,
+      softDeleteCol: Option[String] = None): DataFrame = {
+    val order = col(lastModified).desc +: tieBreak.map(col(_).desc)
+    val nRows = delta.count()
+    val latest = latestPerKey(delta, keys, order)
+    val inHist = "__graft_in_hist"
+    val histKeys = history.select(keys.map(col): _*).distinct()
+      .withColumn(inHist, lit(1))
+    val del = softDeleteCol.fold(lit(null).cast("int"))(col(_).cast("int"))
+    def n(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    latest.join(histKeys, keys, "left")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        n(del.isNull && col(inHist).isNull).as("n_insert"),
+        n(del.isNull && col(inHist).isNotNull).as("n_update"),
+        n(del.isNotNull && col(inHist).isNotNull).as("n_soft_delete"),
+        n(del.isNotNull && col(inHist).isNull).as("n_delete_noop"))
+      .select(lit(nRows).as("n_rows"), col("n_keys"), col("n_insert"),
+        col("n_update"), col("n_soft_delete"), col("n_delete_noop"))
+  }
 }

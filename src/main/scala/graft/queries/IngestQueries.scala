@@ -159,6 +159,54 @@ object IngestQueries {
                 ORDER BY event_id DESC, dl_ingest_date DESC) AS rn
               FROM hist)
         WHERE rn = 1 ORDER BY user_id"""),
-      bench = true)
+      bench = true),
+
+    // CDC data card over the same two-batch split: what a MERGE INTO of
+    // the late batch against the early batch's state would have done —
+    // per-batch insert/update/soft-delete counts (deletes modeled as the
+    // latest delta version being a 'purchase'), plus no-op deletes for
+    // never-seen keys and the intra-batch supersede gap (n_rows vs
+    // n_keys). The audit row ingestion pipelines log next to each merge;
+    // history contributes only its KEY column (never payload), and the
+    // delta window is batch-sized.
+    "merge_cdc_card" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select("event_id", "user_id", "event_type", "value")
+        val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+        val hist = ev.where(col("event_id") <= lit(mid))
+        val delta = ev.where(col("event_id") > lit(mid))
+          .withColumn("deleted",
+            when(col("event_type") === "purchase", lit(1)))
+        Reconcile.cdcCounts(hist, delta,
+          keys = Seq("user_id"), lastModified = "event_id",
+          softDeleteCol = Some("deleted"))
+      },
+      oracle = Some("""
+        WITH mid AS (SELECT max(event_id) // 2 AS m FROM events),
+        delta AS (
+          SELECT user_id, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 END AS deleted
+          FROM events WHERE event_id > (SELECT m FROM mid)),
+        latest AS (
+          SELECT user_id, deleted FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM delta)
+          WHERE rn = 1),
+        hk AS (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_id <= (SELECT m FROM mid))
+        SELECT CAST((SELECT count(*) FROM delta) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN l.deleted IS NULL AND hk.user_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+               CAST(sum(CASE WHEN l.deleted IS NULL AND hk.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+               CAST(sum(CASE WHEN l.deleted IS NOT NULL AND hk.user_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_soft_delete,
+               CAST(sum(CASE WHEN l.deleted IS NOT NULL AND hk.user_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_delete_noop
+        FROM latest l LEFT JOIN hk USING (user_id)"""))
   )
 }

@@ -128,20 +128,30 @@ object Pca {
   /** Explained-variance ratio of the trained top component:
     * Var(s)/Σ_j Var(v_j) with s = (v−µ)·u, total variance via the
     * identity Σ_j Var(v_j) = E[|v|²] − |µ|². Moment scalars are pulled
-    * to the driver (same style as training); the per-expression rounding
-    * below mirrors [[varianceRatioOracleSql]] term for term. */
+    * to the driver (same style as training). Determinism: per-row terms
+    * are rounded to 6dp and accumulated in DECIMAL(18,6) — an exact,
+    * order-independent sum (the repo-wide pattern: events_decayed_counts,
+    * text_zipf_fit) — then divided driver-side as doubles; a raw-double
+    * avg() would make the 6dp hash partition-order-dependent. The same
+    * arithmetic, term for term, in [[varianceRatioOracleSql]]. */
   def varianceRatio(emb: DataFrame, iters: Int = 5,
       embCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     val (mu, u) = trainTopComponent(emb, iters, embCol)
     val muDotU = mu.zip(u).map { case (a, b) => a * b }.sum
     val v = emb.select(col(embCol).cast("array<double>").as("v"))
-    val sdf = v.select((VectorOps.dot(col("v"), lit(u)) - lit(muDotU)).as("sc"))
-    val st = sdf.agg(round(avg(col("sc")), Scale).as("ms"),
-      round(avg(col("sc") * col("sc")), Scale).as("ms2")).head()
-    val (ms, ms2) = (st.getDouble(0), st.getDouble(1))
-    val e2 = v.agg(round(avg(VectorOps.dot(col("v"), col("v"))), Scale))
-      .head().getDouble(0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, Scale)
+    val sdf = v.select((VectorOps.dot(col("v"), lit(u)) - lit(muDotU)).as("sc"),
+      VectorOps.dot(col("v"), col("v")).as("vv"))
+    val st = sdf.agg(
+      sum(round(col("sc"), Scale).cast(dec)).as("s1"),
+      sum(round(col("sc") * col("sc"), Scale).cast(dec)).as("s2"),
+      sum(round(col("vv"), Scale).cast(dec)).as("sv"),
+      count(lit(1)).as("n")).head()
+    val n = st.getLong(3).toDouble
+    val ms = round6(st.getDecimal(0).doubleValue() / n)
+    val ms2 = round6(st.getDecimal(1).doubleValue() / n)
+    val e2 = round6(st.getDecimal(2).doubleValue() / n)
     val mu2 = mu.map(x => x * x).sum
     val varPc1 = ms2 - ms * ms
     val varTotal = e2 - mu2
@@ -161,11 +171,15 @@ object Pca {
                  - list_dot_product(m.mv, u.uv) AS sc
         FROM v e, mu m, u$iters u),
       st AS (
-        SELECT round(avg(sc), ${Scale}) AS ms,
-               round(avg(sc * sc), ${Scale}) AS ms2
+        SELECT round(CAST(sum(CAST(round(sc, ${Scale}) AS DECIMAL(18,${Scale}))) AS DOUBLE)
+                     / count(*), ${Scale}) AS ms,
+               round(CAST(sum(CAST(round(sc * sc, ${Scale}) AS DECIMAL(18,${Scale}))) AS DOUBLE)
+                     / count(*), ${Scale}) AS ms2
         FROM sc),
       tv AS (
-        SELECT round(avg(list_dot_product(v, v)), ${Scale}) AS e2 FROM v),
+        SELECT round(CAST(sum(CAST(round(list_dot_product(v, v), ${Scale})
+                                   AS DECIMAL(18,${Scale}))) AS DOUBLE)
+                     / count(*), ${Scale}) AS e2 FROM v),
       mm AS (SELECT list_dot_product(mv, mv) AS mu2 FROM mu)
       SELECT round(ms2 - ms * ms, ${Scale}) AS var_pc1,
              round(e2 - mu2, ${Scale}) AS var_total,

@@ -795,9 +795,15 @@ object StreamingIngest {
     * `db.table_novelty_grams`, so the standing state is the min across
     * tag partitions — min is a set-style merge, which makes a retried
     * tag a no-op (it overwrites its own partition and min(x, x) = x).
-    * History text is never re-tokenized: per-batch work is O(batch grams
-    * + matched standing rows). Assumes doc_ids are assigned in ingestion
-    * order (the same contract the batch pipeline documents). */
+    * History text is never re-tokenized: each batch SCANS the standing
+    * gram table (narrow: shingle, first_doc — linear in accumulated
+    * grams, like any log-structured read path) but semi-joins it down to
+    * the batch's own shingles before the min-merge, so the shuffle/merge
+    * work is O(batch grams + matched standing rows). Long-running streams
+    * should periodically fold the tag partitions with
+    * [[graft.operators.Compact]] to keep that scan's constant down.
+    * Assumes doc_ids are assigned in ingestion order (the same contract
+    * the batch pipeline documents). */
   def toNoveltySink(
       docs: DataFrame, db: String, table: String,
       tagPrefix: String = "stream",
@@ -824,9 +830,18 @@ object StreamingIngest {
     val gramsTable = s"${full}_novelty_grams"
     val scored =
       if (spark.catalog.tableExists(gramsTable)) {
-        // a RETRIED tag must not count its own previous attempt as history
+        // a RETRIED tag must not count its own previous attempt as history.
+        // Semi-join the standing table down to THIS batch's shingles
+        // BEFORE the min-merge: without it the groupBy re-shuffles every
+        // standing gram ever ingested each micro-batch; with it only rows
+        // the batch can actually match reach the merge (and AQE broadcasts
+        // the batch-gram side when it is small).
+        val batchShingles = graft.dedup.Dedup
+          .wordShingles(batch, n = Novelty.GramSize, dedup = true)
+          .select("shingle").distinct()
         val standing = spark.table(gramsTable)
           .where(col(tagColumn) =!= lit(tag))
+          .join(batchShingles, Seq("shingle"), "left_semi")
           .groupBy("shingle").agg(min(col("first_doc")).as("hist_first"))
         Novelty.scoreIncremental(batch, standing)
       } else Novelty.score(batch) // first batch: corpus = batch

@@ -615,8 +615,18 @@ object ScaleSmoke {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      try { f; Thread.sleep(2000) } // let the listener bus drain
-      finally spark.sparkContext.removeSparkListener(listener)
+      try {
+        f
+        // Drain the async listener bus DETERMINISTICALLY before reading
+        // the counter: a fixed sleep undercounts on a loaded machine and
+        // lets a shuffle-volume regression slip under the cap.
+        // listenerBus is private[spark]; Scala package-privacy is public
+        // in bytecode, so a reflective call reaches waitUntilEmpty.
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(30000L))
+      } finally spark.sparkContext.removeSparkListener(listener)
       bytes.get()
     }
     val tAgg = med3 { viaAgg().count(); () }
