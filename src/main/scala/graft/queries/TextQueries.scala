@@ -476,6 +476,90 @@ object TextQueries {
                doc_id, n_chars, es_key
         FROM k ORDER BY es_key, doc_id LIMIT 20""")),
 
+    // DSIR-style importance ranking (Xie et al., NeurIPS'23 "Data
+    // Selection for Language Models via Importance Resampling"): rank the
+    // raw pool (lang != 'en') by how target-like (lang = 'en') each doc's
+    // hashed-unigram distribution is — per-doc Σ ln(p̂_target(b)/p̂_raw(b))
+    // over md5-hashed token buckets with add-one smoothing. The domain-
+    // adaptation selection signal that needs NO trained classifier: both
+    // n-gram models are one bucket-bounded aggregate (B=64 rows) over the
+    // tokenized scan, the log-ratio table is bucket-sized (AQE broadcasts
+    // it un-hinted), and scoring is one more pass over the SAME persisted
+    // tokens. At 100 TB: two bounded aggregates + one scan — no
+    // vocabulary build, no per-doc model inference. Determinism: each
+    // bucket's log-ratio rounds to 6dp; per-doc sums accumulate in
+    // DECIMAL(18,6) (order-independent), top-20 by rounded weight with
+    // doc_id tie-break.
+    "sample_dsir" -> QueryDef(
+      fn = (s, d) => {
+        val B = 64
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+              % B).as("b"))
+          .persist()
+        val tgt = toks.where(col("lang") === "en")
+        val raw = toks.where(col("lang") =!= "en")
+        val ct = tgt.groupBy("b").agg(count(lit(1)).as("ctb"))
+        val cs = raw.groupBy("b").agg(count(lit(1)).as("csb"))
+        val tt: Long = tgt.count()
+        val ts: Long = raw.count()
+        val ratios = s.range(B).select(col("id").as("b"))
+          .join(ct, Seq("b"), "left").join(cs, Seq("b"), "left")
+          .select(col("b"),
+            round(log(
+              ((coalesce(col("ctb"), lit(0L)) + 1).cast("double")
+                / lit((tt + B).toDouble)) /
+              ((coalesce(col("csb"), lit(0L)) + 1).cast("double")
+                / lit((ts + B).toDouble))), 6)
+              .cast(DecimalType(18, 6)).as("term"))
+        val out = raw.join(ratios, "b")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("term")).as("lw"))
+          .select(col("doc_id"), col("lang"), col("n_toks"),
+            round(col("lw").cast("double"), 6).as("logw"))
+          .orderBy(col("logw").desc, col("doc_id")).limit(20)
+          .persist()
+        out.count() // materialize while the token cache is live
+        toks.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tb AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 64 AS b
+          FROM (SELECT doc_id, lang,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents)),
+        ct AS (SELECT b, count(*) AS ctb FROM tb WHERE lang = 'en' GROUP BY b),
+        cs AS (SELECT b, count(*) AS csb FROM tb WHERE lang <> 'en' GROUP BY b),
+        tt AS (SELECT count(*) AS t FROM tb WHERE lang = 'en'),
+        ts AS (SELECT count(*) AS t FROM tb WHERE lang <> 'en'),
+        r AS (
+          SELECT g.b,
+                 CAST(round(ln(
+                   (CAST(COALESCE(ct.ctb, 0) + 1 AS DOUBLE)
+                     / CAST(tt.t + 64 AS DOUBLE)) /
+                   (CAST(COALESCE(cs.csb, 0) + 1 AS DOUBLE)
+                     / CAST(ts.t + 64 AS DOUBLE))), 6)
+                   AS DECIMAL(18,6)) AS term
+          FROM (SELECT unnest(generate_series(0, 63)) AS b) g
+          LEFT JOIN ct ON ct.b = g.b
+          LEFT JOIN cs ON cs.b = g.b, tt, ts),
+        sc AS (
+          SELECT tb.doc_id, tb.lang, count(*) AS n_toks, sum(r.term) AS lw
+          FROM tb JOIN r ON r.b = tb.b
+          WHERE tb.lang <> 'en'
+          GROUP BY 1, 2)
+        SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+               round(CAST(lw AS DOUBLE), 6) AS logw
+        FROM sc ORDER BY logw DESC, doc_id LIMIT 20""")),
+
     // Per-source document cap: keep the top 10 docs per source by quality
     // (doc_id tie-break) — the standard crawl-curation guard against any
     // single domain dominating the mixture. One window per source over the

@@ -27,6 +27,12 @@ object BenchSome {
     args.foreach(n => qs(n)(spark, "/root/testdata/sf0.001").count())
     args.foreach { n =>
       val ts = (1 to 3).map { _ =>
+        // identical methodology to graft.Bench: every pass starts COLD —
+        // without clearCache, passes 2-3 read pass 1's persisted
+        // intermediates (and plan-canonicalized CacheManager hits survive
+        // unpersist on derived frames), so the median would measure warm
+        // state and be incomparable to the suite's cold medians.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         qs(n)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
