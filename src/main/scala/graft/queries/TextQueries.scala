@@ -1502,6 +1502,65 @@ object TextQueries {
         SELECT a, b, cnt FROM pc
         ORDER BY cnt DESC, a, b LIMIT 20""")),
 
+    // Full iterative BPE tokenizer training (Sennrich et al. ACL'16),
+    // oracle-replayed end-to-end like the k-means/PCA/PageRank trainers:
+    // 8 merge rounds over the char-split word vocab, each round = one
+    // vocab-sized pair aggregate + a 1-row argmax pull + a narrow re-merge
+    // map (Bpe.train). The oracle unrolls the same 8 rounds as CTEs over
+    // a pipe-delimited segmentation string: DuckDB's non-overlapping
+    // left-to-right replace('|a||b|','|ab|') is exactly the fold-merge
+    // semantics of Bpe.applyMergeExpr (a merged symbol can never re-match
+    // its own rule — b is non-empty), and the corpus is verified
+    // pipe-free at every SF so the '|' delimiters cannot collide with
+    // symbols. Result: the ordered merge table — the training artifact a
+    // tokenizer build persists; identical argmax tie-break (cnt DESC,
+    // a, b) on both engines makes it bit-reproducible.
+    "bpe_train" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val (merges, _) = graft.text.Bpe.train(t(s, d, "documents"), numMerges = 8)
+        merges.map(m => (m.step.toLong, m.a, m.b, m.cnt))
+          .toDF("step", "a", "b", "cnt")
+          .orderBy("step")
+      },
+      oracle = Some {
+        val K = 8
+        val rounds = (1 to K).map { r =>
+          s"""
+        p$r AS (
+          SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b,
+                 CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+                FROM (SELECT f, string_split(trim(seg, '$$PIPE$$'), '$$PIPE$$$$PIPE$$') AS sy
+                      FROM v${r - 1})
+                WHERE len(sy) >= 2)
+          GROUP BY 1, 2),
+        b$r AS (SELECT $r AS step, a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        v$r AS (
+          SELECT f, replace(seg, '$$PIPE$$' $$CAT$$ b$r.a $$CAT$$ '$$PIPE$$$$PIPE$$' $$CAT$$ b$r.b $$CAT$$ '$$PIPE$$',
+                            '$$PIPE$$' $$CAT$$ b$r.a $$CAT$$ b$r.b $$CAT$$ '$$PIPE$$') AS seg
+          FROM v${r - 1}, b$r)"""
+        }.mkString(",")
+        val sql = s"""
+        WITH words AS (
+          SELECT w AS word, count(*) AS f
+          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY w),
+        v0 AS (
+          SELECT f, '$$PIPE$$' $$CAT$$ array_to_string(string_split(word, ''), '$$PIPE$$$$PIPE$$') $$CAT$$ '$$PIPE$$' AS seg
+          FROM words),$rounds
+        SELECT CAST(step AS BIGINT) AS step, a, b, cnt
+        FROM (${(1 to K).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+        ORDER BY step"""
+        // The registry applies stripMargin to oracle SQL, which would eat
+        // any literal '|' that lands first-on-line after formatting; the
+        // placeholders keep the template margin-safe and are substituted
+        // here, after assembly.
+        sql.replace("$CAT$", "||").replace("$PIPE$", "|")
+      }),
+
     // TF-IDF keywords: top-3 terms per document by tf·idf — the classic
     // relevance signal (quality scoring, topic tagging, search). tf is the
     // in-doc frequency; idf = ln(N/df) over the corpus. Shape: token
