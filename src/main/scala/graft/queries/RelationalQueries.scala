@@ -290,6 +290,209 @@ object RelationalQueries {
         FROM lagged ORDER BY user_id, event_id"""
       }),
 
+    // A/B experiment readout: two-proportion z-test between md5-parity
+    // user cohorts on a heavy-buyer conversion metric (> 12 purchases —
+    // the fixture's per-user purchase counts straddle 12 at every SF) —
+    // the analysis every experimentation platform runs per metric.
+    // Cohort assignment is the same deterministic md5-bucket machinery as
+    // split_assign (no RNG, so the whole readout hash-matches); per-user
+    // conversion is one conditional aggregate, cohort rollups one global
+    // conditional aggregate, and the pooled-variance z closes in a single
+    // projection of IEEE arithmetic both engines evaluate identically —
+    // NULL when degenerate (empty cohort or 0%/100% pooled rate), never
+    // a divide-by-zero. Scale: one events scan + one user-keyed
+    // aggregate; output is one row.
+    "events_ab_test" -> QueryDef(
+      fn = (s, d) => {
+        val users = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+          .select(when(col("np") > 12, 1L).otherwise(0L).as("cv"),
+            (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long") % 2).as("grp"))
+        val c = users.agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp") === 0, col("cv")).otherwise(0L)).as("conv_a"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("grp") === 1, col("cv")).otherwise(0L)).as("conv_b"))
+        val tot = col("conv_a") + col("conv_b")
+        val n = col("n_a") + col("n_b")
+        val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
+          tot === 0 || tot === n
+        val pa = col("conv_a").cast("double") / col("n_a")
+        val pb = col("conv_b").cast("double") / col("n_b")
+        val pp = tot.cast("double") / n
+        c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+          when(degenerate, lit(null).cast("double"))
+            .otherwise(round((pa - pb) /
+              sqrt(pp * (lit(1.0) - pp) *
+                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+            .as("z"))
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np
+          FROM events GROUP BY user_id),
+        g AS (
+          SELECT CASE WHEN np > 12 THEN 1 ELSE 0 END AS cv,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 2 AS grp
+          FROM u),
+        c AS (
+          SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN grp = 0 THEN cv ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN grp = 1 THEN cv ELSE 0 END) AS BIGINT) AS conv_b
+          FROM g)
+        SELECT n_a, conv_a, n_b, conv_b,
+               round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+               round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+               CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+                         OR conv_a + conv_b = n_a + n_b THEN NULL
+                    ELSE round((CAST(conv_a AS DOUBLE) / n_a
+                                - CAST(conv_b AS DOUBLE) / n_b)
+                      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                             * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                      / (n_a + n_b))
+                             * (1.0 / n_a + 1.0 / n_b)), 6)
+               END AS z
+        FROM c"""))
+      ,
+
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
+    // "Improving the Sensitivity of Online Controlled Experiments"): the
+    // standard pre-experiment-covariate adjustment every experimentation
+    // platform applies before the z-test. Pre/post periods split at the
+    // event-time midpoint; per user x = pre-period purchases (covariate),
+    // y = post-period purchases (metric); θ = cov(x,y)/var(x) pooled over
+    // all users; adjusted cohort means ŷ = mean(y) − θ(mean(x) − mean(x̄))
+    // and the achieved variance-reduction fraction r² =
+    // cov²/(var(x)·var(y)). Every moment is an EXACT INTEGER sum (counts
+    // and their products), so one user-keyed aggregate + one global
+    // conditional aggregate produce the whole readout, and the closing
+    // arithmetic is identical scalar IEEE on both engines — no
+    // accumulation-order hazard anywhere. NULLs when degenerate (zero
+    // variance or an empty cohort), never a divide-by-zero.
+    "events_cuped" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"), col("event_type"))
+        val mm = ev.agg(min(col("us")), max(col("us"))).head()
+        val tmid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val isP = col("event_type") === "purchase"
+        val per = ev.groupBy("user_id").agg(
+            sum(when(isP && col("us") <= tmid, 1L).otherwise(0L)).as("x"),
+            sum(when(isP && col("us") > tmid, 1L).otherwise(0L)).as("y"))
+          .select(col("x"), col("y"),
+            (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long") % 2).as("grp"))
+        val m = per.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp") === 0, col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("grp") === 0, col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("grp") === 1, col("x")).otherwise(0L)).as("sxb"),
+          sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("syb"))
+        val nD = col("n").cast("double")
+        val mx = col("sx").cast("double") / nD
+        val my = col("sy").cast("double") / nD
+        val varx = col("sxx").cast("double") / nD - mx * mx
+        val vary = col("syy").cast("double") / nD - my * my
+        val covxy = col("sxy").cast("double") / nD - mx * my
+        val ok = col("n_a") > 0 && col("n_b") > 0
+        val okv = ok && varx > 0 && vary > 0
+        val theta = covxy / varx
+        def adj(sy_ : org.apache.spark.sql.Column, sx_ : org.apache.spark.sql.Column,
+            n_ : org.apache.spark.sql.Column) =
+          sy_.cast("double") / n_ - theta *
+            (sx_.cast("double") / n_ - mx)
+        m.select(col("n_a"), col("n_b"),
+          when(ok, round(col("sya").cast("double") / col("n_a"), 6))
+            .otherwise(lit(null).cast("double")).as("mean_a_raw"),
+          when(ok, round(col("syb").cast("double") / col("n_b"), 6))
+            .otherwise(lit(null).cast("double")).as("mean_b_raw"),
+          when(okv, round(adj(col("sya"), col("sxa"), col("n_a")), 6))
+            .otherwise(lit(null).cast("double")).as("mean_a_adj"),
+          when(okv, round(adj(col("syb"), col("sxb"), col("n_b")), 6))
+            .otherwise(lit(null).cast("double")).as("mean_b_adj"),
+          when(okv, round(theta, 6))
+            .otherwise(lit(null).cast("double")).as("theta"),
+          when(okv, round(covxy * covxy / (varx * vary), 6))
+            .otherwise(lit(null).cast("double")).as("var_reduction"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT min(epoch_us(ts))
+                   + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS tmid
+          FROM events),
+        per AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) <= (SELECT tmid FROM b)
+                          THEN 1 ELSE 0 END) AS x,
+                 sum(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) > (SELECT tmid FROM b)
+                          THEN 1 ELSE 0 END) AS y
+          FROM events GROUP BY user_id),
+        g AS (
+          SELECT x, y,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 2 AS grp
+          FROM per),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+                 CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+                 CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+          FROM g),
+        s AS (
+          SELECT *,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+          FROM m),
+        v AS (
+          SELECT *,
+                 CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mx * mx AS varx,
+                 CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - my * my AS vary,
+                 CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mx * my AS covxy
+          FROM s)
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(CAST(sya AS DOUBLE) / n_a, 6) END AS mean_a_raw,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(CAST(syb AS DOUBLE) / n_b, 6) END AS mean_b_raw,
+               CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0 AND vary > 0
+                    THEN round(CAST(sya AS DOUBLE) / n_a - (covxy / varx)
+                               * (CAST(sxa AS DOUBLE) / n_a - mx), 6)
+               END AS mean_a_adj,
+               CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0 AND vary > 0
+                    THEN round(CAST(syb AS DOUBLE) / n_b - (covxy / varx)
+                               * (CAST(sxb AS DOUBLE) / n_b - mx), 6)
+               END AS mean_b_adj,
+               CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0 AND vary > 0
+                    THEN round(covxy / varx, 6) END AS theta,
+               CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0 AND vary > 0
+                    THEN round(covxy * covxy / (varx * vary), 6)
+               END AS var_reduction
+        FROM v"""))
+      ,
+
     // Burst/rate-limit audit: per-user peak events-per-minute vs a cap —
     // the abuse/bot gate every event pipeline fronts with (a scraper
     // shows a hot minute where an organic user's peak stays low).

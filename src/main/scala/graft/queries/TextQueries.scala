@@ -38,6 +38,53 @@ object TextQueries {
     s"CASE ${branches.mkString(" ")} ELSE '${TextAnalysis.LangStopwords.last._1}' END"
   }
 
+  /** Quoted pipe literals for BPE oracle SQL. The registry applies
+    * stripMargin to every oracle string, which would eat a literal `|`
+    * landing first-on-line; routing every pipe through these (and the
+    * placeholder substitution in [[bpeRoundsCtes]]) keeps the templates
+    * margin-safe by construction. */
+  private val bpeP = "'|'"
+  private val bpePP = "'||'"
+
+  /** Shared DuckDB replay of Bpe.trainFromVocab, used by BOTH bpe_train
+    * and bpe_encode so the learned merges cannot drift between them:
+    * words (corpus word frequencies) → v0 (pipe-delimited char
+    * segmentation, `word` carried through) → k unrolled merge rounds —
+    * p{r} adjacent-pair counts, b{r} the deterministic argmax
+    * (cnt DESC, a, b), v{r} the greedy non-overlapping replace, which is
+    * exactly Bpe.applyMergeExpr's fold semantics (a merged symbol cannot
+    * re-match its own rule because b is non-empty). The corpus is
+    * verified pipe-free at every SF, so the delimiters cannot collide
+    * with symbols. */
+  private def bpeRoundsCtes(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""
+        p$r AS (
+          SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b,
+                 CAST(sum(f) AS BIGINT) AS cnt
+          FROM (SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+                FROM (SELECT f, string_split(trim(seg, '$$PIPE$$'), '$$PIPE$$$$PIPE$$') AS sy
+                      FROM v${r - 1})
+                WHERE len(sy) >= 2)
+          GROUP BY 1, 2),
+        b$r AS (SELECT $r AS step, a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+        v$r AS (
+          SELECT word, f, replace(seg, '$$PIPE$$' $$CAT$$ b$r.a $$CAT$$ '$$PIPE$$$$PIPE$$' $$CAT$$ b$r.b $$CAT$$ '$$PIPE$$',
+                            '$$PIPE$$' $$CAT$$ b$r.a $$CAT$$ b$r.b $$CAT$$ '$$PIPE$$') AS seg
+          FROM v${r - 1}, b$r)"""
+    }.mkString(",")
+    val sql = s"""words AS (
+          SELECT w AS word, count(*) AS f
+          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents)
+          GROUP BY w),
+        v0 AS (
+          SELECT word, f, '$$PIPE$$' $$CAT$$ array_to_string(string_split(word, ''), '$$PIPE$$$$PIPE$$') $$CAT$$ '$$PIPE$$' AS seg
+          FROM words),$rounds"""
+    sql.replace("$CAT$", "||").replace("$PIPE$", "|")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Token counting: \S+ runs + alpha chars + mean token length.
@@ -1523,43 +1570,58 @@ object TextQueries {
           .toDF("step", "a", "b", "cnt")
           .orderBy("step")
       },
-      oracle = Some {
-        val K = 8
-        val rounds = (1 to K).map { r =>
-          s"""
-        p$r AS (
-          SELECT sy[CAST(i AS INT)] AS a, sy[CAST(i + 1 AS INT)] AS b,
-                 CAST(sum(f) AS BIGINT) AS cnt
-          FROM (SELECT f, sy, unnest(generate_series(1, len(sy) - 1)) AS i
-                FROM (SELECT f, string_split(trim(seg, '$$PIPE$$'), '$$PIPE$$$$PIPE$$') AS sy
-                      FROM v${r - 1})
-                WHERE len(sy) >= 2)
-          GROUP BY 1, 2),
-        b$r AS (SELECT $r AS step, a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-        v$r AS (
-          SELECT f, replace(seg, '$$PIPE$$' $$CAT$$ b$r.a $$CAT$$ '$$PIPE$$$$PIPE$$' $$CAT$$ b$r.b $$CAT$$ '$$PIPE$$',
-                            '$$PIPE$$' $$CAT$$ b$r.a $$CAT$$ b$r.b $$CAT$$ '$$PIPE$$') AS seg
-          FROM v${r - 1}, b$r)"""
-        }.mkString(",")
-        val sql = s"""
-        WITH words AS (
-          SELECT w AS word, count(*) AS f
-          FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                          x -> x <> '')) AS w
-                FROM documents)
-          GROUP BY w),
-        v0 AS (
-          SELECT f, '$$PIPE$$' $$CAT$$ array_to_string(string_split(word, ''), '$$PIPE$$$$PIPE$$') $$CAT$$ '$$PIPE$$' AS seg
-          FROM words),$rounds
+      oracle = Some(s"""
+        WITH ${bpeRoundsCtes(8)}
         SELECT CAST(step AS BIGINT) AS step, a, b, cnt
-        FROM (${(1 to K).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
-        ORDER BY step"""
-        // The registry applies stripMargin to oracle SQL, which would eat
-        // any literal '|' that lands first-on-line after formatting; the
-        // placeholders keep the template margin-safe and are substituted
-        // here, after assembly.
-        sql.replace("$CAT$", "||").replace("$PIPE$", "|")
-      }),
+        FROM (${(1 to 8).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")})
+        ORDER BY step""")),
+
+    // The ENCODE side of the tokenizer, closing the train→apply loop:
+    // segment the word vocab with the 8 learned merges (chained scan-side
+    // fold-merges — K narrow maps, no shuffles) and report the corpus
+    // fertility metrics every tokenizer evaluation starts from: subword/
+    // word ratio and chars/subword compression. ONE corpus scan total —
+    // the word vocab is persisted and shared by training and encoding;
+    // all sums are exact integers weighted by word frequency, the two
+    // closing ratios are single IEEE divisions. The oracle reuses the
+    // SAME unrolled training CTEs (carrying `word` through the rounds),
+    // so the learned merges and their application cannot drift between
+    // the two entries.
+    "bpe_encode" -> QueryDef(
+      fn = (s, d) => {
+        val wv = graft.text.Bpe.wordVocab(t(s, d, "documents")).persist()
+        val (merges, _) = graft.text.Bpe.trainFromVocab(wv, numMerges = 8)
+        val segK = graft.text.Bpe.applyMerges(graft.text.Bpe.charSplit(wv), merges)
+        val out = segK
+          .select(col("f"), size(col("toks")).cast("long").as("n_sub"),
+            length(col("word")).cast("long").as("n_chars"))
+          .agg(sum(col("f")).as("n_words"),
+            sum(col("f") * col("n_sub")).as("n_subtokens"),
+            sum(col("f") * col("n_chars")).as("n_chars_total"))
+          .select(col("n_words"), col("n_subtokens"), col("n_chars_total"),
+            round(col("n_subtokens").cast("double") / col("n_words"), 6)
+              .as("fertility"),
+            round(col("n_chars_total").cast("double") / col("n_subtokens"), 6)
+              .as("chars_per_token"))
+          .persist()
+        out.count() // materialize while the vocab cache is live
+        wv.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH ${bpeRoundsCtes(8)},
+        enc AS (
+          SELECT word, f,
+                 len(string_split(trim(seg, ${bpeP}), ${bpePP})) AS n_sub,
+                 len(word) AS n_chars
+          FROM v8)
+        SELECT CAST(sum(f) AS BIGINT) AS n_words,
+               CAST(sum(f * n_sub) AS BIGINT) AS n_subtokens,
+               CAST(sum(f * n_chars) AS BIGINT) AS n_chars_total,
+               round(CAST(sum(f * n_sub) AS DOUBLE) / sum(f), 6) AS fertility,
+               round(CAST(sum(f * n_chars) AS DOUBLE) / sum(f * n_sub), 6)
+                 AS chars_per_token
+        FROM enc""")),
 
     // TF-IDF keywords: top-3 terms per document by tf·idf — the classic
     // relevance signal (quality scoring, topic tagging, search). tf is the

@@ -34,11 +34,15 @@ object Bpe {
         expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("f"))
 
+  /** Per-character segmentation column over a (word, f) vocab; keeps
+    * `word` so encode-side metrics (chars per word) stay joinable. */
+  def charSplit(wordVocab: DataFrame): DataFrame =
+    wordVocab.withColumn("toks",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+
   /** Character-split form of [[wordVocab]]: (toks: array<string>, f). */
   def charVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
-    wordVocab(docs, textCol)
-      .select(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        .as("toks"), col("f"))
+    charSplit(wordVocab(docs, textCol)).select(col("toks"), col("f"))
 
   /** Adjacent symbol-pair counts over a (toks, f) vocab: each adjacent
     * position in a word contributes that word's frequency. (a, b, cnt). */
@@ -67,14 +71,29 @@ object Bpe {
                  THEN concat(slice(acc, 1, size(acc) - 1), array('${esc(a + b)}'))
                  ELSE concat(acc, array(x)) END)""")
 
+  /** Apply an ordered merge list to a vocab's `toks` column (other columns
+    * pass through) — the ENCODE side of the tokenizer: segment words with
+    * an already-learned merge table. Same greedy fold semantics as
+    * training, chained scan-side (K narrow maps, no shuffles). */
+  def applyMerges(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(vocab)((v, m) =>
+      v.withColumn("toks", applyMergeExpr(m.a, m.b)))
+
   /** Learn `numMerges` BPE merges from the corpus. Returns the ordered
     * merge table and the final merged vocab (toks, f) — the state a
     * tokenizer build persists. Stops early if no pair remains (every word
     * a single symbol). */
   def train(
-      docs: DataFrame, numMerges: Int, textCol: String = "text"): (Seq[Merge], DataFrame) = {
+      docs: DataFrame, numMerges: Int, textCol: String = "text"): (Seq[Merge], DataFrame) =
+    trainFromVocab(wordVocab(docs, textCol), numMerges)
+
+  /** [[train]] from an already-built (word, f) vocab — callers that also
+    * encode (or otherwise reuse the vocab) persist it and pay the corpus
+    * scan once across both phases. */
+  def trainFromVocab(
+      wv: DataFrame, numMerges: Int): (Seq[Merge], DataFrame) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    var vocab = charVocab(docs, textCol).localCheckpoint(true)
+    var vocab = charSplit(wv).select(col("toks"), col("f")).localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var step = 1
     var exhausted = false

@@ -122,9 +122,45 @@ object ScaleSmoke {
     bloomSection(spark, copies)
     phashSection(spark, copies)
     topkSection(spark, tmp)
+    bpeSection(spark, tmp, copies)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
+  }
+
+  /** BPE training cost is VOCAB-bounded, not corpus-bounded — the posture
+    * claim behind bpe_train. PURE replication (same text, shifted ids —
+    * NOT the salted `replicate`, whose per-row pseudowords grow the vocab
+    * corpus-linearly by construction) leaves the distinct-word vocabulary
+    * identical with frequencies scaled by N uniformly, so the learned
+    * merge table must be IDENTICAL except for the Nx counts, and the
+    * post-vocab training rounds do identical work: train time may not
+    * grow anywhere near corpus-linearly. */
+  private def bpeSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
+    import graft.text.Bpe
+    val docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val docsN = (0 until copies).map(c =>
+      docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        col("text")))
+      .reduce(_ unionAll _)
+    Bpe.train(docs1.limit(200), 2) // codegen warmup
+    val t1 = System.nanoTime()
+    val (m1, _) = Bpe.train(docs1, 6)
+    val s1 = (System.nanoTime() - t1) / 1e9
+    val tN = System.nanoTime()
+    val (mN, _) = Bpe.train(docsN, 6)
+    val sN = (System.nanoTime() - tN) / 1e9
+    println(f"[scale] bpe_train 1x=$s1%.2f s ${copies}x=$sN%.2f s " +
+      f"(x${sN / s1}%.1f) merges=${m1.size}")
+    require(m1.map(m => (m.step, m.a, m.b)) == mN.map(m => (m.step, m.a, m.b)),
+      "BPE merge table changed under corpus replication — training is not vocab-bounded")
+    require(m1.zip(mN).forall { case (a, b) => b.cnt == a.cnt * copies },
+      "BPE merge counts did not scale uniformly with replication")
+    // loose wall bound: vocab-bounded rounds should keep Nx well under
+    // corpus-linear growth (the corpus scan itself is the only Nx term)
+    require(sN / s1 < copies * 0.6,
+      f"BPE train time grew ${sN / s1}%.1fx under ${copies}x replication")
   }
 
   /** Bloom join pruning at scale: the bit table self-sizes with the keyset
