@@ -79,4 +79,61 @@ object Graph {
     nodes.unpersist(false)
     ranks
   }
+
+  /** Global triangle census over an undirected simple graph — the second
+    * classic link-structure statistic next to PageRank: triangle count and
+    * global clustering coefficient (3·triangles / wedges) measure local
+    * cohesion, the community/spam signal curation priors use.
+    *
+    * Algorithm: degree-ordered edge orientation (Schank & Wagner, WEA'05
+    * "Finding, Counting and Listing all Triangles in Large Graphs" —
+    * public methodology): orient every edge from its lower-(degree, id)
+    * endpoint to the higher, then count length-2 forward paths closed by a
+    * forward edge. The orientation is acyclic, so each triangle matches
+    * EXACTLY once, and forward out-degrees are bounded by O(√m) — the
+    * property that makes the path join affordable on power-law graphs
+    * where a naive wedge join explodes on hubs.
+    *
+    * 100 TB posture: one degree aggregate + two equi-joins on node keys —
+    * every step shuffles on graph keys, nothing is collected except the
+    * four report scalars. All counts are exact integers; the clustering
+    * coefficient is one IEEE division, so the report hash-matches
+    * cross-engine.
+    *
+    * @param edges (a: long, b: long) with a < b, distinct (a simple graph)
+    * @return one row: n_nodes, n_edges, n_wedges, n_triangles, clustering
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count()
+    val nEdges = e.count()
+    // coalesce: an empty graph (possible at tiny SF) sums to null
+    val nWedges = deg.agg(coalesce(sum(expr("dg * (dg - 1) DIV 2")), lit(0L)))
+      .head().getLong(0)
+    val da = deg.select(col("u").as("a"), col("dg").as("da"))
+    val db = deg.select(col("u").as("b"), col("dg").as("db"))
+    val fwdCond = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val fwd = e.join(da, "a").join(db, "b")
+      .select(when(fwdCond, col("a")).otherwise(col("b")).as("s"),
+        when(fwdCond, col("b")).otherwise(col("a")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = fwd.select(col("s").as("x"), col("t").as("y"))
+    val e2 = fwd.select(col("s").as("y"), col("t").as("z"))
+    val e3 = fwd.select(col("s").as("x"), col("t").as("z"))
+    val nTri = e1.join(e2, "y").join(e3, Seq("x", "z")).count()
+    e.unpersist(false); deg.unpersist(false); fwd.unpersist(false)
+    spark.range(1).select(
+      lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+      lit(nWedges).as("n_wedges"), lit(nTri).as("n_triangles"),
+      (if (nWedges > 0)
+        lit(BigDecimal(3.0 * nTri / nWedges)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else lit(null).cast("double")).as("clustering"))
+  }
 }

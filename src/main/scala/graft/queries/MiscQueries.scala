@@ -1464,7 +1464,68 @@ object MiscQueries {
           .orderBy("node")
       },
       oracle = Some(pagerankOracle),
-      bench = true)
+      bench = true),
+
+    // Triangle census + global clustering coefficient over the user
+    // co-occurrence graph (users sharing an (event_type, minute) activity
+    // bucket — minute granularity keeps bucket occupancy small, so the
+    // pair explode is bounded and the graph stays sparse; hour buckets
+    // measured near-complete at sf0.1, which is a density artifact of the
+    // fixture, not a graph signal). Degree-ordered edge
+    // orientation (Schank–Wagner) makes each triangle match exactly once
+    // and caps forward out-degree at O(√m) — the hub-safe plan a naive
+    // wedge join lacks. All counts exact integers; one IEEE division
+    // closes the coefficient.
+    "graph_triangles" -> QueryDef(
+      fn = (s, d) => {
+        val b = t(s, d, "events")
+          .select(col("event_type"),
+            graft.sources.Tables.eventMinute.as("mn"),
+            col("user_id"))
+          .distinct()
+        val edges = b.as("x").join(b.as("y"),
+            col("x.event_type") === col("y.event_type") &&
+              col("x.mn") === col("y.mn") &&
+              col("x.user_id") < col("y.user_id"))
+          .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+          .distinct()
+        graft.operators.Graph.triangleStats(edges)
+      },
+      oracle = Some("""
+        WITH bk AS (
+          SELECT DISTINCT event_type,
+                 epoch_us(ts) // 60000000 AS mn, user_id
+          FROM events),
+        e AS (
+          SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          FROM bk x JOIN bk y
+            ON x.event_type = y.event_type AND x.mn = y.mn
+               AND x.user_id < y.user_id),
+        deg AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS dg
+          FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+          GROUP BY u),
+        f AS (
+          SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS s,
+                 CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS t
+          FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS t3
+          FROM f e1 JOIN f e2 ON e2.s = e1.t
+                    JOIN f e3 ON e3.s = e1.s AND e3.t = e2.t),
+        agg AS (
+          SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+                 CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                 CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS BIGINT)
+                   AS n_wedges,
+                 (SELECT t3 FROM tri) AS n_triangles)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges > 0
+                    THEN round(3.0 * n_triangles / n_wedges, 6) END
+                 AS clustering
+        FROM agg"""))
   )
 
   /** Oracle iterations generated from the same constants as the engine

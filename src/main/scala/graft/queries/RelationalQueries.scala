@@ -304,32 +304,14 @@ object RelationalQueries {
     // aggregate; output is one row.
     "events_ab_test" -> QueryDef(
       fn = (s, d) => {
+        import graft.operators.Experiment
         val users = t(s, d, "events")
           .groupBy("user_id")
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("np"))
           .select(when(col("np") > 12, 1L).otherwise(0L).as("cv"),
-            (conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
-              .cast("long") % 2).as("grp"))
-        val c = users.agg(
-          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("grp") === 0, col("cv")).otherwise(0L)).as("conv_a"),
-          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
-          sum(when(col("grp") === 1, col("cv")).otherwise(0L)).as("conv_b"))
-        val tot = col("conv_a") + col("conv_b")
-        val n = col("n_a") + col("n_b")
-        val degenerate = col("n_a") === 0 || col("n_b") === 0 ||
-          tot === 0 || tot === n
-        val pa = col("conv_a").cast("double") / col("n_a")
-        val pb = col("conv_b").cast("double") / col("n_b")
-        val pp = tot.cast("double") / n
-        c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-          round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
-          when(degenerate, lit(null).cast("double"))
-            .otherwise(round((pa - pb) /
-              sqrt(pp * (lit(1.0) - pp) *
-                (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
-            .as("z"))
+            Experiment.cohort(col("user_id")).as("grp"))
+        Experiment.zReadout(Experiment.cohortCounts(users))
       },
       oracle = Some("""
         WITH u AS (

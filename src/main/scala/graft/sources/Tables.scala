@@ -32,6 +32,9 @@ object Tables {
     * whole-stage codegen, no timezone re-binding per row. */
   def eventUs: Column = unix_micros(col("ts").cast("timestamp"))
 
+  /** Event time bucketed to whole minutes (epoch-minute number). */
+  def eventMinute: Column = expr("unix_micros(cast(ts AS timestamp)) DIV 60000000")
+
   /** Event time bucketed to whole hours (epoch-hour number). */
   def eventHour: Column = expr("unix_micros(cast(ts AS timestamp)) DIV 3600000000")
 

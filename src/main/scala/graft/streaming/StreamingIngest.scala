@@ -919,6 +919,60 @@ object StreamingIngest {
     }.select(col("key_id"), col("est"))
   }
 
+  /** Streaming experiment counters — continuously-maintained A/B state:
+    * every micro-batch writes its per-user purchase-count CONTRIBUTION
+    * (user_id, cohort, np) into a TAG PARTITION of `db.table_ab_users`.
+    * Per-user counts are additive, so like the CMS grids a retried batch
+    * id overwrites its own partition instead of double-counting; the
+    * conversion verdict (np > threshold) is resolved at READ time, after
+    * summing each user across all tags — a user pushed over the threshold
+    * by a later batch converts exactly once, which per-batch conversion
+    * flags could not express. Standing state is O(users per batch) rows
+    * per tag, never event volume; [[abTestReadout]] answers the z-test
+    * off it without rescanning ingested events. */
+  def toAbTestSink(
+      events: DataFrame, db: String, table: String,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          foldAbBatch(batch, db, table,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+    }
+
+  /** One micro-batch A/B counter fold (the foreachBatch body of
+    * [[toAbTestSink]], factored out for direct retry tests). Idempotent
+    * for a given tag. */
+  private[graft] def foldAbBatch(
+      batch: DataFrame, db: String, table: String,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    val per = batch.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .select(col("user_id"),
+        graft.operators.Experiment.cohort(col("user_id")).as("grp"),
+        col("np"))
+      .withColumn(tagColumn, lit(tag))
+    writeTagPartition(per, s"$db.${table}_ab_users", tagColumn)
+  }
+
+  /** Experiment readout off the standing counters: per-user totals across
+    * tags → heavy-buyer conversion (np > threshold) → the SAME pooled
+    * two-proportion z as the batch `events_ab_test` query (shared
+    * [[graft.operators.Experiment]] implementation — the surfaces cannot
+    * drift). */
+  def abTestReadout(
+      spark: SparkSession, db: String, table: String,
+      threshold: Long = 12): DataFrame = {
+    import graft.operators.Experiment
+    val users = spark.table(s"$db.${table}_ab_users")
+      .groupBy("user_id", "grp").agg(sum(col("np")).as("np"))
+      .select(when(col("np") > threshold, 1L).otherwise(0L).as("cv"),
+        col("grp"))
+    Experiment.zReadout(Experiment.cohortCounts(users))
+  }
+
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)

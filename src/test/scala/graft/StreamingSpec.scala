@@ -873,4 +873,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(est(999999999L) >= 0)
     spark.sql("DROP DATABASE cms_sink CASCADE")
   }
+
+  test("A/B sink accumulates per-user counters; readout equals the batch z-test") {
+    val dir = Files.createTempDirectory("graft-stream-ab").toString
+    staticEvents.where(col("event_id") < 400).write.mode("overwrite")
+      .parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ab_sink")
+    spark.sql("DROP TABLE IF EXISTS ab_sink.events_ab_users")
+
+    val stream = spark.readStream.schema(staticEvents.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toAbTestSink(stream, "ab_sink", "events").start()
+    try {
+      q.processAllAvailable()
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("ab_sink.events_ab_users")
+
+    // conversion resolves at READ time from summed per-user counters: the
+    // streamed readout must equal the one-shot batch readout over the
+    // same events — including users whose threshold crossing spans the
+    // two micro-batches
+    import graft.operators.Experiment
+    def row(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    val streamed = row(
+      StreamingIngest.abTestReadout(spark, "ab_sink", "events"))
+    val direct = row {
+      val users = staticEvents.groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+        .select(when(col("np") > 12, 1L).otherwise(0L).as("cv"),
+          Experiment.cohort(col("user_id")).as("grp"))
+      Experiment.zReadout(Experiment.cohortCounts(users))
+    }
+    assert(streamed == direct,
+      s"streamed readout $streamed != batch readout $direct")
+
+    // a RETRIED batch tag overwrites its own partition — no double count
+    StreamingIngest.foldAbBatch(
+      staticEvents.where(col("event_id") >= 400), "ab_sink", "events",
+      tag = "stream_b00001")
+    spark.catalog.refreshTable("ab_sink.events_ab_users")
+    val afterRetry = row(
+      StreamingIngest.abTestReadout(spark, "ab_sink", "events"))
+    assert(afterRetry == direct, "retried tag double-counted its batch")
+    spark.sql("DROP DATABASE ab_sink CASCADE")
+  }
 }
