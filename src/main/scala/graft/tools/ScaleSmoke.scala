@@ -123,6 +123,7 @@ object ScaleSmoke {
     phashSection(spark, copies)
     topkSection(spark, tmp)
     bpeSection(spark, tmp, copies)
+    triangleSection(spark)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
@@ -161,6 +162,50 @@ object ScaleSmoke {
     // corpus-linear growth (the corpus scan itself is the only Nx term)
     require(sN / s1 < copies * 0.6,
       f"BPE train time grew ${sN / s1}%.1fx under ${copies}x replication")
+  }
+
+  /** The hub-safety claim behind graph_triangles: degree-ordered
+    * orientation bounds EVERY node's forward out-degree by √(2m) (Schank &
+    * Wagner) — the property that makes the wedge-path join affordable on
+    * hub-heavy graphs, where a naive undirected wedge join does Σ deg²
+    * work. Asserted on the sf0.1 co-occurrence graph: the theoretical cap
+    * holds exactly, and the oriented join does a fraction of the naive
+    * wedge work. */
+  private def triangleSection(spark: SparkSession): Unit = {
+    val b = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(col("event_type"), Tables.eventMinute.as("mn"), col("user_id"))
+      .distinct()
+    val e = b.as("x").join(b.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.mn") === col("y.mn") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val da = deg.select(col("u").as("a"), col("dg").as("da"))
+    val db = deg.select(col("u").as("b"), col("dg").as("db"))
+    val fwdCond = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val fwdDeg = e.join(da, "a").join(db, "b")
+      .select(when(fwdCond, col("a")).otherwise(col("b")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("dout"))
+    val maxFwd = fwdDeg.agg(max(col("dout"))).head().getLong(0)
+    val maxRaw = deg.agg(max(col("dg"))).head().getLong(0)
+    val naiveWork = deg.agg(sum(col("dg") * col("dg"))).head().getLong(0)
+    val orientedWork = fwdDeg.agg(sum(col("dout") * col("dout"))).head().getLong(0)
+    e.unpersist(false); deg.unpersist(false)
+    val cap = math.ceil(math.sqrt(2.0 * m)).toLong
+    println(f"[scale] triangles m=$m maxdeg=$maxRaw maxfwd=$maxFwd " +
+      f"cap=${cap} wedge-work naive=$naiveWork oriented=$orientedWork " +
+      f"(x${naiveWork.toDouble / orientedWork}%.1f saved)")
+    require(maxFwd <= cap,
+      s"forward out-degree $maxFwd exceeds the sqrt(2m)=$cap Schank-Wagner cap")
+    require(orientedWork < naiveWork,
+      "orientation did not reduce wedge-path work")
   }
 
   /** Bloom join pruning at scale: the bit table self-sizes with the keyset

@@ -144,6 +144,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 0, s"corpus_pmi executes $n Generate(s) past its caches:\n$p")
   }
 
+  test("sample_dsir tokenizes the corpus exactly once (shared persisted scan)") {
+    // The token explode feeds the target model, the raw model, AND the
+    // scoring pass; all three must read the ONE persisted tokenized
+    // relation. Same pin as corpus_pmi: the returned plan reads
+    // InMemoryTableScans and executes no Generate of its own.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def gens(p: SparkPlan): Int = {
+      val self = p match { case _: GenerateExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(gens).sum
+    }
+    val p = plans("sample_dsir")
+    assert(p.contains("InMemoryTableScan"),
+      s"sample_dsir does not read its cached token relation:\n$p")
+    val n = gens(dfs("sample_dsir").queryExecution.executedPlan)
+    assert(n == 0, s"sample_dsir executes $n Generate(s) past its cache:\n$p")
+  }
+
   test("every forced broadcast in the registry is bounded or declared") {
     // Forced broadcasts are where a plan OOMs at scale: a hint overrides
     // AQE's size check, so every `broadcast(...)` in the registry must be
