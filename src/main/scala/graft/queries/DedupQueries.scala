@@ -134,6 +134,40 @@ object DedupQueries {
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
+    // Per-source duplication data card: which domains/feeds generate the
+    // copies — the triage view a crawl operator reads before tuning
+    // source-level dedup or crawl frequency. One fingerprint groupBy per
+    // (source, fp) then a source rollup; dup_rate = 1 − unique/docs as a
+    // single IEEE division. Narrow relations only (source, fp) — the
+    // text is hashed scan-side and never shuffled.
+    "dedup_rate_by_source" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "documents")
+          .select(col("source"), TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_unique"),
+            sum(col("c") - 1).as("n_dup_copies"))
+          .select(col("source"), col("n_docs"), col("n_unique"),
+            col("n_dup_copies"),
+            round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6)
+              .as("dup_rate"))
+          .orderBy("source"),
+      oracle = Some("""
+        WITH fps AS (
+          SELECT source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                 count(*) AS c
+          FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(c - 1) AS BIGINT) AS n_dup_copies,
+               round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
+                 AS dup_rate
+        FROM fps GROUP BY source ORDER BY source""")),
+
     // Incremental exact dedup, Bloom-accelerated: delta docs (ids ending
     // in 0) that are new vs the history (everything else) by canonical
     // fingerprint. The Bloom filter splits the delta scan-side — misses

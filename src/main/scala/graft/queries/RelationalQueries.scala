@@ -345,6 +345,85 @@ object RelationalQueries {
         FROM c"""))
       ,
 
+    // Windowed funnel conversion: step B counts only within 1 hour of the
+    // step-A anchor (first view / first click) — the bounded-window form
+    // every real conversion funnel uses (unbounded "ever converted"
+    // overstates attribution). Same single-scan shape as
+    // events_time_to_convert: per-user window anchors + one co-partitioned
+    // conditional aggregate + a 2-element explode; rates close in one IEEE
+    // division per step.
+    "events_funnel_windowed" -> QueryDef(
+      fn = (s, d) => {
+        val windowUs = 3600000000L // 1 hour
+        val ev = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"), col("event_type"))
+        val w = Window.partitionBy("user_id")
+        val anchored = ev
+          .withColumn("ta1",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("ta2",
+            min(when(col("event_type") === "click", col("us"))).over(w))
+        val perUser = anchored.groupBy("user_id").agg(
+          min(col("ta1")).as("ta1"),
+          min(col("ta2")).as("ta2"),
+          min(when(col("event_type") === "click" &&
+            col("us") > col("ta1") &&
+            col("us") <= col("ta1") + windowUs, col("us"))).as("tb1"),
+          min(when(col("event_type") === "purchase" &&
+            col("us") > col("ta2") &&
+            col("us") <= col("ta2") + windowUs, col("us"))).as("tb2"))
+        perUser
+          .select(explode(array(
+            struct(lit("view->click").as("step"),
+              when(col("ta1").isNotNull, 1L).otherwise(0L).as("anc"),
+              when(col("tb1").isNotNull, 1L).otherwise(0L).as("cv")),
+            struct(lit("click->purchase").as("step"),
+              when(col("ta2").isNotNull, 1L).otherwise(0L).as("anc"),
+              when(col("tb2").isNotNull, 1L).otherwise(0L).as("cv"))))
+            .as("st"))
+          .groupBy(col("st.step").as("step"))
+          .agg(sum(col("st.anc")).as("n_anchor"),
+            sum(col("st.cv")).as("n_converted"))
+          .select(col("step"), col("n_anchor"), col("n_converted"),
+            when(col("n_anchor") > 0,
+              round(col("n_converted").cast("double") / col("n_anchor"), 6))
+              .otherwise(lit(null).cast("double")).as("rate"))
+          .orderBy("step")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        anch AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN us END) AS ta1,
+                 min(CASE WHEN event_type = 'click' THEN us END) AS ta2
+          FROM ev GROUP BY user_id),
+        per AS (
+          SELECT a.user_id, a.ta1, a.ta2,
+                 min(CASE WHEN e.event_type = 'click' AND e.us > a.ta1
+                          AND e.us <= a.ta1 + 3600000000 THEN e.us END) AS tb1,
+                 min(CASE WHEN e.event_type = 'purchase' AND e.us > a.ta2
+                          AND e.us <= a.ta2 + 3600000000 THEN e.us END) AS tb2
+          FROM anch a JOIN ev e USING (user_id)
+          GROUP BY a.user_id, a.ta1, a.ta2),
+        steps AS (
+          SELECT 'view->click' AS step,
+                 CASE WHEN ta1 IS NOT NULL THEN 1 ELSE 0 END AS anc,
+                 CASE WHEN tb1 IS NOT NULL THEN 1 ELSE 0 END AS cv
+          FROM per
+          UNION ALL
+          SELECT 'click->purchase' AS step,
+                 CASE WHEN ta2 IS NOT NULL THEN 1 ELSE 0 END AS anc,
+                 CASE WHEN tb2 IS NOT NULL THEN 1 ELSE 0 END AS cv
+          FROM per)
+        SELECT step,
+               CAST(sum(anc) AS BIGINT) AS n_anchor,
+               CAST(sum(cv) AS BIGINT) AS n_converted,
+               CASE WHEN sum(anc) > 0
+                    THEN round(CAST(sum(cv) AS DOUBLE)
+                               / CAST(sum(anc) AS BIGINT), 6) END AS rate
+        FROM steps GROUP BY step ORDER BY step""")),
+
     // CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13 —
     // "Improving the Sensitivity of Online Controlled Experiments"): the
     // standard pre-experiment-covariate adjustment every experimentation

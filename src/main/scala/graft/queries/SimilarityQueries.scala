@@ -638,6 +638,17 @@ object SimilarityQueries {
       fn = (s, d) => graft.sim.Pca.varianceRatio(t(s, d, "embeddings")),
       oracle = Some(graft.sim.Pca.varianceRatioOracleSql())),
 
+    // All-but-the-top correction readout (Mu & Viswanath ICLR'18): the
+    // top-20 vectors most dominated by the trained common direction —
+    // projection vs post-removal residual norm. The before/after view an
+    // embedding-quality pass logs when applying isotropy correction;
+    // shares the oracle-replayed training chain with emb_top_pc /
+    // emb_pca_variance_ratio, so all three score the identical
+    // eigenvector.
+    "emb_abtt_residual" -> QueryDef(
+      fn = (s, d) => graft.sim.Pca.abttResidual(t(s, d, "embeddings")),
+      oracle = Some(graft.sim.Pca.abttResidualOracleSql())),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)

@@ -125,6 +125,51 @@ object Pca {
         FROM v e, mu m, u$iters u)
       SELECT vec_id, pc1_proj FROM proj ORDER BY vec_id"""
 
+  /** All-but-the-top correction readout (Mu & Viswanath, ICLR'18 "All-
+    * but-the-Top: Simple and Effective Postprocessing for Word
+    * Representations" — public methodology): embedding spaces concentrate
+    * mass on a few common directions; removing the top component(s)
+    * restores isotropy and improves similarity tasks. This reports the
+    * top-k vectors MOST dominated by the common direction — projection
+    * s = (v−µ)·u against what survives removal, the residual norm
+    * √(|v−µ|² − s²) — the before/after view of the correction. One scan;
+    * every term derives from the quantized µ/u via fixed-order dot
+    * products, so the rounded output hash-matches the oracle replay. */
+  def abttResidual(emb: DataFrame, iters: Int = 5, k: Int = 20,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val (mu, u) = trainTopComponent(emb, iters, embCol)
+    val muDotU = mu.zip(u).map { case (a, b) => a * b }.sum
+    val mu2 = mu.map(x => x * x).sum
+    val v = col(embCol).cast("array<double>")
+    val s = VectorOps.dot(v, lit(u)) - lit(muDotU)
+    val c2 = VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, lit(mu)) + lit(mu2)
+    emb.select(col(idCol),
+        round(s, Scale).as("pc1_proj"),
+        round(sqrt(greatest(c2 - s * s, lit(0.0))), Scale).as("resid_norm"))
+      .orderBy(abs(col("pc1_proj")).desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[abttResidual]]: the shared training replay plus
+    * the same fixed-order projection/residual arithmetic. */
+  def abttResidualOracleSql(iters: Int = 5, dim: Int = 64, k: Int = 20): String =
+    s"""
+      WITH ${oracleCtes(iters, dim)},
+      r AS (
+        SELECT e.id AS vec_id,
+               round(list_dot_product(e.v, u.uv)
+                     - list_dot_product(m.mv, u.uv), ${Scale}) AS pc1_proj,
+               round(sqrt(greatest(
+                 (list_dot_product(e.v, e.v)
+                    - 2.0 * list_dot_product(e.v, m.mv)
+                    + list_dot_product(m.mv, m.mv))
+                 - (list_dot_product(e.v, u.uv) - list_dot_product(m.mv, u.uv))
+                   * (list_dot_product(e.v, u.uv) - list_dot_product(m.mv, u.uv)),
+                 0.0)), ${Scale}) AS resid_norm
+        FROM v e, mu m, u$iters u)
+      SELECT vec_id, pc1_proj, resid_norm FROM r
+      ORDER BY abs(pc1_proj) DESC, vec_id LIMIT $k"""
+
   /** Explained-variance ratio of the trained top component:
     * Var(s)/Σ_j Var(v_j) with s = (v−µ)·u, total variance via the
     * identity Σ_j Var(v_j) = E[|v|²] − |µ|². Moment scalars are pulled
