@@ -85,7 +85,125 @@ object TextQueries {
     sql.replace("$CAT$", "||").replace("$PIPE$", "|")
   }
 
+  /** DuckDB replay of LogReg.trainOnFeatures — the gradient rounds
+    * unrolled as CTEs from the same feature SQL generators (tokSql /
+    * hitsSql) the quality oracles use, so neither the features nor the
+    * arithmetic can drift from the Spark side. */
+  private def lrZSql = "w.b + w.wl * x2 + w.ws * x3"
+
+  /** The LR training chain as a WITH-body prefix ending in `w$iters` —
+    * shared by the train and score oracles so neither the features nor
+    * the replayed weights can drift between them. */
+  private def lrRoundsCtes(iters: Int): String = {
+    val x3 = s"CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE) / $tokSql"
+    val zs = lrZSql
+    val rounds = (1 to iters).map { r =>
+      s"""
+        g$r AS (
+          SELECT sum(CAST(round((y - 1.0 / (1.0 + exp(-($zs)))) * 1.0, 6)
+                          AS DECIMAL(18,6))) AS gb,
+                 sum(CAST(round((y - 1.0 / (1.0 + exp(-($zs)))) * x2, 6)
+                          AS DECIMAL(18,6))) AS gl,
+                 sum(CAST(round((y - 1.0 / (1.0 + exp(-($zs)))) * x3, 6)
+                          AS DECIMAL(18,6))) AS gs
+          FROM f, w${r - 1} w),
+        w$r AS (
+          SELECT round(w.b + CAST(g.gb AS DOUBLE) / n.n, 6) AS b,
+                 round(w.wl + CAST(g.gl AS DOUBLE) / n.n, 6) AS wl,
+                 round(w.ws + CAST(g.gs AS DOUBLE) / n.n, 6) AS ws
+          FROM w${r - 1} w, g$r g, n)"""
+    }.mkString(",")
+    s"""f AS (
+          SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) AS x2,
+                 $x3 AS x3
+          FROM documents),
+        n AS (SELECT count(*) AS n FROM f),
+        w0 AS (SELECT 0.0 AS b, 0.0 AS wl, 0.0 AS ws),$rounds"""
+  }
+
+  private def lrOracleSql(iters: Int): String =
+    s"""
+        WITH ${lrRoundsCtes(iters)},
+        acc AS (
+          SELECT count(*) AS n_docs,
+                 sum(CASE WHEN (($lrZSql) > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct
+          FROM f, w$iters w)
+        SELECT w.b AS w_bias, w.wl AS w_len, w.ws AS w_stop,
+               CAST(a.n_docs AS BIGINT) AS n_docs,
+               CAST(a.n_correct AS BIGINT) AS n_correct,
+               round(CAST(a.n_correct AS DOUBLE) / a.n_docs, 6) AS train_acc
+        FROM w$iters w, acc a"""
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Quality-classifier training INSIDE the engine (the GPT-3-style
+    // curation pattern: a linear model over cheap text features, trained
+    // once, scored across the whole crawl): 5 rounds of batch gradient
+    // descent on the log-loss, label = the doc's language tag, features =
+    // the quality-score components. Each round is ONE aggregate over the
+    // persisted feature relation (the gradient is 3 scalars); weights are
+    // driver-held and 6dp-quantized per round; per-row gradient terms
+    // round into DECIMAL — the repo's trainer determinism contract, so
+    // the learned weights AND the training accuracy hash-match the
+    // oracle's unrolled replay. The accuracy verdict is z > 0 (no
+    // transcendental in the decision).
+    "quality_lr_train" -> QueryDef(
+      fn = (s, d) => {
+        import graft.text.LogReg
+        val f = LogReg.features(t(s, d, "documents")).persist()
+        val w = LogReg.trainOnFeatures(f, iters = 5)
+        val out = LogReg.accuracyAgg(f, w)
+          .select(lit(w(0)).as("w_bias"), lit(w(1)).as("w_len"),
+            lit(w(2)).as("w_stop"), col("n_docs"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n_docs"), 6)
+              .as("train_acc"))
+          .persist()
+        out.count() // materialize while the feature cache is live
+        f.unpersist(false)
+        out
+      },
+      oracle = Some(lrOracleSql(5))),
+
+    // The scoring pass of that classifier — the disagreement audit: the
+    // top-20 docs NOT labeled 'en' that the trained model scores most
+    // English-like (mislabeled docs, code-switching, or label noise; the
+    // triage list a curation pass reviews before trusting either signal).
+    // Ranking is by the linear score z (monotone in σ — no transcendental
+    // anywhere in the scored path); training replays through the same
+    // shared CTE chain.
+    "quality_lr_score" -> QueryDef(
+      fn = (s, d) => {
+        import graft.text.LogReg
+        val docs = t(s, d, "documents")
+        val f = LogReg.features(docs).persist()
+        val w = LogReg.trainOnFeatures(f, iters = 5)
+        val out = docs
+          .where(col("lang") =!= "en")
+          .select(col("doc_id"), col("lang"),
+            round(lit(w(0)) +
+              lit(w(1)) * least(TextAnalysis.tokenCount(col("text"))
+                .cast("double") / lit(100.0), lit(1.0)) +
+              lit(w(2)) * TextAnalysis.stopwordRatio(col("text")), 6)
+              .as("en_score"))
+          .orderBy(col("en_score").desc, col("doc_id")).limit(20)
+          .persist()
+        out.count() // materialize while the feature cache is live
+        f.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH ${lrRoundsCtes(5)},
+        sc AS (
+          SELECT doc_id, lang,
+                 round(w.b + w.wl * least(CAST($tokSql AS DOUBLE) / 100.0, 1.0)
+                       + w.ws * (CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)} AS DOUBLE)
+                                 / $tokSql), 6) AS en_score
+          FROM documents, w5 w
+          WHERE lang <> 'en')
+        SELECT doc_id, lang, en_score FROM sc
+        ORDER BY en_score DESC, doc_id LIMIT 20""")),
 
     // Token counting: \S+ runs + alpha chars + mean token length.
     // Character-level Shannon entropy — the CCNet-family quality signal
