@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
@@ -167,6 +168,53 @@ object DedupQueries {
                round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6)
                  AS dup_rate
         FROM fps GROUP BY source ORDER BY source""")),
+
+    // Corpus mixture-diversity data card: Shannon entropy and Simpson
+    // index of the language and source mixtures — the two numbers a data
+    // card quotes for "how concentrated is this corpus" (a crawl
+    // dominated by one domain scores near 0 diversity however many rows
+    // it has). Group-bounded aggregates only; per-group entropy terms
+    // round to 6dp into DECIMAL so the sums are order-independent;
+    // identical ln()/division structure on both engines.
+    "corpus_diversity" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        def dim(c: String) = {
+          val g = docs.groupBy(col(c).as("g")).agg(count(lit(1)).as("cnt"))
+          val n = docs.count()
+          val p = col("cnt").cast("double") / lit(n.toDouble)
+          g.agg(count(lit(1)).as("n_groups"),
+              sum(round(p * log(p), 6).cast(DecimalType(18, 6))).as("hsum"),
+              sum(round(p * p, 6).cast(DecimalType(18, 6))).as("ssum"))
+            .select(lit(c).as("dim"), col("n_groups"),
+              round(-col("hsum").cast("double"), 6).as("shannon"),
+              round(lit(1.0) - col("ssum").cast("double"), 6).as("simpson"))
+        }
+        dim("lang").unionByName(dim("source")).orderBy("dim")
+      },
+      oracle = Some("""
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        gl AS (SELECT lang AS g, count(*) AS cnt FROM documents GROUP BY lang),
+        gs AS (SELECT source AS g, count(*) AS cnt FROM documents GROUP BY source),
+        dl AS (
+          SELECT 'lang' AS dim, CAST(count(*) AS BIGINT) AS n_groups,
+                 round(-CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / n.n)
+                   * ln(CAST(cnt AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 6) AS shannon,
+                 round(1.0 - CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / n.n)
+                   * (CAST(cnt AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 6) AS simpson
+          FROM gl, n GROUP BY n.n),
+        ds AS (
+          SELECT 'source' AS dim, CAST(count(*) AS BIGINT) AS n_groups,
+                 round(-CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / n.n)
+                   * ln(CAST(cnt AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 6) AS shannon,
+                 round(1.0 - CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / n.n)
+                   * (CAST(cnt AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)))
+                   AS DOUBLE), 6) AS simpson
+          FROM gs, n GROUP BY n.n)
+        SELECT * FROM dl UNION ALL SELECT * FROM ds ORDER BY dim""")),
 
     // Incremental exact dedup, Bloom-accelerated: delta docs (ids ending
     // in 0) that are new vs the history (everything else) by canonical

@@ -649,6 +649,23 @@ object SimilarityQueries {
       fn = (s, d) => graft.sim.Pca.abttResidual(t(s, d, "embeddings")),
       oracle = Some(graft.sim.Pca.abttResidualOracleSql())),
 
+    // Greedy k-center coreset selection (Gonzalez'85 farthest-point;
+    // Sener & Savarese ICLR'18 for training-set selection): 8 maximally
+    // diverse exemplars with their covering radii — the diversity
+    // counterpart of prototypicality pruning (which drops the MOST
+    // central points, this keeps the most spread ones). Driver-held
+    // center set (k × dim), one scan per round, rounded argmax with id
+    // tie-break; the oracle unrolls the same farthest-point rounds.
+    "sample_kcenter" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        graft.sim.KCenter.select(t(s, d, "embeddings"), k = 8)
+          .map(c => (c.step.toLong, c.id, c.coverage))
+          .toDF("step", "vec_id", "coverage")
+          .orderBy("step")
+      },
+      oracle = Some(graft.sim.KCenter.selectOracleSql(8))),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)

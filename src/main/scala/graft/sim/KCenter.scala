@@ -1,0 +1,90 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Greedy k-center coreset selection (Gonzalez'85 farthest-point
+  * traversal; Sener & Savarese ICLR'18 applied it to training-set
+  * selection — public methodology): pick the point farthest from the
+  * current center set, k−1 times from a deterministic seed. The selected
+  * set 2-approximates the optimal covering radius — the "maximally
+  * diverse exemplars" primitive for coreset building, eval-set seeding,
+  * and annotation budgeting.
+  *
+  * 100 TB posture: the center set lives on the driver (k × dim doubles —
+  * the trainer pattern shared with k-means/PCA); each round is ONE scan
+  * computing min-distance-to-centers scan-side (no joins, no shuffles
+  * beyond the 1-row argmax TakeOrdered). Rounds are fixed, distances
+  * derive from fixed-order dot products, and the argmax rounds to 6dp
+  * with a vec_id tie-break — bit-reproducible, SQL-replayable.
+  */
+object KCenter {
+  /** One selected center: 1-based step, its id, and the covering radius²
+    * (its min distance² to the previously selected set; null for the
+    * seed). */
+  final case class Center(step: Int, id: Long, coverage: Option[Double])
+
+  private def dist2(v: org.apache.spark.sql.Column, c: Array[Double]) = {
+    val c2 = c.map(x => x * x).sum
+    VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, lit(c)) + lit(c2)
+  }
+
+  /** Select k centers from (vec_id, embedding). Seed = the minimum
+    * vec_id (trivially deterministic); each later round takes the argmax
+    * of round(min-dist², 6) with ascending-id tie-break. */
+  def select(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): Seq[Center] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = emb.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("v"))
+    def vecOf(id: Long): Array[Double] =
+      v.where(col("id") === id).head().getSeq[Double](1).toArray
+    val seedId = v.agg(min(col("id"))).head().getLong(0)
+    var centers = Vector(Center(1, seedId, None))
+    var centerVecs = Vector(vecOf(seedId))
+    for (step <- 2 to k) {
+      val dists = centerVecs.map(c => dist2(col("v"), c.toArray))
+      val md = round(if (dists.size == 1) dists.head else least(dists: _*), 6)
+      val top = v.select(col("id"), md.as("md"))
+        .orderBy(col("md").desc, col("id")).limit(1).head()
+      val (id, cov) = (top.getLong(0), top.getDouble(1))
+      centers :+= Center(step, id, Some(cov))
+      centerVecs :+= vecOf(id)
+    }
+    centers
+  }
+
+  /** DuckDB oracle replaying [[select]] end-to-end: the seed pick and the
+    * k−1 unrolled farthest-point rounds, same fixed-order distance
+    * arithmetic and the same rounded argmax. */
+  def selectOracleSql(k: Int): String = {
+    def d(cj: String) =
+      s"""list_dot_product(v.v, v.v)
+           - 2.0 * list_dot_product(v.v, $cj.v)
+           + list_dot_product($cj.v, $cj.v)"""
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(j => s"c$j")
+      val dists = prev.map(d)
+      val md = if (dists.size == 1) dists.head
+        else s"least(${dists.mkString(", ")})"
+      s"""
+      m$r AS (
+        SELECT v.id, v.v, round($md, 6) AS md
+        FROM v, ${prev.mkString(", ")}),
+      c$r AS (SELECT id, v, md FROM m$r ORDER BY md DESC, id LIMIT 1)"""
+    }.mkString(",")
+    val steps = (1 to k).map { r =>
+      if (r == 1) "SELECT 1 AS step, id, CAST(NULL AS DOUBLE) AS coverage FROM c1"
+      else s"SELECT $r AS step, id, md AS coverage FROM c$r"
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c1 AS (SELECT id, v FROM v ORDER BY id LIMIT 1),$rounds
+      SELECT CAST(step AS BIGINT) AS step, id AS vec_id, coverage
+      FROM ($steps) ORDER BY step"""
+  }
+}
