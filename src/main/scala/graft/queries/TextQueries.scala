@@ -205,6 +205,61 @@ object TextQueries {
         SELECT doc_id, lang, en_score FROM sc
         ORDER BY en_score DESC, doc_id LIMIT 20""")),
 
+    // Gopher-style rule-gate report (Rae et al., arXiv:2112.11446 Table A1
+    // — public methodology): the classic hand-tuned quality rules as one
+    // per-rule failure census — word-count band, mean-word-length band,
+    // stopword presence, alphabetic-character ratio (thresholds adapted to
+    // the fixture's short synthetic docs; production swaps the constants).
+    // The report a curation pass reads to see WHICH rule does the cutting
+    // before composing them into a gate. One scan, a 4-struct explode per
+    // doc, group-bounded rollup; every predicate is integer or a fixed
+    // IEEE division both engines compute identically.
+    "quality_gopher_gate" -> QueryDef(
+      fn = (s, d) => {
+        val text = col("text")
+        val tc = TextAnalysis.tokenCount(text)
+        val mwl = TextAnalysis.avgTokenLen(text)
+        val ar = TextAnalysis.alphaCount(text).cast("double") / length(text)
+        val sw = TextAnalysis.wordHits(text, TextAnalysis.LangStopwords.head._2)
+        def rule(name: String, fail: org.apache.spark.sql.Column) =
+          struct(lit(name).as("rule"), when(fail, 1L).otherwise(0L).as("f"))
+        t(s, d, "documents")
+          .select(explode(array(
+            rule("word_count_min30", tc < 30),
+            rule("mean_word_len_4_5", mwl < 4.0 || mwl > 5.0),
+            rule("stopword_presence", sw < 1),
+            rule("alpha_ratio_082", ar < 0.82))).as("r"))
+          .groupBy(col("r.rule").as("rule"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("r.f")).as("n_fail"))
+          .select(col("rule"), col("n_docs"), col("n_fail"),
+            round(col("n_fail").cast("double") / col("n_docs"), 6)
+              .as("fail_rate"))
+          .orderBy("rule")
+      },
+      oracle = Some(s"""
+        WITH st AS (
+          SELECT $tokSql AS tc,
+                 CAST($alphaSql AS DOUBLE) / $tokSql AS mwl,
+                 CAST($alphaSql AS DOUBLE) / len(text) AS ar,
+                 ${hitsSql(TextAnalysis.LangStopwords.head._2)} AS sw
+          FROM documents),
+        r AS (
+          SELECT 'word_count_min30' AS rule,
+                 CASE WHEN tc < 30 THEN 1 ELSE 0 END AS f FROM st
+          UNION ALL
+          SELECT 'mean_word_len_4_5',
+                 CASE WHEN mwl < 4.0 OR mwl > 5.0 THEN 1 ELSE 0 END FROM st
+          UNION ALL
+          SELECT 'stopword_presence',
+                 CASE WHEN sw < 1 THEN 1 ELSE 0 END FROM st
+          UNION ALL
+          SELECT 'alpha_ratio_082',
+                 CASE WHEN ar < 0.82 THEN 1 ELSE 0 END FROM st)
+        SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(f) AS BIGINT) AS n_fail,
+               round(CAST(sum(f) AS DOUBLE) / count(*), 6) AS fail_rate
+        FROM r GROUP BY rule ORDER BY rule""")),
+
     // Token counting: \S+ runs + alpha chars + mean token length.
     // Character-level Shannon entropy — the CCNet-family quality signal
     // that catches what length/punctuation ratios miss: gibberish and
