@@ -180,9 +180,13 @@ object DedupQueries {
       fn = (s, d) => {
         val docs = t(s, d, "documents")
         def dim(c: String) = {
+          // n = Σcnt over the group counts (an unpartitioned window over a
+          // group-cardinality-bounded relation) — no second corpus scan
+          // and no driver-side count() per dimension.
           val g = docs.groupBy(col(c).as("g")).agg(count(lit(1)).as("cnt"))
-          val n = docs.count()
-          val p = col("cnt").cast("double") / lit(n.toDouble)
+            .withColumn("n", sum(col("cnt")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()))
+          val p = col("cnt").cast("double") / col("n").cast("double")
           g.agg(count(lit(1)).as("n_groups"),
               sum(round(p * log(p), 6).cast(DecimalType(18, 6))).as("hsum"),
               sum(round(p * p, 6).cast(DecimalType(18, 6))).as("ssum"))

@@ -276,8 +276,12 @@ object TextQueries {
             "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
             .as("ch"))
         val cnt = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-        val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        cnt.join(tot, "doc_id")
+        // n = Σc over the per-char counts — derived from the aggregate
+        // (distinct-chars-per-doc rows), so the character explode (the
+        // dominant cost) executes exactly once; no second scan, no join.
+        cnt
+          .withColumn("n", sum(col("c")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
           .select(col("doc_id"), col("n"),
             round((col("c") / col("n"))
               * log(col("c").cast("double") / col("n")), 6)

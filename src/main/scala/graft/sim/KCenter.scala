@@ -33,27 +33,29 @@ object KCenter {
 
   /** Select k centers from (vec_id, embedding). Seed = the minimum
     * vec_id (trivially deterministic); each later round takes the argmax
-    * of round(min-dist², 6) with ascending-id tie-break. */
+    * of round(min-dist², 6) with ascending-id tie-break. The relation is
+    * persisted for the k rounds and every TakeOrdered row carries the
+    * winning VECTOR alongside its id, so each round is exactly one job
+    * over the cache — no per-center point lookups. */
   def select(emb: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): Seq[Center] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = emb.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("v"))
-    def vecOf(id: Long): Array[Double] =
-      v.where(col("id") === id).head().getSeq[Double](1).toArray
-    val seedId = v.agg(min(col("id"))).head().getLong(0)
-    var centers = Vector(Center(1, seedId, None))
-    var centerVecs = Vector(vecOf(seedId))
-    for (step <- 2 to k) {
-      val dists = centerVecs.map(c => dist2(col("v"), c.toArray))
-      val md = round(if (dists.size == 1) dists.head else least(dists: _*), 6)
-      val top = v.select(col("id"), md.as("md"))
-        .orderBy(col("md").desc, col("id")).limit(1).head()
-      val (id, cov) = (top.getLong(0), top.getDouble(1))
-      centers :+= Center(step, id, Some(cov))
-      centerVecs :+= vecOf(id)
-    }
-    centers
+      col(embCol).cast("array<double>").as("v")).persist()
+    try {
+      val seed = v.orderBy(col("id")).limit(1).head()
+      var centers = Vector(Center(1, seed.getLong(0), None))
+      var centerVecs = Vector(seed.getSeq[Double](1).toArray)
+      for (step <- 2 to k) {
+        val dists = centerVecs.map(c => dist2(col("v"), c))
+        val md = round(if (dists.size == 1) dists.head else least(dists: _*), 6)
+        val top = v.select(col("id"), md.as("md"), col("v"))
+          .orderBy(col("md").desc, col("id")).limit(1).head()
+        centers :+= Center(step, top.getLong(0), Some(top.getDouble(1)))
+        centerVecs :+= top.getSeq[Double](2).toArray
+      }
+      centers
+    } finally v.unpersist()
   }
 
   /** DuckDB oracle replaying [[select]] end-to-end: the seed pick and the

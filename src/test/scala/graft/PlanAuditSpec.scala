@@ -144,6 +144,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 0, s"corpus_pmi executes $n Generate(s) past its caches:\n$p")
   }
 
+  test("text_entropy explodes the character stream exactly once") {
+    // Per-char explode is ~|text| x row volume — the dominant cost. The
+    // per-doc total n derives from a window over the per-char COUNTS
+    // (distinct-chars-per-doc rows), never a second explode: exactly one
+    // Generate in the executed tree.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def gens(p: SparkPlan): Int = {
+      val self = p match { case _: GenerateExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(gens).sum
+    }
+    plans("text_entropy") // force execution so AQE finalizes
+    val n = gens(dfs("text_entropy").queryExecution.executedPlan)
+    assert(n == 1, s"text_entropy executes $n Generate(s), expected exactly 1:\n${plans("text_entropy")}")
+  }
+
   test("sample_dsir tokenizes the corpus exactly once (shared persisted scan)") {
     // The token explode feeds the target model, the raw model, AND the
     // scoring pass; all three must read the ONE persisted tokenized
