@@ -554,6 +554,40 @@ object DedupQueries {
                                CAST(n_exact AS DOUBLE), 6) END AS recall
         FROM rep""")),
 
+    // Near-dup graph degree census: how many near-dup partners each doc
+    // in a verified MinHash pair has, histogrammed — the one-glance shape
+    // check on the duplicate graph (a fat tail = template families /
+    // boilerplate hubs where pair volume, CC depth, and keeper-choice
+    // cost concentrate; a healthy crawl is mostly degree 1-2). Docs with
+    // no near-dup partner are out of scope (both sides count only docs
+    // that appear in a pair). Cost: two group-bounded aggregates over the
+    // PAIR relation (tiny — candidates already banded+verified), with the
+    // pair pipeline persisted so its signature scan runs once across the
+    // two directional references.
+    "dedup_degree_hist" -> QueryDef(
+      fn = (s, d) => {
+        val pairs = Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8)
+          .select("doc_a", "doc_b").persist()
+        val out = pairs.select(col("doc_a").as("doc"))
+          .unionAll(pairs.select(col("doc_b").as("doc")))
+          .groupBy("doc").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+          .persist()
+        out.count() // materialize while the pair cache is live
+        pairs.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH ${minhashPairsCtes(0.8)},
+        ends AS (
+          SELECT doc_a AS doc FROM pairs
+          UNION ALL
+          SELECT doc_b FROM pairs),
+        deg AS (SELECT doc, count(*) AS degree FROM ends GROUP BY doc)
+        SELECT degree, count(*) AS n_docs
+        FROM deg GROUP BY degree ORDER BY degree""")),
+
     // Duplicate-cluster assignment: connected components over the verified
     // MinHash-LSH pairs — every doc in a near-dup pair labeled with the
     // smallest doc_id reachable through pair edges (its cluster's

@@ -1285,6 +1285,71 @@ object MiscQueries {
         HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 6
         ORDER BY nation, segment""")),
 
+    // t-closeness audit — the third rung of the anonymity ladder (Li,
+    // Li & Venkatasubramanian, ICDE'07): an l-diverse group can still
+    // leak when its sensitive-value DISTRIBUTION diverges from the
+    // table's. Reports, per (nation, segment) quasi-identifier group,
+    // the total-variation distance between the group's balance-band
+    // distribution and the global one: TVD = 0.5·(Σ_{v∈G} |p_v − q_v| +
+    // (n − Σ_{v∈G} gv)/n), where the second term covers the bands the
+    // group never exhibits. One scan, one grouped aggregate, then three
+    // windows over the CELL relation (bounded by |QI-groups| × |bands|,
+    // never data volume). Determinism: |p−q| terms round to 6dp into
+    // DECIMAL; the missing-mass term is integer arithmetic with a single
+    // IEEE division, so TVD is structurally ≥ 0 (no −0.0 formatting
+    // hazard) and bit-identical across engines.
+    "privacy_t_closeness" -> QueryDef(
+      fn = (s, d) => {
+        val cell = t(s, d, "customer")
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("v"))
+          .groupBy("nation", "segment", "v")
+          .agg(count(lit(1)).as("c"))
+        val w = cell.select(col("nation"), col("segment"), col("v"), col("c"),
+          sum(col("c")).over(Window.partitionBy("nation", "segment")).as("ng"),
+          sum(col("c")).over(Window.partitionBy("v")).as("gv"),
+          sum(col("c")).over(Window.partitionBy()).as("n"))
+        val term = round(abs(col("c").cast("double") / col("ng").cast("double")
+          - col("gv").cast("double") / col("n").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        w.groupBy("nation", "segment")
+          .agg(max(col("ng")).as("n_grp"),
+            sum(term).as("s1"),
+            sum(col("gv")).as("sg"),
+            max(col("n")).as("nt"))
+          .select(col("nation"), col("segment"),
+            col("n_grp").cast("long").as("n"),
+            round(lit(0.5) * (col("s1").cast("double")
+              + (col("nt") - col("sg")).cast("double")
+                / col("nt").cast("double")), 6).as("tvd"))
+          .orderBy("nation", "segment")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS segment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+          FROM customer),
+        cell AS (
+          SELECT nation, segment, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        w AS (
+          SELECT nation, segment, v, c,
+                 sum(c) OVER (PARTITION BY nation, segment) AS ng,
+                 sum(c) OVER (PARTITION BY v) AS gv,
+                 sum(c) OVER () AS n
+          FROM cell)
+        SELECT nation, segment,
+               CAST(max(ng) AS BIGINT) AS n,
+               round(0.5 * (CAST(sum(CAST(round(abs(
+                   CAST(c AS DOUBLE) / CAST(ng AS DOUBLE)
+                   - CAST(gv AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE)
+                 + CAST(max(n) - sum(gv) AS DOUBLE) / CAST(max(n) AS DOUBLE)),
+                 6) AS tvd
+        FROM w GROUP BY nation, segment
+        ORDER BY nation, segment""")),
+
     // Differentially-private count release (Dwork et al., TCC'06): the
     // Laplace mechanism over per-language document counts — sensitivity-1
     // counting query, b = 1/ε with ε = 1, noisy = count +

@@ -236,6 +236,83 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Linear multi-touch attribution (the standard marketing-analytics
+    // credit model; Shapley'53 value with order-independent uniform
+    // weights degenerates to exactly this split): each 'purchase'
+    // conversion divides one unit of credit (and its revenue) equally
+    // across the marketing touches (click/view/signup) since the user's
+    // previous conversion. Mechanics: one per-user cumulative-conversion
+    // window assigns every touch to its NEXT conversion (cum + 1) and
+    // every purchase its own sequence number (cum includes itself, so
+    // same-timestamp touches attribute by the deterministic
+    // (us, event_id) order); an equi-join on (user, seq) pairs them,
+    // dropping post-last-conversion touches. 100 TB shape: one shuffle
+    // by user for the window, one (user, seq)-keyed join of two slices
+    // of the SAME windowed relation, then group-bounded rollups.
+    // Determinism: credit fractions c/k are exact-integer IEEE
+    // divisions rounded to 6dp into DECIMAL before summing.
+    "events_attribution" -> QueryDef(
+      fn = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val base = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"),
+            col("event_id"), col("event_type"), col("value"))
+          .withColumn("cum",
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(w))
+        val tch = base
+          .where(col("event_type").isin("click", "view", "signup"))
+          .select(col("user_id"), col("event_type").as("channel"),
+            (col("cum") + 1).as("seq"))
+        val cv = base.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("cum").as("seq"), col("value").as("v"))
+        val frac = col("c").cast("double") / col("k").cast("double")
+        tch.join(cv, Seq("user_id", "seq"))
+          .groupBy("user_id", "seq", "channel")
+          .agg(max(col("v")).as("v"), count(lit(1)).as("c"))
+          .withColumn("k",
+            sum(col("c")).over(Window.partitionBy("user_id", "seq")))
+          .groupBy("channel")
+          .agg(sum(col("c")).as("n_touches"),
+            sum(round(frac, 6).cast(DecimalType(18, 6)))
+              .cast("double").as("credit"),
+            sum(round(col("v") * frac, 6).cast(DecimalType(18, 6)))
+              .cast("double").as("attributed_value"))
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT user_id, event_id, event_type, value,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM events),
+        tch AS (
+          SELECT user_id, event_type AS channel, cum + 1 AS seq
+          FROM base WHERE event_type IN ('click', 'view', 'signup')),
+        cv AS (
+          SELECT user_id, cum AS seq, value AS v
+          FROM base WHERE event_type = 'purchase'),
+        g AS (
+          SELECT t.user_id, t.seq, t.channel, max(c.v) AS v, count(*) AS c
+          FROM tch t
+          JOIN cv c ON c.user_id = t.user_id AND c.seq = t.seq
+          GROUP BY 1, 2, 3),
+        kk AS (
+          SELECT *, sum(c) OVER (PARTITION BY user_id, seq) AS k FROM g)
+        SELECT channel,
+               CAST(sum(c) AS BIGINT) AS n_touches,
+               CAST(sum(CAST(round(CAST(c AS DOUBLE) / CAST(k AS DOUBLE), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS credit,
+               CAST(sum(CAST(round(v * (CAST(c AS DOUBLE)
+                 / CAST(k AS DOUBLE)), 6)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+        FROM kk GROUP BY channel ORDER BY channel""")),
+
     // Trailing exponential smoothing (8-tap EWMA, weight 2^-j on the
     // j-th lag): the per-entity metric smoother — half-decay weights are
     // EXACT in decimal (2^-7 = 0.0078125 needs 10 fractional digits),

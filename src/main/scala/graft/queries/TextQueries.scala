@@ -205,6 +205,179 @@ object TextQueries {
         SELECT doc_id, lang, en_score FROM sc
         ORDER BY en_score DESC, doc_id LIMIT 20""")),
 
+    // Multinomial Naive Bayes over HASHED token features (McCallum &
+    // Nigam AAAI'98 workshop; hashing trick per Weinberger ICML'09) — the
+    // second in-engine classifier, complementing quality_lr: NB training
+    // is a PURE AGGREGATION (no gradient rounds, no driver iteration), so
+    // it is the classifier you can fit in one pass over 100 TB. Label
+    // y = (lang = 'en'); features are md5-hashed token buckets (width 16
+    // — no vocabulary build, bounded model by construction). Output: the
+    // learned model table — per bucket, class-conditional counts and
+    // Laplace-smoothed log-likelihoods log((c_y,b + 1)/(c_y + W)).
+    // Class totals come from a window over the 16-row bucket relation,
+    // never a second corpus pass. ln rounds to 6dp (the repo's
+    // transcendental discipline).
+    "quality_nb_train" -> QueryDef(
+      fn = (s, d) => {
+        val width = 16
+        val tok = t(s, d, "documents")
+          .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .select(col("y"),
+            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+              % width).as("bucket"))
+        tok.groupBy("bucket")
+          .agg(sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"),
+            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"))
+          .select(col("bucket"), col("c0"), col("c1"),
+            sum(col("c0")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()).as("t0"),
+            sum(col("c1")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()).as("t1"))
+          .select(col("bucket"), col("c0"), col("c1"),
+            round(log((col("c0") + 1).cast("double")
+              / (col("t0") + width).cast("double")), 6).as("logp0"),
+            round(log((col("c1") + 1).cast("double")
+              / (col("t1") + width).cast("double")), 6).as("logp1"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        b AS (
+          SELECT y, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 16
+                   AS bucket
+          FROM tok),
+        m AS (
+          SELECT bucket,
+                 sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0,
+                 sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1
+          FROM b GROUP BY bucket),
+        w AS (
+          SELECT bucket, c0, c1,
+                 sum(c0) OVER () AS t0, sum(c1) OVER () AS t1
+          FROM m)
+        SELECT bucket, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+               round(ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + 16 AS DOUBLE)), 6)
+                 AS logp0,
+               round(ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 16 AS DOUBLE)), 6)
+                 AS logp1
+        FROM w ORDER BY bucket""")),
+
+    // The NB scoring pass — train-set confusion matrix: every doc scored
+    // by both class log-posteriors (log prior + Σ tf·log-likelihood over
+    // its hashed buckets), predicted class by exact DECIMAL comparison
+    // (per-bucket log-likelihoods round to 6dp into DECIMAL; tf-weighted
+    // sums are then exact integer-weighted decimal sums — accumulation
+    // order cannot flip a verdict, so the confusion counts are
+    // bit-stable). The (doc, bucket) tf relation is persisted and shared
+    // by the model aggregation and the scoring join (one tokenize pass);
+    // the model is 16 rows, priors are two pulled scalars.
+    "quality_nb_score" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val width = 16
+        val dec = DecimalType(18, 6)
+        val docs = t(s, d, "documents")
+        val pr = docs.agg(count(lit(1)),
+          sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
+        val (nd, nd1) = (pr.getLong(0), pr.getLong(1))
+        val cnt = docs
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .select(col("doc_id"), col("y"),
+            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+              % width).as("bucket"))
+          .groupBy("doc_id", "y", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val model = cnt.groupBy("bucket")
+          .agg(sum(when(col("y") === 0L, col("cnt")).otherwise(0L)).as("c0"),
+            sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("c1"))
+          .select(col("bucket"),
+            col("c0"), col("c1"),
+            sum(col("c0")).over(Window.partitionBy()).as("t0"),
+            sum(col("c1")).over(Window.partitionBy()).as("t1"))
+          .select(col("bucket"),
+            round(log((col("c0") + 1).cast("double")
+              / (col("t0") + width).cast("double")), 6).cast(dec).as("lp0"),
+            round(log((col("c1") + 1).cast("double")
+              / (col("t1") + width).cast("double")), 6).cast(dec).as("lp1"))
+        val prior0 = round(log(lit((nd - nd1).toDouble / nd.toDouble)), 6)
+          .cast(dec)
+        val prior1 = round(log(lit(nd1.toDouble / nd.toDouble)), 6).cast(dec)
+        val out = cnt.join(model, "bucket")
+          .groupBy("doc_id", "y")
+          .agg(sum(col("cnt") * col("lp0")).as("s0raw"),
+            sum(col("cnt") * col("lp1")).as("s1raw"))
+          .select(col("y"),
+            when(col("s1raw") + prior1 > col("s0raw") + prior0, 1L)
+              .otherwise(0L).as("y_hat"))
+          .groupBy("y", "y_hat").agg(count(lit(1)).as("n_docs"))
+          .select(col("y").as("y_true"), col("y_hat"), col("n_docs"))
+          .orderBy("y_true", "y_hat")
+          .persist()
+        out.count() // materialize while the tf cache is live
+        cnt.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        bk AS (
+          SELECT doc_id, y,
+                 CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 16 AS bucket
+          FROM tok),
+        cnt AS (
+          SELECT doc_id, y, bucket, count(*) AS cnt
+          FROM bk GROUP BY 1, 2, 3),
+        m AS (
+          SELECT bucket,
+                 sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS c0,
+                 sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS c1
+          FROM cnt GROUP BY bucket),
+        w AS (
+          SELECT bucket, c0, c1,
+                 sum(c0) OVER () AS t0, sum(c1) OVER () AS t1
+          FROM m),
+        mm AS (
+          SELECT bucket,
+                 CAST(round(ln(CAST(c0 + 1 AS DOUBLE)
+                   / CAST(t0 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp0,
+                 CAST(round(ln(CAST(c1 + 1 AS DOUBLE)
+                   / CAST(t1 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp1
+          FROM w),
+        pr AS (
+          SELECT count(*) AS nd,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nd1
+          FROM documents),
+        sc AS (
+          SELECT c.doc_id, c.y,
+                 sum(c.cnt * mm.lp0) AS s0raw,
+                 sum(c.cnt * mm.lp1) AS s1raw
+          FROM cnt c JOIN mm USING (bucket)
+          GROUP BY 1, 2),
+        fin AS (
+          SELECT y,
+                 CASE WHEN s1raw + (SELECT CAST(round(ln(CAST(nd1 AS DOUBLE)
+                          / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6)) FROM pr)
+                        > s0raw + (SELECT CAST(round(ln(CAST(nd - nd1 AS DOUBLE)
+                          / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6)) FROM pr)
+                      THEN 1 ELSE 0 END AS y_hat
+          FROM sc)
+        SELECT CAST(y AS BIGINT) AS y_true, CAST(y_hat AS BIGINT) AS y_hat,
+               count(*) AS n_docs
+        FROM fin GROUP BY 1, 2 ORDER BY y_true, y_hat""")),
+
     // Gopher-style rule-gate report (Rae et al., arXiv:2112.11446 Table A1
     // — public methodology): the classic hand-tuned quality rules as one
     // per-rule failure census — word-count band, mean-word-length band,
@@ -1695,6 +1868,57 @@ object TextQueries {
                  AS intercept
         FROM m""")),
 
+    // Term burstiness census (Church & Gale'95 "Poisson mixtures" —
+    // public methodology): for every vocabulary term with df >= 10, the
+    // mean within-doc frequency over CONTAINING docs (burst = cf/df) and
+    // the Fano dispersion of those counts ((E[tf²]−E[tf]²)/E[tf]; Poisson
+    // scatter ≈ 1, bursty/templated terms ≫ 1). The boilerplate/spam-term
+    // detector a curation pass reads: content words repeat within few
+    // docs, template artifacts blanket many. Two grouped aggregates over
+    // the token explode (per-(doc,term) then per-term — both map-side
+    // combinable); the top-25 is a bounded TakeOrdered on the ROUNDED
+    // burst with a term tie-break. All aggregates are exact integers;
+    // the two closing ratios are scalar IEEE both engines compute
+    // identically; `+ 0.0` after the round folds a −0.0 from an exactly
+    // Poisson-degenerate variance.
+    "corpus_burstiness" -> QueryDef(
+      fn = (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val mean = col("cf").cast("double") / col("df").cast("double")
+        tf.groupBy("w")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+            sum(col("tf") * col("tf")).as("s2"))
+          .where(col("df") >= 10)
+          .select(col("w").as("term"), col("df"), col("cf"),
+            round(mean, 6).as("burst"),
+            (round((col("s2").cast("double") / col("df").cast("double")
+              - mean * mean) / mean, 6) + lit(0.0)).as("dispersion"))
+          .orderBy(col("burst").desc, col("term")).limit(25)
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        tw AS (
+          SELECT w, count(*) AS df, sum(tf) AS cf, sum(tf * tf) AS s2
+          FROM tf GROUP BY w HAVING count(*) >= 10)
+        SELECT w AS term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+               round(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst,
+               round((CAST(s2 AS DOUBLE) / CAST(df AS DOUBLE)
+                      - (CAST(cf AS DOUBLE) / CAST(df AS DOUBLE))
+                        * (CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)))
+                     / (CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)), 6) + 0.0
+                 AS dispersion
+        FROM tw
+        ORDER BY burst DESC, term LIMIT 25""")),
+
     // BPE pair statistics (Bpe.pairCounts over the char-split word vocab):
     // the top-20 most frequent adjacent character pairs weighted by word
     // frequency — iteration 0 of BPE tokenizer training, hash-checking the
@@ -1799,6 +2023,76 @@ object TextQueries {
                round(CAST(sum(f * n_chars) AS DOUBLE) / sum(f * n_sub), 6)
                  AS chars_per_token
         FROM enc""")),
+
+    // BM25 retrieval scoring (Robertson & Walker SIGIR'94; the Okapi
+    // ranking function every lexical retrieval baseline uses): top-20
+    // docs for a fixed 3-term query, k1 = 1.2, b = 0.75, idf =
+    // ln((N − df + 0.5)/(df + 0.5) + 1). Shape for 100 TB: per-term tf
+    // and doc length are SCAN-SIDE array arithmetic (no tokenize
+    // explode, no shuffle anywhere); the corpus stats (N, Σdl, per-term
+    // df) come from ONE aggregate pass pulled to the driver (the
+    // threshold-pull pattern — 5 integers), and scoring is a second pure
+    // scan closed by a bounded TakeOrdered(20). Determinism: all stats
+    // are exact integers; avgdl/idf are single IEEE derivations both
+    // engines repeat; each term's contribution rounds to 6dp into
+    // DECIMAL before the 3-term sum, so ln()'s last ulp cannot reach the
+    // hash.
+    "text_bm25" -> QueryDef(
+      fn = (s, d) => {
+        val terms = Seq("hash", "join", "scan")
+        def tf(term: String) = expr(
+          s"size(filter(split(lower(text), '\\\\s+'), x -> x = '$term'))")
+        val dl = TextAnalysis.tokenCount(col("text"))
+        val docs = t(s, d, "documents")
+        val st = docs.agg(
+          count(lit(1)), sum(dl.cast("long")),
+          sum(when(tf(terms(0)) > 0, 1L).otherwise(0L)),
+          sum(when(tf(terms(1)) > 0, 1L).otherwise(0L)),
+          sum(when(tf(terms(2)) > 0, 1L).otherwise(0L))).head()
+        val n = st.getLong(0)
+        val avgdl = st.getLong(1).toDouble / n.toDouble
+        def contrib(term: String, df: Long) = {
+          val idfArg = ((n - df) + 0.5) / (df + 0.5) + 1.0
+          val tfd = tf(term).cast("double")
+          round(log(lit(idfArg)) * (tfd * lit(2.2) /
+            (tfd + lit(1.2) * (lit(0.25) +
+              lit(0.75) * (dl.cast("double") / lit(avgdl))))), 6)
+            .cast(DecimalType(18, 6))
+        }
+        docs.select(col("doc_id"),
+            (contrib(terms(0), st.getLong(2)) + contrib(terms(1), st.getLong(3))
+              + contrib(terms(2), st.getLong(4))).cast("double").as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      oracle = Some {
+        val terms = Seq("hash", "join", "scan")
+        def tfSql(t: String) =
+          s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x = '$t'))"
+        val tfCols = terms.zipWithIndex
+          .map { case (t, i) => s"${tfSql(t)} AS tf$i" }.mkString(", ")
+        val dfCols = terms.indices
+          .map(i => s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+          .mkString(", ")
+        val contribs = terms.indices.map { i =>
+          s"""CAST(round(ln((st.n - d.df$i + 0.5) / (d.df$i + 0.5) + 1.0)
+              * (CAST(tf$i AS DOUBLE) * 2.2 /
+                 (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 +
+                  0.75 * (CAST(dl AS DOUBLE) / st.avgdl)))), 6)
+             AS DECIMAL(18,6))"""
+        }.mkString(" + ")
+        s"""
+        WITH tfs AS (
+          SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS dl, $tfCols
+          FROM documents),
+        st AS (
+          SELECT count(*) AS n,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM tfs),
+        d AS (SELECT $dfCols FROM tfs)
+        SELECT doc_id, CAST($contribs AS DOUBLE) AS score
+        FROM tfs, st, d
+        ORDER BY score DESC, doc_id LIMIT 20"""
+      }),
 
     // TF-IDF keywords: top-3 terms per document by tf·idf — the classic
     // relevance signal (quality scoring, topic tagging, search). tf is the
