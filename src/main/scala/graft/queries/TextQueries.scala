@@ -378,6 +378,188 @@ object TextQueries {
                count(*) AS n_docs
         FROM fin GROUP BY 1, 2 ORDER BY y_true, y_hat""")),
 
+    // Inter-classifier agreement (Cohen'60 kappa): the two in-engine
+    // English classifiers — the 5-round logistic regression (z > 0) and
+    // the hashed-feature Naive Bayes (decimal log-posterior compare) —
+    // scored per doc and cross-tabulated, with chance-corrected kappa.
+    // The ensemble-health readout a curation pass checks before trusting
+    // either model's gate: high kappa → the cheap model can stand in for
+    // the expensive one; low kappa → their disagreement set IS the
+    // label-noise triage queue. Confusion cells are exact integers; po /
+    // pe / kappa are scalar IEEE derivations both engines repeat
+    // identically from those integers; both training replays reuse the
+    // shared CTE generators so neither model can drift from its own
+    // registry entry.
+    "quality_kappa" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.text.LogReg
+        val width = 16
+        val dec = DecimalType(18, 6)
+        val docs = t(s, d, "documents")
+        // Rater A: logistic regression, trained exactly as quality_lr_*.
+        val f = LogReg.features(docs).persist()
+        val wts = LogReg.trainOnFeatures(f, iters = 5)
+        val lrEn = (lit(wts(0)) +
+          lit(wts(1)) * least(TextAnalysis.tokenCount(col("text"))
+            .cast("double") / lit(100.0), lit(1.0)) +
+          lit(wts(2)) * TextAnalysis.stopwordRatio(col("text"))) > 0
+        val lr = docs.select(col("doc_id"),
+          when(lrEn, 1L).otherwise(0L).as("a"))
+        // Rater B: Naive Bayes, scored exactly as quality_nb_score.
+        val pr = docs.agg(count(lit(1)),
+          sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
+        val (nd, nd1) = (pr.getLong(0), pr.getLong(1))
+        val cnt = docs
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+              % width).as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .persist()
+        val enDocs = docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val model = cnt.join(enDocs, "doc_id")
+          .groupBy("bucket")
+          .agg(sum(when(col("y") === 0L, col("cnt")).otherwise(0L)).as("c0"),
+            sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("c1"))
+          .select(col("bucket"), col("c0"), col("c1"),
+            sum(col("c0")).over(Window.partitionBy()).as("t0"),
+            sum(col("c1")).over(Window.partitionBy()).as("t1"))
+          .select(col("bucket"),
+            round(log((col("c0") + 1).cast("double")
+              / (col("t0") + width).cast("double")), 6).cast(dec).as("lp0"),
+            round(log((col("c1") + 1).cast("double")
+              / (col("t1") + width).cast("double")), 6).cast(dec).as("lp1"))
+        val prior0 = round(log(lit((nd - nd1).toDouble / nd.toDouble)), 6)
+          .cast(dec)
+        val prior1 = round(log(lit(nd1.toDouble / nd.toDouble)), 6).cast(dec)
+        val nb = cnt.join(model, "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") * col("lp0")).as("s0raw"),
+            sum(col("cnt") * col("lp1")).as("s1raw"))
+          .select(col("doc_id"),
+            when(col("s1raw") + prior1 > col("s0raw") + prior0, 1L)
+              .otherwise(0L).as("b"))
+        val cells = lr.join(nb, "doc_id")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
+              .as("n11"),
+            sum(when(col("a") === 0L && col("b") === 0L, 1L).otherwise(0L))
+              .as("n00"),
+            sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+              .as("n10"),
+            sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+              .as("n01"))
+        val nD = col("n").cast("double")
+        val po = (col("n11") + col("n00")).cast("double") / nD
+        val pe = ((col("n11") + col("n10")).cast("double") / nD) *
+          ((col("n11") + col("n01")).cast("double") / nD) +
+          ((col("n00") + col("n01")).cast("double") / nD) *
+          ((col("n00") + col("n10")).cast("double") / nD)
+        val out = cells.select(col("n").as("n_docs"),
+            col("n11").as("n_both_en"), col("n00").as("n_both_other"),
+            col("n10").as("n_lr_only"), col("n01").as("n_nb_only"),
+            round(po, 6).as("po"), round(pe, 6).as("pe"),
+            round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+          .persist()
+        out.count() // materialize while the feature/tf caches are live
+        f.unpersist(false)
+        cnt.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH ${lrRoundsCtes(5)},
+        lr AS (
+          SELECT doc_id,
+                 CASE WHEN w.b
+                        + w.wl * least(CAST($tokSql AS DOUBLE) / 100.0, 1.0)
+                        + w.ws * (CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)}
+                                  AS DOUBLE) / $tokSql) > 0
+                      THEN 1 ELSE 0 END AS a
+          FROM documents, w5 w),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        bk AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 16 AS bucket
+          FROM tok),
+        cnt AS (
+          SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+        lab AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        m AS (
+          SELECT bucket,
+                 sum(CASE WHEN l.y = 0 THEN c.cnt ELSE 0 END) AS c0,
+                 sum(CASE WHEN l.y = 1 THEN c.cnt ELSE 0 END) AS c1
+          FROM cnt c JOIN lab l USING (doc_id)
+          GROUP BY bucket),
+        mw AS (
+          SELECT bucket, c0, c1,
+                 sum(c0) OVER () AS t0, sum(c1) OVER () AS t1
+          FROM m),
+        mm AS (
+          SELECT bucket,
+                 CAST(round(ln(CAST(c0 + 1 AS DOUBLE)
+                   / CAST(t0 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp0,
+                 CAST(round(ln(CAST(c1 + 1 AS DOUBLE)
+                   / CAST(t1 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp1
+          FROM mw),
+        pr AS (
+          SELECT count(*) AS nd,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nd1
+          FROM documents),
+        nb AS (
+          SELECT c.doc_id,
+                 CASE WHEN sum(c.cnt * mm.lp1)
+                          + (SELECT CAST(round(ln(CAST(nd1 AS DOUBLE)
+                             / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
+                             FROM pr)
+                        > sum(c.cnt * mm.lp0)
+                          + (SELECT CAST(round(ln(CAST(nd - nd1 AS DOUBLE)
+                             / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
+                             FROM pr)
+                      THEN 1 ELSE 0 END AS b
+          FROM cnt c JOIN mm USING (bucket)
+          GROUP BY c.doc_id),
+        cells AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+                 sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00,
+                 sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+                 sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01
+          FROM lr JOIN nb USING (doc_id))
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(n11 AS BIGINT) AS n_both_en,
+               CAST(n00 AS BIGINT) AS n_both_other,
+               CAST(n10 AS BIGINT) AS n_lr_only,
+               CAST(n01 AS BIGINT) AS n_nb_only,
+               round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+               round((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n00 + n10 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS pe,
+               round(((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                      - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                         + (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(n00 + n10 AS DOUBLE) / CAST(n AS DOUBLE))))
+                     / (1.0
+                        - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                           + (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(n00 + n10 AS DOUBLE)
+                                / CAST(n AS DOUBLE)))), 6) AS kappa
+        FROM cells""")),
+
     // Gopher-style rule-gate report (Rae et al., arXiv:2112.11446 Table A1
     // — public methodology): the classic hand-tuned quality rules as one
     // per-rule failure census — word-count band, mean-word-length band,

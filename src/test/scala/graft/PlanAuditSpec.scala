@@ -144,6 +144,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 0, s"corpus_pmi executes $n Generate(s) past its caches:\n$p")
   }
 
+  test("text_bm25 scores with a pure scan + bounded TakeOrdered — no shuffle") {
+    // BM25's corpus stats (N, Σdl, per-term df) are pulled at construction
+    // time; the returned plan must be scan-side arithmetic closed by a
+    // TakeOrdered — an Exchange here would mean the scoring pass shuffles
+    // the corpus, which at 100 TB is the whole bill.
+    val p = plans("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"text_bm25 does not close with a bounded TakeOrdered:\n$p")
+    assert(!p.contains("Exchange"),
+      s"text_bm25 shuffles its scoring scan:\n$p")
+  }
+
   test("text_entropy explodes the character stream exactly once") {
     // Per-char explode is ~|text| x row volume — the dominant cost. The
     // per-doc total n derives from a window over the per-char COUNTS
