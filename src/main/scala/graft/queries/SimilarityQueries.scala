@@ -666,6 +666,17 @@ object SimilarityQueries {
       },
       oracle = Some(graft.sim.KCenter.selectOracleSql(8))),
 
+    // The coverage eval companion to sample_kcenter: every point's
+    // rounded min-d² to the 8 selected centers aggregated to one row —
+    // n, mean coverage, covering radius² (the 2-approximation quality
+    // Gonzalez guarantees). The number to re-check when k is re-budgeted:
+    // radius² halving as k grows is the evidence the coreset still
+    // covers. One extra scan past selection; centers stay driver-held
+    // literals, min-d² terms round to 6dp into DECIMAL for the mean.
+    "sample_kcenter_coverage" -> QueryDef(
+      fn = (s, d) => graft.sim.KCenter.coverage(t(s, d, "embeddings"), k = 8),
+      oracle = Some(graft.sim.KCenter.coverageOracleSql(8))),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)
@@ -674,6 +685,75 @@ object SimilarityQueries {
     // threshold for the engines to disagree on. Centroids join back from
     // a k-row relation (provably bounded → broadcast hint is legitimate
     // under the hints policy); ranking is one window per cell.
+    // Simplified (centroid-based) silhouette per k-means cell (Hruschka
+    // et al.'s medoid-free variant of Rousseeuw'87 — public
+    // methodology): s = (b − a)/max(a, b) with a = distance to the OWN
+    // centroid-set minimum and b = the nearest OTHER centroid — the
+    // clustering-quality readout for the IVF/SemDeDup cell machinery
+    // (collapsing silhouettes = cells no longer separate; re-train before
+    // trusting cell-scoped dedup). Because assignment is argmin-distance,
+    // a = min over ALL k centroids, so a ≤ b and s ≥ 0 pointwise by
+    // construction — no −0.0 hazard. Cost: ONE scan (centroids are
+    // k × dim driver literals — no join), k scan-side distance columns,
+    // one group-bounded aggregate. Per-point s rounds to 6dp into
+    // DECIMAL; only the closing mean division is IEEE.
+    "emb_silhouette" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val k = 8
+        val centroids = graft.sim.Ivf.trainCentroids(emb, k = k, iters = 3)
+        val idx = graft.sim.Ivf.index(emb, centroids)
+        val v = col("c_emb").cast("array<double>")
+        def dist(c: Array[Double]) = {
+          val cc = c.map(x => x * x).sum
+          sqrt(VectorOps.dot(v, v) - lit(2.0) * VectorOps.dot(v, lit(c))
+            + lit(cc))
+        }
+        val ds = centroids.map(dist)
+        val a = least(ds.toIndexedSeq: _*)
+        val b = least(centroids.indices.map(j =>
+          when(col("cell") === j, lit(null).cast("double"))
+            .otherwise(ds(j))).toIndexedSeq: _*)
+        val sil = when(greatest(a, b) === 0.0, lit(0.0))
+          .otherwise((b - a) / greatest(a, b))
+        idx.select(col("cell").cast("long").as("cell"),
+            round(sil, 6).cast(org.apache.spark.sql.types.DecimalType(18, 6))
+              .as("sil"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"), sum(col("sil")).as("ssum"))
+          .select(col("cell"), col("n_vecs"),
+            round(col("ssum").cast("double")
+              / col("n_vecs").cast("double"), 6).as("mean_sil"))
+          .orderBy("cell")
+      },
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ${graft.sim.Ivf.coarseCtes(numCells = 8, nprobe = 1, iters = 3,
+            dim = 64, queryPred = "id < 0")},
+        dists AS (
+          SELECT i.c_id AS vec_id, i.cell, c.cell AS ccell,
+                 sqrt(list_dot_product(e.v, e.v)
+                      - 2.0 * list_dot_product(e.v, c.cv)
+                      + list_dot_product(c.cv, c.cv)) AS dist
+          FROM idx i JOIN v e ON e.id = i.c_id, c3 c),
+        ab AS (
+          SELECT vec_id, cell, min(dist) AS a,
+                 min(CASE WHEN ccell = cell THEN NULL ELSE dist END) AS b
+          FROM dists GROUP BY 1, 2),
+        sil AS (
+          SELECT cell,
+                 CAST(round(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                                 ELSE (b - a) / greatest(a, b) END, 6)
+                   AS DECIMAL(18,6)) AS sil
+          FROM ab)
+        SELECT CAST(cell AS BIGINT) AS cell,
+               count(*) AS n_vecs,
+               round(CAST(sum(sil) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_sil
+        FROM sil GROUP BY cell ORDER BY cell""")),
+
     "emb_prototypicality" -> QueryDef(
       fn = (s, d) => {
         val emb = t(s, d, "embeddings")

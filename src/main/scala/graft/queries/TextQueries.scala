@@ -2434,6 +2434,131 @@ object TextQueries {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Stupid-backoff trigram LM (Brants et al., EMNLP'07 — the web-scale
+    // LM smoothing that needs NO discount tuning), scored HELD-OUT:
+    // counts train on the even-doc_id half, the odd half is scored — so
+    // unseen trigrams genuinely back off (scoring the training corpus
+    // itself would make the top branch always fire and the backoff dead
+    // code). S(w3|w1w2) = c123/c12, else 0.4·(c23/c2), else
+    // 0.4·0.4·(c3+1)/(N+V) (add-one unigram floor for OOV). The
+    // perplexity-proxy ladder's top rung: unigram → bigram → backoff
+    // trigram. Shape: the train explode is persisted and feeds the
+    // tri/bi/uni count tables; the scoring stream left-joins the three
+    // count relations on their n-gram keys (vocab-sized, AQE's choice);
+    // N and V are two pulled scalars. Per-position ln rounds to 6dp into
+    // DECIMAL; every branch is an integer ratio times exact literals.
+    "text_backoff_logprob" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        def toks(pred: org.apache.spark.sql.Column) =
+          docs.where(pred).select(col("doc_id"),
+          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .as(Seq("pos", "w")))
+        val train = toks(col("doc_id") % 2 === 0).persist()
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        def tri(t: org.apache.spark.sql.DataFrame) = t
+          .withColumn("w2", lead(col("w"), 1).over(wd))
+          .withColumn("w3", lead(col("w"), 2).over(wd))
+          .where(col("w3").isNotNull)
+          .select(col("doc_id"), col("w").as("w1"), col("w2"), col("w3"))
+        val triCnt = tri(train).groupBy("w1", "w2", "w3")
+          .agg(count(lit(1)).as("c123"))
+        val bigTrain = train
+          .withColumn("wb", lead(col("w"), 1).over(wd))
+          .where(col("wb").isNotNull)
+          .select(col("w").as("wa"), col("wb"))
+        val bigCnt = bigTrain.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+          .persist()
+        val uni = train.groupBy("w").agg(count(lit(1)).as("cw")).persist()
+        val st = uni.agg(sum(col("cw")), count(lit(1))).head()
+        val nTrain = st.getLong(0)
+        val vTrain = st.getLong(1)
+        val floorDen = (nTrain + vTrain).toDouble
+        val lp = when(col("c123").isNotNull,
+            log(col("c123").cast("double") / col("c12").cast("double")))
+          .when(col("c23").isNotNull,
+            log(lit(0.4) *
+              (col("c23").cast("double") / col("c2").cast("double"))))
+          .otherwise(log(lit(0.4) * (lit(0.4) *
+            ((coalesce(col("c3"), lit(0L)) + 1).cast("double")
+              / lit(floorDen)))))
+        val out = tri(toks(col("doc_id") % 2 === 1))
+          .join(triCnt, Seq("w1", "w2", "w3"), "left")
+          .join(bigCnt.select(col("wa").as("w1"), col("wb").as("w2"),
+            col("cab").as("c12")), Seq("w1", "w2"), "left")
+          .join(bigCnt.select(col("wa").as("w2"), col("wb").as("w3"),
+            col("cab").as("c23")), Seq("w2", "w3"), "left")
+          .join(uni.select(col("w").as("w2"), col("cw").as("c2")),
+            Seq("w2"), "left")
+          .join(uni.select(col("w").as("w3"), col("cw").as("c3")),
+            Seq("w3"), "left")
+          .select(col("doc_id"),
+            round(lp, 6).cast(DecimalType(18, 6)).as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_trigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+          .persist()
+        out.count() // materialize while the train caches are live
+        train.unpersist(false); bigCnt.unpersist(false); uni.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        tr3 AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2,
+                 toks[CAST(i AS INT) + 2] AS w3
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM tl WHERE doc_id % 2 = 0)),
+        tc AS (SELECT w1, w2, w3, count(*) AS c123 FROM tr3 GROUP BY 1, 2, 3),
+        bg AS (
+          SELECT toks[CAST(i AS INT)] AS wa, toks[CAST(i AS INT) + 1] AS wb
+          FROM (SELECT toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tl WHERE doc_id % 2 = 0)),
+        bc AS (SELECT wa, wb, count(*) AS cab FROM bg GROUP BY 1, 2),
+        un AS (
+          SELECT w, count(*) AS cw
+          FROM (SELECT unnest(toks) AS w FROM tl WHERE doc_id % 2 = 0)
+          GROUP BY w),
+        st AS (SELECT sum(cw) AS n, count(*) AS v FROM un),
+        sc3 AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2,
+                 toks[CAST(i AS INT) + 2] AS w3
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM tl WHERE doc_id % 2 = 1)),
+        lp AS (
+          SELECT s.doc_id,
+                 CAST(round(CASE
+                   WHEN tc.c123 IS NOT NULL THEN
+                     ln(CAST(tc.c123 AS DOUBLE) / CAST(b12.cab AS DOUBLE))
+                   WHEN b23.cab IS NOT NULL THEN
+                     ln(0.4 * (CAST(b23.cab AS DOUBLE)
+                               / CAST(u2.cw AS DOUBLE)))
+                   ELSE
+                     ln(0.4 * (0.4 *
+                       (CAST(coalesce(u3.cw, 0) + 1 AS DOUBLE)
+                        / CAST(st.n + st.v AS DOUBLE))))
+                 END, 6) AS DECIMAL(18,6)) AS lp
+          FROM sc3 s
+          LEFT JOIN tc ON tc.w1 = s.w1 AND tc.w2 = s.w2 AND tc.w3 = s.w3
+          LEFT JOIN bc b12 ON b12.wa = s.w1 AND b12.wb = s.w2
+          LEFT JOIN bc b23 ON b23.wa = s.w2 AND b23.wb = s.w3
+          LEFT JOIN un u2 ON u2.w = s.w2
+          LEFT JOIN un u3 ON u3.w = s.w3, st)
+        SELECT doc_id, count(*) AS n_trigrams,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
