@@ -677,6 +677,62 @@ object SimilarityQueries {
       fn = (s, d) => graft.sim.KCenter.coverage(t(s, d, "embeddings"), k = 8),
       oracle = Some(graft.sim.KCenter.coverageOracleSql(8))),
 
+    // Mean pairwise cosine / corpus embedding diversity — computed
+    // EXACTLY in O(n·d) via the sum-vector identity: for unit vectors,
+    // Σ_{i≠j} v̂_i·v̂_j = ‖Σv̂‖² − Σ‖v̂‖², so the O(n²) statistic needs
+    // only per-dimension sums. High mean cosine = an embedding-collapsed
+    // or duplicate-heavy corpus (the aggregate cousin of SemDeDup);
+    // diversity selection literature reports exactly this number.
+    // Determinism: normalized coordinates round to 6dp into DECIMAL, so
+    // both ‖Σv̂ᵣ‖² and Σ‖v̂ᵣ‖² are EXACT decimal arithmetic (squares at
+    // scale 12, sums order-independent) — only the single closing
+    // division is IEEE. One explode to (pos, coord), one 64-group
+    // aggregate, one 64-row rollup; zero-norm vectors are excluded on
+    // both sides.
+    "emb_pairwise_diversity" -> QueryDef(
+      fn = (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val emb = t(s, d, "embeddings")
+        val v = col("embedding").cast("array<double>")
+        val base = emb.select(v.as("v"),
+            sqrt(VectorOps.dot(v, v)).as("nrm"))
+          .where(col("nrm") > 0)
+        val n = base.count()
+        val ex = base
+          .select(posexplode(expr("transform(v, x -> x / nrm)"))
+            .as(Seq("pos", "xv")))
+          .select(col("pos"), round(col("xv"), 6).cast(dec).as("x"))
+        val g = ex.groupBy("pos")
+          .agg(sum(col("x")).cast(dec).as("s"),
+            sum(col("x") * col("x")).as("q"))
+        g.agg(sum(col("s") * col("s")).as("s2"), sum(col("q")).as("q"))
+          .select(lit(n).as("n_vecs"),
+            (round((col("s2") - col("q")).cast("double")
+              / lit((n * (n - 1)).toDouble), 6) + lit(0.0))
+              .as("mean_pairwise_cos"))
+      },
+      oracle = Some("""
+        WITH nv AS (
+          SELECT v, sqrt(list_dot_product(v, v)) AS nrm
+          FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          WHERE sqrt(list_dot_product(v, v)) > 0),
+        ex AS (
+          SELECT pos,
+                 CAST(round(v[CAST(pos AS INT)] / nrm, 6) AS DECIMAL(18,6))
+                   AS x
+          FROM (SELECT v, nrm, unnest(generate_series(1, 64)) AS pos
+                FROM nv)),
+        g AS (
+          SELECT pos, CAST(sum(x) AS DECIMAL(18,6)) AS s, sum(x * x) AS q
+          FROM ex GROUP BY pos),
+        f AS (SELECT sum(s * s) AS s2, sum(q) AS q FROM g),
+        cn AS (SELECT count(*) AS n FROM nv)
+        SELECT CAST(cn.n AS BIGINT) AS n_vecs,
+               round(CAST(f.s2 - f.q AS DOUBLE)
+                     / CAST(cn.n * (cn.n - 1) AS DOUBLE), 6) + 0.0
+                 AS mean_pairwise_cos
+        FROM f, cn""")),
+
     // Prototypicality pruning (Sorscher et al., NeurIPS'22 "Beyond neural
     // scaling laws"): rank every vector by cosine to its k-means cell
     // centroid; with abundant data the most prototypical (easiest)

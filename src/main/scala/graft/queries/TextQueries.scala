@@ -378,6 +378,67 @@ object TextQueries {
                count(*) AS n_docs
         FROM fin GROUP BY 1, 2 ORDER BY y_true, y_hat""")),
 
+    // Calibration / reliability table for the LR classifier (the
+    // reliability diagram of Guo et al. ICML'17's ECE, binned): docs
+    // bucketed by predicted probability decile, each bin reporting mean
+    // confidence vs empirical accuracy and the |acc − conf| gap — the
+    // table that says whether "0.9 confident" means 90% right before a
+    // probability threshold is trusted as a quality gate. Mechanics: one
+    // scoring pass over the persisted feature relation, a 10-group
+    // rollup. σ(z) rounds to 6dp per row (transcendental discipline) and
+    // accumulates in DECIMAL; y-sums are exact integer-valued doubles;
+    // per-bin closing divisions are scalar IEEE.
+    "quality_reliability" -> QueryDef(
+      fn = (s, d) => {
+        import graft.text.LogReg
+        val dec = DecimalType(18, 6)
+        val f = LogReg.features(t(s, d, "documents")).persist()
+        val w = LogReg.trainOnFeatures(f, iters = 5)
+        val z = lit(w(0)) + lit(w(1)) * col("x2") + lit(w(2)) * col("x3")
+        val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+        val out = f
+          .select(col("y"), p.as("p"),
+            least(floor(p * 10), lit(9L)).cast("long").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("p").cast(dec)).as("psum"),
+            sum(col("y")).as("ysum"))
+          .select(col("bin"), col("n_docs"),
+            round(col("psum").cast("double")
+              / col("n_docs").cast("double"), 6).as("conf"),
+            round(col("ysum") / col("n_docs").cast("double"), 6).as("acc"),
+            (round(abs(col("ysum") / col("n_docs").cast("double")
+              - col("psum").cast("double") / col("n_docs").cast("double")),
+              6) + lit(0.0)).as("gap"))
+          .orderBy("bin")
+          .persist()
+        out.count() // materialize while the feature cache is live
+        f.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH ${lrRoundsCtes(5)},
+        sc AS (
+          SELECT y, round(1.0 / (1.0 + exp(-($lrZSql))), 6) AS p
+          FROM f, w5 w),
+        b AS (
+          SELECT y, p,
+                 least(CAST(floor(p * 10) AS BIGINT), 9) AS bin
+          FROM sc),
+        g AS (
+          SELECT bin, count(*) AS n_docs,
+                 sum(CAST(p AS DECIMAL(18,6))) AS psum,
+                 sum(y) AS ysum
+          FROM b GROUP BY bin)
+        SELECT bin, n_docs,
+               round(CAST(psum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                 AS conf,
+               round(ysum / CAST(n_docs AS DOUBLE), 6) AS acc,
+               round(abs(ysum / CAST(n_docs AS DOUBLE)
+                         - CAST(psum AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+                 + 0.0 AS gap
+        FROM g ORDER BY bin""")),
+
     // Inter-classifier agreement (Cohen'60 kappa): the two in-engine
     // English classifiers — the 5-round logistic regression (z > 0) and
     // the hashed-feature Naive Bayes (decimal log-posterior compare) —
