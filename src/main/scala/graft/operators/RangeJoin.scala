@@ -32,6 +32,30 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Interval-OVERLAP join — the interval×interval sibling of the
+    * containment join: rows of `a` paired with every same-`key` row of
+    * `b` whose [bStart, bEnd] intersects [aStart, aEnd]. Same bucket-grid
+    * shape (both sides explode to covered buckets, equi-join on
+    * (key, bucket), exact predicate after the hash join), plus the
+    * report-once rule from the spatial-join literature: a pair meeting in
+    * several buckets is emitted ONLY in the bucket containing the
+    * overlap's start (`greatest(aStart, bStart) DIV width`), so no
+    * DISTINCT — duplicate elimination costs a scan-side comparison
+    * instead of a shuffle. */
+  def overlapJoin(
+      a: DataFrame, b: DataFrame, key: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    val av = a.withColumn("__bucket",
+      explode(expr(s"sequence($aStart DIV $bucketWidth, $aEnd DIV $bucketWidth)")))
+    val bv = b.withColumn("__bucket",
+      explode(expr(s"sequence($bStart DIV $bucketWidth, $bEnd DIV $bucketWidth)")))
+    av.join(bv, Seq(key, "__bucket"))
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bucket") === expr(s"greatest($aStart, $bStart) DIV $bucketWidth"))
+      .drop("__bucket")
+  }
+
   /** As above, with the bucket width DERIVED from the intervals' own span
     * statistics instead of caller-guessed — a wrong constant is the scale
     * hazard here: too narrow and a long interval explodes into thousands

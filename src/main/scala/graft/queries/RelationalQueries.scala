@@ -1195,6 +1195,82 @@ object RelationalQueries {
         GROUP BY 1, 2, 3, 4
         ORDER BY user_id, session_id""")),
 
+    // Interval-OVERLAP join (RangeJoin.overlapJoin) — the
+    // interval×interval sibling of join_range: browsing sessions joined
+    // to ±30-min incident windows around error events on the same user,
+    // per-session overlapping-window counts. Scale shape: both interval
+    // sets explode to covered 1-hour buckets and equi-join on
+    // (user, bucket); the exact overlap predicate runs after the hash
+    // join, and the report-once rule (emit only in the bucket holding
+    // greatest(starts)) kills duplicate pairs with a scan-side comparison
+    // instead of a DISTINCT shuffle. The oracle is the quadratic overlap
+    // join — proving the banded path exact. Sessions with no incident
+    // overlap drop on both sides (inner semantics, like join_range).
+    "join_interval_overlap" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"),
+            col("event_id"), col("event_type"))
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val sessions = ev
+          .where(col("event_type").isin("click", "view"))
+          .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              col("us") - col("prev_us") > lit(28800000000L), lit(1))
+              .otherwise(lit(0)))
+          .withColumn("session_id",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        val errWins = ev.where(col("event_type") === "error")
+          .select(col("user_id"),
+            (col("us") - lit(1800000000L)).as("w_start"),
+            (col("us") + lit(1800000000L)).as("w_end"))
+        graft.operators.RangeJoin
+          .overlapJoin(sessions, errWins, key = "user_id",
+            aStart = "start_us", aEnd = "end_us",
+            bStart = "w_start", bEnd = "w_end",
+            bucketWidth = 3600000000L)
+          .groupBy("user_id", "session_id", "start_us", "end_us")
+          .agg(count(lit(1)).as("n_err_windows"))
+          .orderBy("user_id", "session_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        brows AS (
+          SELECT user_id, us, event_id,
+                 lag(us) OVER w AS prev_us
+          FROM ev WHERE event_type IN ('click', 'view')
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        flagged AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 28800000000
+                         THEN 1 ELSE 0 END AS new_session
+          FROM brows),
+        numbered AS (
+          SELECT *, CAST(sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+          FROM flagged),
+        sessions AS (
+          SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us
+          FROM numbered GROUP BY 1, 2),
+        ew AS (
+          SELECT user_id, us - 1800000000 AS w_start, us + 1800000000 AS w_end
+          FROM ev WHERE event_type = 'error')
+        SELECT s.user_id AS user_id, s.session_id AS session_id,
+               s.start_us AS start_us, s.end_us AS end_us,
+               count(*) AS n_err_windows
+        FROM sessions s JOIN ew e
+          ON e.user_id = s.user_id
+         AND s.start_us <= e.w_end AND e.w_start <= s.end_us
+        GROUP BY 1, 2, 3, 4
+        ORDER BY user_id, session_id""")),
+
     // As-of join: each click matched to the user's most recent prior view
     // (graft.operators.AsOfJoin - union + sorted carry-forward, one
     // shuffle). The oracle uses DuckDB's native ASOF LEFT JOIN; event time
