@@ -76,6 +76,34 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("overlap join equals brute force and emits each pair exactly once") {
+    val rnd = new scala.util.Random(47)
+    val as = (1 to 200).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (rnd.nextInt(10).toLong, s, s + rnd.nextInt(300).toLong, i.toLong)
+    }
+    val bs = (1 to 200).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (rnd.nextInt(10).toLong, s, s + rnd.nextInt(150).toLong, i.toLong)
+    }
+    val got = RangeJoin.overlapJoin(
+      as.toDF("k", "as_", "ae", "aid"), bs.toDF("k", "bs_", "be", "bid"),
+      key = "k", aStart = "as_", aEnd = "ae", bStart = "bs_", bEnd = "be",
+      bucketWidth = 64L)
+      .select("aid", "bid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = (for {
+      (ak, s1, e1, aid) <- as
+      (bk, s2, e2, bid) <- bs
+      if ak == bk && s1 <= e2 && s2 <= e1
+    } yield (aid, bid)).toSet
+    assert(got.toSet == expected)
+    // the report-once rule must fully replace DISTINCT: a pair meeting in
+    // several buckets appears exactly once
+    assert(got.size == got.toSet.size,
+      s"${got.size - got.toSet.size} duplicate pairs emitted")
+  }
+
   test("boundary points match inclusively on both ends") {
     val p = Seq((1L, 100L, 1L), (1L, 200L, 2L), (1L, 99L, 3L), (1L, 201L, 4L))
       .toDF("k", "t", "pid")
