@@ -219,27 +219,9 @@ object TextQueries {
     // transcendental discipline).
     "quality_nb_train" -> QueryDef(
       fn = (s, d) => {
-        val width = 16
-        val tok = t(s, d, "documents")
-          .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
-            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-              .as("w"))
-          .select(col("y"),
-            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
-              % width).as("bucket"))
-        tok.groupBy("bucket")
-          .agg(sum(when(col("y") === 0L, 1L).otherwise(0L)).as("c0"),
-            sum(when(col("y") === 1L, 1L).otherwise(0L)).as("c1"))
-          .select(col("bucket"), col("c0"), col("c1"),
-            sum(col("c0")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy()).as("t0"),
-            sum(col("c1")).over(
-              org.apache.spark.sql.expressions.Window.partitionBy()).as("t1"))
-          .select(col("bucket"), col("c0"), col("c1"),
-            round(log((col("c0") + 1).cast("double")
-              / (col("t0") + width).cast("double")), 6).as("logp0"),
-            round(log((col("c1") + 1).cast("double")
-              / (col("t1") + width).cast("double")), 6).as("logp1"))
+        import graft.text.NaiveBayes
+        NaiveBayes.modelFromCounts(
+            NaiveBayes.countsFromDocs(t(s, d, "documents")))
           .orderBy("bucket")
       },
       oracle = Some("""

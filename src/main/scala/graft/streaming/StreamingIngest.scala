@@ -919,6 +919,50 @@ object StreamingIngest {
     }.select(col("key_id"), col("est"))
   }
 
+  /** Streaming Naive-Bayes classifier-count maintenance — the CLASSIFIER
+    * twin of [[toCmsSink]]: every micro-batch of documents writes its
+    * class-conditional hashed-bucket count CONTRIBUTION
+    * ([[graft.text.NaiveBayes.countsFromDocs]], ≤ Width rows) into a TAG
+    * PARTITION of the standing `db.table_nb(bucket, c0, c1, tag)` table.
+    * Counter addition is not idempotent, so per-batch grids are kept and
+    * summed at read time — a retried batch id overwrites its own
+    * partition instead of double-counting. [[nbModel]] resolves the
+    * Laplace-smoothed model off the summed counters through the SAME
+    * [[graft.text.NaiveBayes.modelFromCounts]] the batch
+    * `quality_nb_train` query uses, so the streamed and one-shot
+    * classifiers cannot drift: the model retrains continuously for the
+    * cost of Width rows per batch, never a corpus rescan. */
+  def toNbCountsSink(
+      docs: DataFrame, db: String, table: String,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          foldNbBatch(batch, db, table,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+    }
+
+  /** One micro-batch NB counter fold (the foreachBatch body of
+    * [[toNbCountsSink]], factored out for direct retry tests). Idempotent
+    * for a given tag. */
+  private[graft] def foldNbBatch(
+      batch: DataFrame, db: String, table: String,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit =
+    writeTagPartition(
+      graft.text.NaiveBayes.countsFromDocs(batch).withColumn(tagColumn, lit(tag)),
+      s"$db.${table}_nb", tagColumn)
+
+  /** The continuously-trained model off the standing counter table:
+    * counts sum across batch tags (additive merge), then the shared
+    * model arithmetic — result-identical to batch-training on the union
+    * of every ingested batch. */
+  def nbModel(spark: SparkSession, db: String, table: String): DataFrame =
+    graft.text.NaiveBayes.modelFromCounts(
+      spark.table(s"$db.${table}_nb")
+        .groupBy("bucket")
+        .agg(sum(col("c0")).as("c0"), sum(col("c1")).as("c1")))
+
   /** Streaming experiment counters — continuously-maintained A/B state:
     * every micro-batch writes its per-user purchase-count CONTRIBUTION
     * (user_id, cohort, np) into a TAG PARTITION of `db.table_ab_users`.

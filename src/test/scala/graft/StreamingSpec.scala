@@ -919,4 +919,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterRetry == direct, "retried tag double-counted its batch")
     spark.sql("DROP DATABASE ab_sink CASCADE")
   }
+
+  test("NB counts sink retrains continuously; model equals the batch trainer") {
+    import graft.text.NaiveBayes
+    val staticDocs = spark.read
+      .parquet(TestSpark.sf("sf0.001") + "/documents.parquet")
+    val dir = Files.createTempDirectory("graft-stream-nb").toString
+    staticDocs.where(col("doc_id") < 30).write.mode("overwrite")
+      .parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS nb_sink")
+    spark.sql("DROP TABLE IF EXISTS nb_sink.docs_nb")
+
+    val stream = spark.readStream.schema(staticDocs.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toNbCountsSink(stream, "nb_sink", "docs").start()
+    try {
+      q.processAllAvailable()
+      publishBatch(staticDocs.where(col("doc_id") >= 30), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("nb_sink.docs_nb")
+
+    // standing state is model-sized: <= Width rows per batch tag
+    val perTag = spark.table("nb_sink.docs_nb")
+      .groupBy("dl_ingest_date").count().collect()
+    assert(perTag.length == 2, "expected one counter grid per micro-batch")
+    perTag.foreach(r => assert(r.getLong(1) <= NaiveBayes.Width.toLong,
+      s"batch counter grid larger than Width: $r"))
+
+    def modelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    // summed counters through the SHARED model arithmetic equal training
+    // once on the union of both batches — deterministic equality
+    val streamed = modelMap(
+      StreamingIngest.nbModel(spark, "nb_sink", "docs"))
+    val batch = modelMap(
+      NaiveBayes.modelFromCounts(NaiveBayes.countsFromDocs(staticDocs)))
+    assert(streamed == batch,
+      "continuously-trained model diverges from the one-shot batch trainer")
+
+    // a RETRIED batch tag overwrites its own partition — no double count
+    StreamingIngest.foldNbBatch(
+      staticDocs.where(col("doc_id") >= 30), "nb_sink", "docs",
+      tag = "stream_b00001")
+    spark.catalog.refreshTable("nb_sink.docs_nb")
+    val afterRetry = modelMap(
+      StreamingIngest.nbModel(spark, "nb_sink", "docs"))
+    assert(afterRetry == batch, "retried tag double-counted its batch")
+    spark.sql("DROP DATABASE nb_sink CASCADE")
+  }
 }
