@@ -613,6 +613,38 @@ object DedupQueries {
         FROM reach GROUP BY node
         ORDER BY doc_id""")),
 
+    // Cluster-size census over the near-dup connected components: how
+    // many clusters of each size the corpus carries — the companion to
+    // dedup_degree_hist one level up (degrees grade the PAIR graph, this
+    // grades the CLUSTERS the release actually collapses; a giant
+    // component here means the LSH threshold chains unrelated docs
+    // through hubs before dedup_apply drops half the corpus). Sizes
+    // count singleton-free clusters (only docs appearing in a pair);
+    // two group-bounded aggregates over the pair-sized clustering.
+    "dedup_cluster_size_hist" -> QueryDef(
+      fn = (s, d) =>
+        Dedup.connectedComponents(
+            Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8))
+          .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("size"),
+      oracle = Some(s"""
+        WITH RECURSIVE ${minhashPairsCtes(0.8)},
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b),
+        cc AS (
+          SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sz AS (SELECT cluster_id, count(*) AS size FROM cc GROUP BY 1)
+        SELECT size, count(*) AS n_clusters
+        FROM sz GROUP BY size ORDER BY size""")),
+
     // The payoff step: materialize the DEDUPLICATED corpus — every doc
     // survives except cluster members that are not their cluster's
     // canonical keeper (min doc_id). Engine: anti-join against the

@@ -2144,6 +2144,70 @@ object TextQueries {
         FROM tw
         ORDER BY burst DESC, term LIMIT 25""")),
 
+    // Heaps'-law vocabulary-growth curve (Heaps'78; the V(N) ≈ K·N^β
+    // sizing law): vocabulary size vs token count at a doc-id-prefix
+    // ladder — the tokenizer/vocab budget curve next to
+    // corpus_vocab_coverage (coverage fixes N and varies the vocab
+    // budget; this grows N and watches the vocabulary). Scale shape: the
+    // whole curve derives from TWO bounded relations off ONE persisted
+    // tokenize — per-term FIRST-occurrence doc (vocab-sized) and per-doc
+    // token counts (doc-sized) — so V(k) = |{terms: first < k}| and
+    // N(k) = Σ_{doc<k} nt come from two conditional aggregates, never a
+    // distinct-count per ladder step. Ladder steps beyond the corpus
+    // saturate (repeat the full-corpus point). Driver-side ln rounds
+    // HALF_UP to 6dp, matching the oracle's round(ln(int), 6).
+    "corpus_heaps_curve" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val ks = Seq(32, 64, 128, 256, 512, 1024, 2048, 4096)
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as("w"))
+          .persist()
+        val nAggs = ks.map(k =>
+          sum(when(col("doc_id") < k, col("nt")).otherwise(0L)))
+        val nRow = toks.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+          .agg(nAggs.head, nAggs.tail: _*).head()
+        val vAggs = ks.map(k => sum(when(col("fd") < k, 1L).otherwise(0L)))
+        val vRow = toks.groupBy("w").agg(min(col("doc_id")).as("fd"))
+          .agg(vAggs.head, vAggs.tail: _*).head()
+        toks.unpersist(false)
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val rows = ks.indices.flatMap { i =>
+          val n = nRow.getLong(i); val v = vRow.getLong(i)
+          if (n > 0)
+            Some((ks(i).toLong, n, v, r6(math.log(n.toDouble)),
+              r6(math.log(v.toDouble))))
+          else None
+        }
+        rows.toDF("k", "n_tokens", "vocab", "ln_tokens", "ln_vocab")
+          .orderBy("k")
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        fw AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+        pd AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        ks AS (SELECT unnest([32, 64, 128, 256, 512, 1024, 2048, 4096]) AS k),
+        pn AS (
+          SELECT k, CAST(sum(CASE WHEN pd.doc_id < ks.k THEN pd.nt ELSE 0 END)
+                   AS BIGINT) AS n_tokens
+          FROM ks, pd GROUP BY k),
+        pv AS (
+          SELECT k, CAST(sum(CASE WHEN fw.fd < ks.k THEN 1 ELSE 0 END)
+                   AS BIGINT) AS vocab
+          FROM ks, fw GROUP BY k)
+        SELECT CAST(pn.k AS BIGINT) AS k, n_tokens, vocab,
+               round(ln(CAST(n_tokens AS DOUBLE)), 6) AS ln_tokens,
+               round(ln(CAST(vocab AS DOUBLE)), 6) AS ln_vocab
+        FROM pn JOIN pv USING (k)
+        WHERE n_tokens > 0 ORDER BY k""")),
+
     // BPE pair statistics (Bpe.pairCounts over the char-split word vocab):
     // the top-20 most frequent adjacent character pairs weighted by word
     // frequency — iteration 0 of BPE tokenizer training, hash-checking the
