@@ -218,6 +218,74 @@ object MiscQueries {
       oracle = Some(graft.sim.Pq.topKOracleSql()),
       bench = true),
 
+    // PQ reconstruction-distortion report (Jégou et al. TPAMI'11 grades
+    // a product quantizer by exactly this): per-subspace mean/max
+    // squared reconstruction error |v_m − codeword(code_m)|² over the
+    // whole corpus — the index-quality eval that says WHICH subspace's
+    // codebook is failing (recall tells you the index is bad, this says
+    // where). The monitor to re-run after every codebook retrain, next
+    // to sim_ann_recall. Cost: ONE scan of the encoded relation — codes
+    // and all 8 distortion columns are scan-side arithmetic against
+    // driver-literal codebooks, then an 8-group rollup. Per-vector
+    // distortions round to 6dp into DECIMAL (`+ 0.0` folds a −0.0 from
+    // cancellation on a vector equal to its codeword); training replays
+    // in the oracle via the shared codebook CTEs.
+    "emb_pq_distortion" -> QueryDef(
+      fn = (s, d) => {
+        import graft.sim.{Ivf, Pq}
+        import graft.functions.VectorOps
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val emb = t(s, d, "embeddings")
+        val books = Pq.trainCodebooks(emb)
+        val v = col("embedding").cast("array<double>")
+        val enc = emb.select(col("vec_id").as("id"), v.as("v"),
+          array((0 until Pq.NumSubspaces).map(m =>
+            Ivf.cellCol(Pq.subVector(v, m), books(m))): _*).as("codes"))
+        def dExpr(m: Int) = {
+          val sub = Pq.subVector(col("v"), m)
+          val book = typedLit(books(m).map(_.toSeq).toSeq)
+          val cw = element_at(book, element_at(col("codes"), m + 1) + 1)
+          round(VectorOps.dot(sub, sub) - lit(2.0) * VectorOps.dot(sub, cw)
+            + VectorOps.dot(cw, cw), 6) + lit(0.0)
+        }
+        enc.select(explode(array((0 until Pq.NumSubspaces).map(m =>
+            struct(lit(m.toLong).as("m"), dExpr(m).as("d"))): _*)).as("sd"))
+          .select(col("sd.m").as("m"), col("sd.d").as("d"))
+          .groupBy("m")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("d").cast(dec)).as("dsum"),
+            max(col("d")).as("max_distortion"))
+          .select(col("m"), col("n_vecs"),
+            round(col("dsum").cast("double")
+              / col("n_vecs").cast("double"), 6).as("mean_distortion"),
+            col("max_distortion"))
+          .orderBy("m")
+      },
+      oracle = Some {
+        val iters = graft.sim.Pq.Iters
+        val parts = (0 until graft.sim.Pq.NumSubspaces).map { m =>
+          s"""
+          SELECT $m AS m,
+                 round(list_dot_product(a.v, a.v)
+                       - 2.0 * list_dot_product(a.v, b.cv)
+                       + list_dot_product(b.cv, b.cv), 6) + 0.0 AS d
+          FROM s${m}_v a
+          JOIN s${m}_code c ON c.id = a.id
+          JOIN s${m}_c$iters b ON b.cell = c.cell"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH v AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        ${graft.sim.Pq.codebookCtes()},
+        scored AS ($parts)
+        SELECT CAST(m AS BIGINT) AS m, count(*) AS n_vecs,
+               round(CAST(sum(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS mean_distortion,
+               max(d) AS max_distortion
+        FROM scored GROUP BY m ORDER BY m"""
+      }),
+
     // IVF-PQ: the composed production architecture — coarse cells prune
     // the candidates (nprobe/numCells of the corpus per query), PQ codes
     // compress the pruned scan (ADC ranking, floats never re-read). Both
@@ -1255,6 +1323,45 @@ object MiscQueries {
         GROUP BY 1, 2, 3
         HAVING count(*) < 5
         ORDER BY nation, segment, bal_band""")),
+
+    // The APPLY pass behind the k-anonymity audit: the released relation
+    // itself, with the finest quasi-identifier (the balance band)
+    // SUPPRESSED (nulled, flag set) for every row whose
+    // (nation, segment, band) group is smaller than k=5 — the
+    // generalization step a release actually ships after
+    // privacy_k_anonymity flags the groups. One window count over the
+    // scan's own group keys (no second scan, no join back); the audit
+    // and the apply share the group definition by construction.
+    "privacy_k_apply" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "customer")
+          .select(col("c_custkey").cast("long").as("custkey"),
+            col("c_nationkey").cast("long").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("band"))
+        val n = count(lit(1)).over(
+          Window.partitionBy("nation", "segment", "band"))
+        base
+          .select(col("custkey"), col("nation"), col("segment"),
+            when(n >= 5, col("band")).otherwise(lit(null).cast("long"))
+              .as("bal_band"),
+            (n < 5).as("suppressed"))
+          .orderBy("custkey")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT CAST(c_custkey AS BIGINT) AS custkey,
+                 CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS segment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+          FROM customer),
+        w AS (
+          SELECT *, count(*) OVER (PARTITION BY nation, segment, band) AS n
+          FROM b)
+        SELECT custkey, nation, segment,
+               CASE WHEN n >= 5 THEN band ELSE NULL END AS bal_band,
+               n < 5 AS suppressed
+        FROM w ORDER BY custkey""")),
 
     // l-diversity audit — k-anonymity's complement (Machanavajjhala et
     // al., ICDE'06): a quasi-identifier group that is large enough can

@@ -313,6 +313,76 @@ object RelationalQueries {
                  AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         FROM kk GROUP BY channel ORDER BY channel""")),
 
+    // Kaplan–Meier survival curve (Kaplan & Meier'58) over user
+    // lifetimes: per day-step t, the at-risk count, the churn count
+    // (users whose observed lifetime is exactly t days), and the product-
+    // limit estimate S(t) = Π_{i≤t}(1 − d_i/n_i) — THE retention curve a
+    // growth dashboard plots (events_retention gives fixed-window cohort
+    // rates; this gives the full curve). Shape: one user-keyed aggregate
+    // → a lifetime histogram bounded by the corpus day span, then
+    // windows over that bounded relation — never a per-user sort.
+    // Determinism: the product is exp(Σ ln), each step's ln of an exact
+    // integer ratio rounded to 6dp into DECIMAL (order-independent
+    // cumulative sums); the final step (everyone at risk churns) is an
+    // exact 0.0 on both sides rather than ln(0).
+    "events_survival" -> QueryDef(
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val lt = t(s, d, "events")
+          .select(col("user_id"), Tables.eventDay.as("day"))
+          .groupBy("user_id")
+          .agg((max(col("day")) - min(col("day"))).as("t"))
+        val wRun = Window.orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val km = lt.groupBy("t").agg(count(lit(1)).as("d"))
+          .withColumn("cum", sum(col("d")).over(wRun))
+          .withColumn("n_total", sum(col("d")).over(Window.partitionBy()))
+          .withColumn("n_risk", col("n_total") - (col("cum") - col("d")))
+        val term = when(col("n_risk") === col("d"),
+            lit(null).cast(dec))
+          .otherwise(round(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")), 6).cast(dec))
+        km.withColumn("cterm", sum(term).over(wRun))
+          .select(col("t").as("t_days"), col("n_risk"),
+            col("d").as("n_churned"),
+            when(col("cum") === col("n_total"), lit(0.0))
+              .otherwise(round(exp(col("cterm").cast("double")), 6))
+              .as("survival"))
+          .orderBy("t_days")
+      },
+      oracle = Some("""
+        WITH lt AS (
+          SELECT user_id,
+                 max(epoch_us(ts) // 86400000000)
+                 - min(epoch_us(ts) // 86400000000) AS t
+          FROM events GROUP BY user_id),
+        dd AS (SELECT t, count(*) AS d FROM lt GROUP BY t),
+        km AS (
+          SELECT t, d,
+                 sum(d) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(d) OVER () AS n_total
+          FROM dd),
+        tm AS (
+          SELECT t, d, cum, n_total,
+                 n_total - (cum - d) AS n_risk,
+                 CASE WHEN n_total - (cum - d) = d THEN NULL
+                      ELSE CAST(round(ln(
+                             CAST((n_total - (cum - d)) - d AS DOUBLE)
+                             / CAST(n_total - (cum - d) AS DOUBLE)), 6)
+                           AS DECIMAL(18,6)) END AS term
+          FROM km),
+        ct AS (
+          SELECT *, sum(term) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cterm
+          FROM tm)
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_churned,
+               CASE WHEN cum = n_total THEN 0.0
+                    ELSE round(exp(CAST(cterm AS DOUBLE)), 6) END AS survival
+        FROM ct ORDER BY t_days""")),
+
     // Trailing exponential smoothing (8-tap EWMA, weight 2^-j on the
     // j-th lag): the per-entity metric smoother — half-decay weights are
     // EXACT in decimal (2^-7 = 0.0078125 needs 10 fractional digits),
