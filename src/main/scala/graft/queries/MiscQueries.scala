@@ -1324,6 +1324,91 @@ object MiscQueries {
         HAVING count(*) < 5
         ORDER BY nation, segment, bal_band""")),
 
+    // Higher-moment column profiling — skewness and excess kurtosis next
+    // to profile_table's basic stats: the two numbers that say whether a
+    // numeric column is long-tailed/peaked before anyone trusts a mean ±
+    // std summary (and the inputs a salting/binning decision reads).
+    // Shape for 100 TB: ONE scan; the two profiled columns unpivot
+    // scan-side into (column, x) and four power sums accumulate per
+    // group map-side — Σx..Σx⁴ each rounded to 6dp into DECIMAL(38,6)
+    // (x⁴ ≈ 1e20 exceeds exact-integer double range, so decimal
+    // accumulation is what keeps the sums order-independent). The
+    // closing moment algebra is identical scalar IEEE on both engines,
+    // with multiplication association pinned via explicit x2/x3/x4
+    // columns.
+    "profile_moments" -> QueryDef(
+      fn = (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+        val ex = t(s, d, "lineitem")
+          .select(explode(array(
+            struct(lit("l_quantity").as("c"), col("l_quantity").as("x")),
+            struct(lit("l_extendedprice").as("c"),
+              col("l_extendedprice").as("x")))).as("s"))
+          .select(col("s.c").as("c"), col("s.x").as("x"))
+          .withColumn("x2", col("x") * col("x"))
+          .withColumn("x3", col("x2") * col("x"))
+          .withColumn("x4", col("x3") * col("x"))
+        val g = ex.groupBy("c")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("x"), 6).cast(dec)).as("s1"),
+            sum(round(col("x2"), 6).cast(dec)).as("s2"),
+            sum(round(col("x3"), 6).cast(dec)).as("s3"),
+            sum(round(col("x4"), 6).cast(dec)).as("s4"))
+        val nD = col("n").cast("double")
+        val mean = col("s1").cast("double") / nD
+        val e2 = col("s2").cast("double") / nD
+        val e3 = col("s3").cast("double") / nD
+        val e4 = col("s4").cast("double") / nD
+        val m2 = e2 - mean * mean
+        val m3 = e3 - lit(3.0) * mean * e2 +
+          lit(2.0) * mean * mean * mean
+        val m4 = e4 - lit(4.0) * mean * e3 +
+          lit(6.0) * (mean * mean) * e2 -
+          lit(3.0) * (mean * mean * mean * mean)
+        g.select(col("c").as("column_name"), col("n"),
+            round(mean, 6).as("mean"),
+            round(sqrt(m2), 6).as("std"),
+            round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+            round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis"))
+          .orderBy("column_name")
+      },
+      oracle = Some("""
+        WITH ex AS (
+          SELECT 'l_quantity' AS c, l_quantity AS x FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem),
+        p AS (
+          SELECT c, x, x * x AS x2, (x * x) * x AS x3,
+                 ((x * x) * x) * x AS x4
+          FROM ex),
+        g AS (
+          SELECT c, count(*) AS n,
+                 sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS s1,
+                 sum(CAST(round(x2, 6) AS DECIMAL(38,6))) AS s2,
+                 sum(CAST(round(x3, 6) AS DECIMAL(38,6))) AS s3,
+                 sum(CAST(round(x4, 6) AS DECIMAL(38,6))) AS s4
+          FROM p GROUP BY c),
+        m AS (
+          SELECT c, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+          FROM g),
+        mm AS (
+          SELECT c, n, mean,
+                 e2 - mean * mean AS m2,
+                 e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean AS m3,
+                 e4 - 4.0 * mean * e3 + 6.0 * (mean * mean) * e2
+                   - 3.0 * (mean * mean * mean * mean) AS m4
+          FROM m)
+        SELECT c AS column_name, n,
+               round(mean, 6) AS mean,
+               round(sqrt(m2), 6) AS std,
+               round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+               round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+        FROM mm ORDER BY column_name""")),
+
     // The APPLY pass behind the k-anonymity audit: the released relation
     // itself, with the finest quasi-identifier (the balance band)
     // SUPPRESSED (nulled, flag set) for every row whose

@@ -313,6 +313,61 @@ object RelationalQueries {
                  AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         FROM kk GROUP BY channel ORDER BY channel""")),
 
+    // CUSUM changepoint statistic (Page'54) over the daily event series:
+    // per day, the cumulative sum of deviations from the series mean —
+    // the curve's extremum localizes the most likely level shift, THE
+    // classic drift/changepoint monitor over ingest volume (a pipeline
+    // dashboard plots exactly this under every rate chart). Shape: one
+    // day-grouped aggregate (bounded by the corpus day span), then
+    // windows over that bounded relation. Per-day deviations round to
+    // 6dp into DECIMAL so the running sums are exact; the peak flag is
+    // an exact decimal comparison.
+    "events_cusum" -> QueryDef(
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val daily = t(s, d, "events")
+          .select(Tables.eventDay.as("day"))
+          .groupBy("day").agg(count(lit(1)).as("n_events"))
+        val mu = sum(col("n_events")).over(Window.partitionBy())
+          .cast("double") /
+          count(lit(1)).over(Window.partitionBy()).cast("double")
+        val wRun = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("dev",
+            round(col("n_events").cast("double") - mu, 6).cast(dec))
+          .withColumn("cusum", sum(col("dev")).over(wRun))
+          .withColumn("is_peak",
+            abs(col("cusum")) === max(abs(col("cusum")))
+              .over(Window.partitionBy()))
+          .select(col("day"), col("n_events"),
+            col("cusum").cast("double").as("cusum"), col("is_peak"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+          FROM events GROUP BY 1),
+        m AS (
+          SELECT day, n_events,
+                 CAST(sum(n_events) OVER () AS DOUBLE)
+                 / CAST(count(*) OVER () AS DOUBLE) AS mu
+          FROM daily),
+        dv AS (
+          SELECT day, n_events,
+                 CAST(round(CAST(n_events AS DOUBLE) - mu, 6)
+                   AS DECIMAL(18,6)) AS dev
+          FROM m),
+        cs AS (
+          SELECT day, n_events,
+                 sum(dev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+          FROM dv)
+        SELECT day, n_events,
+               CAST(cusum AS DOUBLE) AS cusum,
+               abs(cusum) = max(abs(cusum)) OVER () AS is_peak
+        FROM cs ORDER BY day""")),
+
     // Kaplan–Meier survival curve (Kaplan & Meier'58) over user
     // lifetimes: per day-step t, the at-risk count, the churn count
     // (users whose observed lifetime is exactly t days), and the product-
