@@ -1426,6 +1426,38 @@ object RelationalQueries {
           ON c.user_id = v.user_id AND c.us >= v.us
         ORDER BY c.user_id, c.event_id""")),
 
+    // FORWARD as-of join — the attribution direction of join_asof: each
+    // click matched to the user's EARLIEST view at-or-after it
+    // (next-touch semantics). Same union + sorted-carry shape with the
+    // partition sort reversed; the oracle uses DuckDB's native forward
+    // ASOF (`ON c.us <= v.us`).
+    "join_asof_forward" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), Tables.eventUs.as("us"),
+            col("event_type"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "event_id", "us")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "us", "value")
+        graft.operators.AsOfJoin
+          .asOfForward(clicks, views, key = "user_id", time = "us",
+            payload = Seq("value"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+          FROM events),
+        c AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click'),
+        v AS (SELECT user_id, us, max(value) AS asof_value
+              FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.user_id AS user_id, c.event_id AS event_id, c.us AS us,
+               v.asof_value AS asof_value
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.us <= v.us
+        ORDER BY c.user_id, c.event_id""")),
+
     // ROLLUP grouping sets; NULLS FIRST pinned on both sides (Spark default
     // asc = nulls first, DuckDB default = nulls last).
     "agg_rollup" -> QueryDef(

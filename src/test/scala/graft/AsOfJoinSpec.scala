@@ -42,4 +42,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     val row = AsOfJoin.asOf(l, r, "k", "t", Seq("v")).head()
     assert(row.getDouble(3) == 7.0)
   }
+
+  test("forward as-of equals the brute-force definition on random data") {
+    val rnd = new scala.util.Random(53)
+    val lefts = (1 to 500).map(i =>
+      (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(100).toLong))
+    val rights = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(100).toLong, rnd.nextInt(1000).toDouble))
+
+    val got = AsOfJoin.asOfForward(
+      lefts.toDF("k", "id", "t"), rights.toDF("k", "t", "v"),
+      key = "k", time = "t", payload = Seq("v"))
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    lefts.foreach { case (k, id, t) =>
+      val eligible = rights.filter(r => r._1 == k && r._2 >= t)
+      val expected =
+        if (eligible.isEmpty) None
+        else {
+          val tmin = eligible.map(_._2).min
+          Some(eligible.filter(_._2 == tmin).map(_._3).max)
+        }
+      assert(got(id) == expected, s"left id=$id k=$k t=$t")
+    }
+  }
+
+  test("forward: a right row at exactly the left time matches (>= semantics)") {
+    val l = Seq((1L, 10L, 100L)).toDF("k", "id", "t")
+    val r = Seq((1L, 100L, 7.0), (1L, 120L, 9.0)).toDF("k", "t", "v")
+    val row = AsOfJoin.asOfForward(l, r, "k", "t", Seq("v")).head()
+    assert(row.getDouble(3) == 7.0)
+  }
 }
