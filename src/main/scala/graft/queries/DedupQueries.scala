@@ -613,6 +613,26 @@ object DedupQueries {
         FROM reach GROUP BY node
         ORDER BY doc_id""")),
 
+    // Verified-pair Jaccard histogram (0.02-wide bins): where the
+    // near-dup mass sits between the 0.8 threshold and exact duplication
+    // — mass piled AT the threshold means the cut is splitting a dense
+    // similarity cloud (move it or expect instability between crawls);
+    // mass at 1.0 means mirrors/exact copies LSH is re-finding. The
+    // threshold-placement view next to dedup_lsh_recall (which grades
+    // whether pairs are FOUND, this grades where they LAND). One
+    // group-bounded aggregate over the verified pair relation.
+    "dedup_jaccard_hist" -> QueryDef(
+      fn = (s, d) =>
+        Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8)
+          .select(floor(col("jaccard") * 50).cast("long").as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("bin"),
+      oracle = Some(s"""
+        WITH ${minhashPairsCtes(0.8)}
+        SELECT CAST(floor(jaccard * 50) AS BIGINT) AS bin,
+               count(*) AS n_pairs
+        FROM pairs GROUP BY 1 ORDER BY bin""")),
+
     // Cluster-size census over the near-dup connected components: how
     // many clusters of each size the corpus carries — the companion to
     // dedup_degree_hist one level up (degrees grade the PAIR graph, this

@@ -313,6 +313,56 @@ object RelationalQueries {
                  AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         FROM kk GROUP BY channel ORDER BY channel""")),
 
+    // Gini coefficient of per-user event volume — the whale/concentration
+    // number ("what share of traffic is a handful of users") every abuse
+    // and capacity review quotes. Computed in the GROUPED form: instead
+    // of ranking every user (a global sort of the per-user relation),
+    // the activity-level HISTOGRAM (distinct count values — bounded by
+    // max activity, not user count) carries block rank-sums
+    // x·(f·r_prev + f(f+1)/2), so the only window runs over the bounded
+    // histogram. Everything is exact integer arithmetic until the single
+    // closing IEEE division — bit-identical across engines with no
+    // rounding discipline needed.
+    "events_gini" -> QueryDef(
+      fn = (s, d) => {
+        val wRun = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("f"))
+          .withColumn("rprev", coalesce(sum(col("f")).over(wRun), lit(0L)))
+          .withColumn("blk",
+            col("x") * (col("f") * col("rprev") +
+              expr("f * (f + 1) DIV 2")))
+          .agg(sum(col("f")).as("n"), sum(col("x") * col("f")).as("s"),
+            sum(col("blk")).as("sixi"))
+          .select(col("n").as("n_users"), col("s").as("total_events"),
+            round((lit(2L) * col("sixi") - (col("n") + 1) * col("s"))
+              .cast("double")
+              / (col("n") * col("s")).cast("double"), 6).as("gini"))
+      },
+      oracle = Some("""
+        WITH ux AS (
+          SELECT user_id, count(*) AS x FROM events GROUP BY user_id),
+        h AS (SELECT x, count(*) AS f FROM ux GROUP BY x),
+        r AS (
+          SELECT x, f,
+                 coalesce(sum(f) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS rprev
+          FROM h),
+        b AS (
+          SELECT x, f, rprev,
+                 x * (f * rprev + (f * (f + 1)) // 2) AS blk
+          FROM r),
+        t AS (
+          SELECT sum(f) AS n, sum(x * f) AS s, sum(blk) AS sixi FROM b)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               CAST(s AS BIGINT) AS total_events,
+               round(CAST(2 * sixi - (n + 1) * s AS DOUBLE)
+                     / CAST(n * s AS DOUBLE), 6) AS gini
+        FROM t""")),
+
     // CUSUM changepoint statistic (Page'54) over the daily event series:
     // per day, the cumulative sum of deviations from the series mean —
     // the curve's extremum localizes the most likely level shift, THE
