@@ -1724,6 +1724,80 @@ object TextQueries {
     // side totals are pulled to the driver (threshold-pull pattern) so
     // no one-row cross join appears. CDF ratios are int/int IEEE
     // divisions — bit-identical cross-engine.
+    "quality_psi_drift" -> QueryDef(
+      // Population Stability Index between the two snapshot halves — the
+      // OTHER industry drift metric next to the KS statistic (KS reports
+      // the worst single CDF gap; PSI = Σ (p−q)·ln(p/q) accumulates
+      // drift across the whole distribution — the score-monitoring
+      // number with the 0.1/0.25 action thresholds every model-risk
+      // handbook quotes). Scores bin at 1dp (the conventional ~10-bucket
+      // granularity); counts are add-one smoothed over the observed bin
+      // set so an empty side cannot produce ln(0). Shape: one scored
+      // scan, one bin-bounded aggregate, a window for the bin count —
+      // per-bin terms (which are ≥ 0 by construction) round to 6dp into
+      // DECIMAL, so the index is an exact sum.
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val scored = t(s, d, "documents")
+          .select(round(TextAnalysis.qualityScore(col("text")), 1).as("bin"),
+            (col("doc_id") % 2).as("side"))
+          .persist()
+        val tot = scored.groupBy("side").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (nA, nB) = (tot.getOrElse(0L, 0L), tot.getOrElse(1L, 0L))
+        val counts = scored.groupBy("bin")
+          .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("a"),
+            sum(when(col("side") === 1, 1L).otherwise(0L)).as("b"))
+          .withColumn("k",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()))
+        val p = (col("a") + 1).cast("double") / (lit(nA) + col("k")).cast("double")
+        val q = (col("b") + 1).cast("double") / (lit(nB) + col("k")).cast("double")
+        val out = counts
+          .select(col("k"),
+            round((p - q) * log(p / q), 6).cast(dec).as("term"))
+          .groupBy("k").agg(sum(col("term")).as("psum"))
+          .select(lit(nA).as("n_a"), lit(nB).as("n_b"),
+            col("k").as("n_bins"),
+            col("psum").cast("double").as("psi"))
+          .persist()
+        out.count() // materialize while the scored cache is live
+        scored.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH sc AS (
+          SELECT round($qualitySql, 1) AS bin, doc_id % 2 AS side
+          FROM documents),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+          FROM sc),
+        cnt AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS b
+          FROM sc GROUP BY bin),
+        ck AS (SELECT *, count(*) OVER () AS k FROM cnt),
+        pq AS (
+          SELECT k,
+                 CAST(a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS p,
+                 CAST(b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS q
+          FROM ck, tot),
+        tm AS (
+          SELECT k, CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6))
+                   AS term
+          FROM pq)
+        SELECT (SELECT na FROM tot) AS n_a,
+               (SELECT nb FROM tot) AS n_b,
+               CAST(k AS BIGINT) AS n_bins,
+               CAST(sum(term) AS DOUBLE) AS psi
+        FROM tm GROUP BY k""")),
+
     "quality_ks_drift" -> QueryDef(
       fn = (s, d) => {
         val scored = t(s, d, "documents")
