@@ -313,6 +313,70 @@ object RelationalQueries {
                  AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         FROM kk GROUP BY channel ORDER BY channel""")),
 
+    // Market-basket association over per-user event-type sets (Agrawal
+    // et al. SIGMOD'93 support/confidence + the lift correction): for
+    // every unordered type pair, how often users who do A also do B and
+    // whether that exceeds independence — the feature-coupling view
+    // behind "users who error also churn" dashboards. Shape: one
+    // DISTINCT (user, type) shuffle, a user-co-partitioned self-join
+    // bounded by (types-per-user choose 2), then joins against the
+    // TYPE-cardinality-bounded count relation (AQE broadcasts 5 rows).
+    // All metrics are exact-integer ratios; single IEEE divisions,
+    // rounded at 6dp.
+    "events_basket_assoc" -> QueryDef(
+      fn = (s, d) => {
+        val ut = t(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct().persist()
+        val nUsers = ut.select("user_id").distinct().count()
+        val tc = ut.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n"))
+        val pairs = ut.as("x").join(ut.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"),
+            col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val out = pairs
+          .join(tc.select(col("t").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+          .join(tc.select(col("t").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            col("n_a"), col("n_b"),
+            round(col("n_both").cast("double") / lit(nUsers.toDouble), 6)
+              .as("support"),
+            round(col("n_both").cast("double") / col("n_a").cast("double"), 6)
+              .as("confidence"),
+            round((col("n_both") * lit(nUsers)).cast("double")
+              / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+          .orderBy("type_a", "type_b")
+          .persist()
+        out.count() // materialize while the (user, type) cache is live
+        ut.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH ut AS (
+          SELECT DISTINCT user_id, event_type FROM events),
+        nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        tc AS (SELECT event_type AS t, count(*) AS n FROM ut GROUP BY 1),
+        pr AS (
+          SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 count(*) AS n_both
+          FROM ut x JOIN ut y
+            ON x.user_id = y.user_id AND x.event_type < y.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               round(CAST(n_both AS DOUBLE) / CAST(nu.n_users AS DOUBLE), 6)
+                 AS support,
+               round(CAST(n_both AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+                 AS confidence,
+               round(CAST(n_both * nu.n_users AS DOUBLE)
+                     / CAST(a.n * b.n AS DOUBLE), 6) AS lift
+        FROM pr
+        JOIN tc a ON a.t = pr.type_a
+        JOIN tc b ON b.t = pr.type_b, nu
+        ORDER BY type_a, type_b""")),
+
     // Gini coefficient of per-user event volume — the whale/concentration
     // number ("what share of traffic is a handful of users") every abuse
     // and capacity review quotes. Computed in the GROUPED form: instead
