@@ -313,6 +313,64 @@ object RelationalQueries {
                  AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
         FROM kk GROUP BY channel ORDER BY channel""")),
 
+    // Seasonality-conditioned rate anomaly: each hour's event count
+    // z-scored against its OWN hour-of-day baseline (mean/std of that
+    // wall-clock hour across the series) — the monitor that catches a
+    // quiet-hour spike a global threshold hides behind daytime volume
+    // (events_anomaly z-scores VALUES per type; this z-scores RATES per
+    // diurnal slot, composing events_seasonality's baseline with the
+    // z-gate). Two aggregates over the day-span-bounded hourly relation;
+    // all moments are exact integer sums, z is one IEEE chain, NULL for
+    // degenerate (zero-variance) slots.
+    "events_seasonal_anomaly" -> QueryDef(
+      fn = (s, d) => {
+        val hourly = t(s, d, "events")
+          .select(Tables.eventHour.as("hr"))
+          .groupBy("hr").agg(count(lit(1)).as("n_events"))
+          .withColumn("hod", col("hr") % 24)
+        val base = hourly.groupBy("hod")
+          .agg(count(lit(1)).as("nh"),
+            sum(col("n_events")).as("s"),
+            sum(col("n_events") * col("n_events")).as("s2"))
+          .select(col("hod"),
+            (col("s").cast("double") / col("nh").cast("double")).as("mean"),
+            sqrt((col("s2").cast("double")
+              - col("s").cast("double") * col("s").cast("double")
+                / col("nh").cast("double")) / col("nh").cast("double"))
+              .as("sd"))
+        hourly.join(base, Seq("hod"))
+          .select(col("hr"), col("hod"), col("n_events"),
+            when(col("sd") > 0,
+              round((col("n_events").cast("double") - col("mean"))
+                / col("sd"), 6))
+              .otherwise(lit(null).cast("double")).as("z"))
+          .orderBy("hr")
+      },
+      oracle = Some("""
+        WITH hourly AS (
+          SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS n_events
+          FROM events GROUP BY 1),
+        h AS (SELECT hr, n_events, hr % 24 AS hod FROM hourly),
+        b AS (
+          SELECT hod, count(*) AS nh, sum(n_events) AS s,
+                 sum(n_events * n_events) AS s2
+          FROM h GROUP BY hod),
+        st AS (
+          SELECT hod,
+                 CAST(s AS DOUBLE) / CAST(nh AS DOUBLE) AS mean,
+                 sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(nh AS DOUBLE)) / CAST(nh AS DOUBLE)) AS sd
+          FROM b)
+        SELECT h.hr, CAST(h.hod AS BIGINT) AS hod,
+               h.n_events,
+               CASE WHEN st.sd > 0
+                    THEN round((CAST(h.n_events AS DOUBLE) - st.mean)
+                               / st.sd, 6)
+                    ELSE NULL END AS z
+        FROM h JOIN st USING (hod)
+        ORDER BY h.hr""")),
+
     // Market-basket association over per-user event-type sets (Agrawal
     // et al. SIGMOD'93 support/confidence + the lift correction): for
     // every unordered type pair, how often users who do A also do B and

@@ -677,6 +677,42 @@ object SimilarityQueries {
       fn = (s, d) => graft.sim.KCenter.coverage(t(s, d, "embeddings"), k = 8),
       oracle = Some(graft.sim.KCenter.coverageOracleSql(8))),
 
+    // Label-balanced downsampling: every class kept at exactly the
+    // MINORITY class size by deterministic md5-rank within label — the
+    // class-balancing primitive before training a classifier on skewed
+    // labels (sample_fixed_per_group caps at a constant; this derives
+    // the cap from the data so no class dominates and none is padded).
+    // One label-keyed window rank + a label-cardinality-bounded count
+    // join (AQE broadcasts it); the md5 rank makes the kept set stable
+    // across runs and engines.
+    "sample_balanced_classes" -> QueryDef(
+      fn = (s, d) => {
+        val base = t(s, d, "embeddings").select(col("vec_id"), col("label"))
+        val m = base.groupBy("label").agg(count(lit(1)).as("n"))
+          .withColumn("m", min(col("n")).over(Window.partitionBy()))
+          .select(col("label"), col("m"))
+        val rk = row_number().over(Window.partitionBy("label")
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id")))
+        base.withColumn("rk", rk.cast("long"))
+          .join(m, Seq("label"))
+          .where(col("rk") <= col("m"))
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        mm AS (SELECT label, min(n) OVER () AS m FROM c),
+        r AS (
+          SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          FROM embeddings)
+        SELECT r.vec_id, CAST(r.label AS BIGINT) AS label
+        FROM r JOIN mm ON mm.label = r.label
+        WHERE r.rk <= mm.m
+        ORDER BY r.vec_id""")),
+
     // Mean pairwise cosine / corpus embedding diversity — computed
     // EXACTLY in O(n·d) via the sum-vector identity: for unit vectors,
     // Σ_{i≠j} v̂_i·v̂_j = ‖Σv̂‖² − Σ‖v̂‖², so the O(n²) statistic needs

@@ -1724,6 +1724,46 @@ object TextQueries {
     // side totals are pulled to the driver (threshold-pull pattern) so
     // no one-row cross join appears. CDF ratios are int/int IEEE
     // divisions — bit-identical cross-engine.
+    // Code-vs-prose detection signals (the CodeParrot/StarCoder-style
+    // pre-filter heuristics — public methodology): per doc, code-symbol
+    // density ({};()=[]<>), programming-keyword hits, and indented-line
+    // count, with the composed is_code verdict (symbol density > 3% or
+    // >= 3 keywords). The routing signal an LLM corpus needs before
+    // text-only quality rules mis-score source files. Pure codegen'd
+    // regexp counting on the scan — no shuffle, no explode; integer
+    // counts + one rounded density division.
+    "text_code_detect" -> QueryDef(
+      fn = (s, d) => {
+        val sym = regexp_count(col("text"), lit("[{}();=\\[\\]<>]"))
+        val kw = regexp_count(lower(col("text")),
+          lit("\\b(def|class|import|return|lambda|void|function|public|static|val|var)\\b"))
+        val ind = regexp_count(col("text"), lit("(?m)^  "))
+        t(s, d, "documents")
+          .select(col("doc_id"), sym.cast("long").as("n_sym"),
+            kw.cast("long").as("n_kw"), ind.cast("long").as("n_indent"),
+            round(sym.cast("double") / length(col("text")), 6)
+              .as("sym_ratio"),
+            (sym.cast("double") / length(col("text")) > 0.03 ||
+              kw >= 3).as("is_code"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[{}();=\[\]<>]')) AS n_sym,
+                 len(regexp_extract_all(lower(text),
+                   '\b(def|class|import|return|lambda|void|function|public|static|val|var)\b'))
+                   AS n_kw,
+                 len(regexp_extract_all(text, '(?m)^  ')) AS n_indent,
+                 length(text) AS nc
+          FROM documents)
+        SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+               CAST(n_kw AS BIGINT) AS n_kw,
+               CAST(n_indent AS BIGINT) AS n_indent,
+               round(CAST(n_sym AS DOUBLE) / nc, 6) AS sym_ratio,
+               (CAST(n_sym AS DOUBLE) / nc > 0.03 OR n_kw >= 3) AS is_code
+        FROM m ORDER BY doc_id""")),
+
     "quality_psi_drift" -> QueryDef(
       // Population Stability Index between the two snapshot halves — the
       // OTHER industry drift metric next to the KS statistic (KS reports
