@@ -633,6 +633,118 @@ object DedupQueries {
                count(*) AS n_pairs
         FROM pairs GROUP BY 1 ORDER BY bin""")),
 
+    // Decision-rule sweep over the estimator threshold: at each candidate
+    // cut t, the pairs the SIGNATURE ESTIMATOR would keep (agree/k >= t)
+    // versus the pairs that are TRULY >= t by exact Jaccard — per-threshold
+    // precision AND recall of the thresholded estimator, the tuning curve
+    // read before moving a dedup release's threshold (dedup_lsh_recall
+    // grades the bands at ONE cut; dedup_minhash_est_quality grades the
+    // estimator pointwise; this grades the DECISION RULE across the
+    // plausible operating range — near the cut the estimator's
+    // sqrt(J(1-J)/k) noise misclassifies in both directions, and this is
+    // where that shows up as precision/recall loss). Ground truth is
+    // quadratic by design, so it runs on the same capped slice as
+    // dedup_lsh_recall (doc_id < 200) with candidates keyed on shared
+    // shingles (equi-join, never cartesian). One bounded pair relation
+    // carries both scores; the 5-cut ladder explodes over that tiny
+    // relation, never the corpus. est = agree/16 is an exact power-of-two
+    // division on both engines, so cut comparisons cannot drift.
+    "dedup_threshold_sweep" -> QueryDef(
+      fn = (s, d) => {
+        val slice = t(s, d, "documents").where(col("doc_id") < 200)
+        val sh = Dedup.shingles(slice)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cand = sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sigs = Dedup.minHashSignatures(slice)
+        val sa = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") "doc_a" else s"${c}_a"): _*)
+        val sb = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") "doc_b" else s"${c}_b"): _*)
+        val agree = (0 until Dedup.NumHashes)
+          .map(i => when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0))
+          .reduce(_ + _)
+        val scored = Dedup.jaccard(cand, sh)
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("jaccard"),
+            (agree.cast("double") / Dedup.NumHashes).as("est"))
+          .persist()
+        val cuts = Seq(0.7, 0.75, 0.8, 0.85, 0.9)
+        val out = scored
+          .select(col("jaccard"), col("est"),
+            explode(array(cuts.map(lit(_)): _*)).as("thr"))
+          .groupBy("thr")
+          .agg(
+            sum(when(col("jaccard") >= col("thr"), 1L).otherwise(0L))
+              .as("n_true"),
+            sum(when(col("est") >= col("thr"), 1L).otherwise(0L))
+              .as("n_pred"),
+            sum(when(col("jaccard") >= col("thr") && col("est") >= col("thr"),
+              1L).otherwise(0L)).as("n_tp"))
+          .select(col("thr"), col("n_true"), col("n_pred"), col("n_tp"),
+            when(col("n_pred") === 0, lit(1.0))
+              .otherwise(round(col("n_tp").cast("double")
+                / col("n_pred").cast("double"), 6)).as("prec"),
+            when(col("n_true") === 0, lit(1.0))
+              .otherwise(round(col("n_tp").cast("double")
+                / col("n_true").cast("double"), 6)).as("recall"))
+          .orderBy("thr")
+          .persist()
+        out.count() // materialize while the shingle/pair caches are live
+        sh.unpersist(false); scored.unpersist(false)
+        out
+      },
+      oracle = Some(s"""
+        WITH sl AS (SELECT * FROM documents WHERE doc_id < 200),
+        ${minhashPairsCtes(0.8, src = "sl")},
+        ecand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        einter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM ecand c
+          JOIN sh s1 ON s1.doc_id = c.doc_a
+          JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+          GROUP BY c.doc_a, c.doc_b),
+        escore AS (
+          SELECT round(i.i / (na.n + nb.n - i.i), 6) AS jaccard,
+                 CAST(($agreeSumSql) AS DOUBLE) / ${Dedup.NumHashes} AS est
+          FROM einter i
+          JOIN sizes na ON i.doc_a = na.doc_id
+          JOIN sizes nb ON i.doc_b = nb.doc_id
+          JOIN sigs sa ON sa.doc_id = i.doc_a
+          JOIN sigs sb ON sb.doc_id = i.doc_b),
+        ts AS (SELECT CAST(unnest([0.7, 0.75, 0.8, 0.85, 0.9]) AS DOUBLE)
+                 AS thr)
+        SELECT thr,
+               CAST(sum(CASE WHEN jaccard >= thr THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_true,
+               CAST(sum(CASE WHEN est >= thr THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pred,
+               CAST(sum(CASE WHEN jaccard >= thr AND est >= thr
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+               CASE WHEN sum(CASE WHEN est >= thr THEN 1 ELSE 0 END) = 0
+                    THEN 1.0
+                    ELSE round(
+                      CAST(sum(CASE WHEN jaccard >= thr AND est >= thr
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(CASE WHEN est >= thr THEN 1 ELSE 0 END)
+                             AS DOUBLE), 6) END AS prec,
+               CASE WHEN sum(CASE WHEN jaccard >= thr THEN 1 ELSE 0 END) = 0
+                    THEN 1.0
+                    ELSE round(
+                      CAST(sum(CASE WHEN jaccard >= thr AND est >= thr
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(sum(CASE WHEN jaccard >= thr THEN 1 ELSE 0 END)
+                             AS DOUBLE), 6) END AS recall
+        FROM escore, ts
+        GROUP BY thr ORDER BY thr""")),
+
     // Cluster-size census over the near-dup connected components: how
     // many clusters of each size the corpus carries — the companion to
     // dedup_degree_hist one level up (degrees grade the PAIR graph, this

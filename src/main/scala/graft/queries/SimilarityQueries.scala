@@ -713,6 +713,110 @@ object SimilarityQueries {
         WHERE r.rk <= mm.m
         ORDER BY r.vec_id""")),
 
+    // Johnson–Lindenstrauss sign-projection distortion (Achlioptas JCSS'03:
+    // ±1 entries satisfy the JL lemma with the same guarantees as Gaussian
+    // matrices, and multiply-free): project the 64-dim embeddings to
+    // k = 16 dims with a deterministic md5-derived ±1 matrix and measure,
+    // on a capped probe slice, how well squared L2 distances survive —
+    // ratio = ‖ya−yb‖²/(k·‖xa−xb‖²), the number that says whether a
+    // k-dim sketch of the embedding column is safe for coarse candidate
+    // generation (store 4× less, prune with the sketch, verify exact).
+    // The probe slice (vec_id < 30) bounds the pair count; BOTH distance
+    // matrices come from coordinate-keyed equi-joins (a.j = b.j), never a
+    // cartesian. Determinism: signed terms round to 6dp into DECIMAL, so
+    // projections and both distance sums are exact decimal arithmetic;
+    // the closing ratio is one IEEE division by 16·d2 (16 exact).
+    "emb_jl_distortion" -> QueryDef(
+      fn = (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val ex = t(s, d, "embeddings").where(col("vec_id") < 30)
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("p0", "x")))
+          .select(col("vec_id"), (col("p0") + 1).as("j"), col("x"))
+          .persist()
+        val sign = conv(
+          substring(md5(concat_ws("_", col("i"), col("j"))), 1, 4), 16, 10)
+          .cast("long") % 2
+        val proj = ex
+          .select(col("vec_id"), col("j"), col("x"),
+            explode(sequence(lit(1), lit(16))).as("i"))
+          .select(col("vec_id"), col("i"),
+            round(when(sign === 0, col("x")).otherwise(-col("x")), 6)
+              .cast(dec).as("tx"))
+          .groupBy("vec_id", "i")
+          .agg(sum(col("tx")).cast(dec).cast("double").as("y"))
+        val ya = proj.select(col("vec_id").as("vec_a"), col("i"),
+          col("y").as("ya"))
+        val yb = proj.select(col("vec_id").as("vec_b"), col("i"),
+          col("y").as("yb"))
+        val d2p = ya.join(yb, Seq("i"))
+          .where(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round((col("ya") - col("yb")) * (col("ya") - col("yb")), 6)
+              .cast(dec).as("tt"))
+          .groupBy("vec_a", "vec_b")
+          .agg(sum(col("tt")).cast("double").as("d2_proj"))
+        val xa = ex.select(col("vec_id").as("vec_a"), col("j"),
+          col("x").as("xa"))
+        val xb = ex.select(col("vec_id").as("vec_b"), col("j"),
+          col("x").as("xb"))
+        val d2o = xa.join(xb, Seq("j"))
+          .where(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round((col("xa") - col("xb")) * (col("xa") - col("xb")), 6)
+              .cast(dec).as("tt"))
+          .groupBy("vec_a", "vec_b")
+          .agg(sum(col("tt")).cast("double").as("d2_orig"))
+        val out = d2o.join(d2p, Seq("vec_a", "vec_b"))
+          .where(col("d2_orig") > 0)
+          .select(col("vec_a"), col("vec_b"), col("d2_orig"), col("d2_proj"),
+            round(col("d2_proj") / (lit(16.0) * col("d2_orig")), 6)
+              .as("ratio"))
+          .orderBy("vec_a", "vec_b")
+          .persist()
+        out.count() // materialize while the coordinate cache is live
+        ex.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH pr AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 30),
+        ex AS (
+          SELECT vec_id, CAST(j AS INT) AS j, v[CAST(j AS INT)] AS x
+          FROM (SELECT vec_id, v, unnest(generate_series(1, 64)) AS j
+                FROM pr)),
+        tx AS (
+          SELECT vec_id, i,
+                 CAST(round(CASE WHEN CAST('0x' || substr(md5(
+                        CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                        1, 4) AS BIGINT) % 2 = 0
+                      THEN x ELSE -x END, 6) AS DECIMAL(18,6)) AS tx
+          FROM (SELECT vec_id, j, x, unnest(generate_series(1, 16)) AS i
+                FROM ex)),
+        yy AS (
+          SELECT vec_id, i,
+                 CAST(CAST(sum(tx) AS DECIMAL(18,6)) AS DOUBLE) AS y
+          FROM tx GROUP BY 1, 2),
+        dp AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(sum(CAST(round((a.y - b.y) * (a.y - b.y), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS d2_proj
+          FROM yy a JOIN yy b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        dd AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(sum(CAST(round((a.x - b.x) * (a.x - b.x), 6)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS d2_orig
+          FROM ex a JOIN ex b ON a.j = b.j AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT dd.vec_a, dd.vec_b, d2_orig, d2_proj,
+               round(d2_proj / (16.0 * d2_orig), 6) AS ratio
+        FROM dd JOIN dp ON dp.vec_a = dd.vec_a AND dp.vec_b = dd.vec_b
+        WHERE d2_orig > 0
+        ORDER BY dd.vec_a, dd.vec_b""")),
+
     // Mean pairwise cosine / corpus embedding diversity — computed
     // EXACTLY in O(n·d) via the sum-vector identity: for unit vectors,
     // Σ_{i≠j} v̂_i·v̂_j = ‖Σv̂‖² − Σ‖v̂‖², so the O(n²) statistic needs

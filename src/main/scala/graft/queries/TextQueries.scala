@@ -2780,6 +2780,118 @@ object TextQueries {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Interpolated Kneser–Ney bigram LM (Kneser–Ney ICASSP'95 smoothing in
+    // the interpolated form of Chen–Goodman TR-10-98) scored HELD-OUT like
+    // the backoff trigram: counts train on the even-doc half, the odd half
+    // scores. KN's insight over add-one/backoff: the lower-order
+    // distribution should be CONTINUATION counts (in how many distinct
+    // contexts does w appear), not raw frequency — "francisco" is frequent
+    // but follows only "san", so it gets a small continuation weight.
+    //   P(w|v) = (max(c(vw)−D, 0) + D·N1+(v·)·Pcont(w)) / c(v)
+    // with fixed discount D = 3/4 and Pcont(w) = (N1+(·w)+1)/(N1pp+V)
+    // (add-one on continuation counts as the OOV floor, same convention
+    // as the backoff query's unigram floor). With D = 3/4 the whole term
+    // is ONE integer ratio — scale by 4: max(4·c(vw)−3, 0) is exact for
+    // integer counts — so both engines take ln() of identical rationals:
+    //   P = (max(4c12−3,0)·S + 3·N1v·(N1w+1)) / (4·c1·S),  S = N1pp+V.
+    // An unseen context falls back to Pcont alone. Per-position lps round
+    // to 6dp into DECIMAL. Shape: train explode persisted, feeds bigram /
+    // context / continuation counts (all vocab²-bounded); N1pp and V are
+    // two pulled scalars; the scoring stream left-joins three bounded
+    // count relations (AQE's choice) — the same join plan at 100 TB.
+    "text_kneser_ney_logprob" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        def toks(pred: org.apache.spark.sql.Column) =
+          docs.where(pred).select(col("doc_id"),
+            posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+              .as(Seq("pos", "w")))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        def big(tk: org.apache.spark.sql.DataFrame) = tk
+          .withColumn("w2", lead(col("w"), 1).over(wd))
+          .where(col("w2").isNotNull)
+          .select(col("doc_id"), col("w").as("w1"), col("w2"))
+        val train = toks(col("doc_id") % 2 === 0).persist()
+        val trainBig = big(train).persist()
+        val bcnt = trainBig.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val ctx = trainBig.groupBy("w1")
+          .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1v"))
+        val cont = trainBig.select("w1", "w2").distinct()
+          .groupBy("w2").agg(count(lit(1)).as("n1w"))
+        val n1pp = trainBig.select("w1", "w2").distinct().count()
+        val v = train.select("w").distinct().count()
+        val sS = n1pp + v // Pcont denominator S = N1pp + V, a train constant
+        val n1wS = coalesce(col("n1w"), lit(0L)) + 1
+        val lp = when(col("c1").isNull,
+            // unseen context: pure smoothed continuation probability
+            log(n1wS.cast("double") / lit(sS.toDouble)))
+          .otherwise(log(
+            (greatest(lit(0L), lit(4L) * coalesce(col("c12"), lit(0L)) - 3)
+              * lit(sS) + lit(3L) * col("n1v") * n1wS).cast("double")
+              / (lit(4L) * col("c1") * lit(sS)).cast("double")))
+        val out = big(toks(col("doc_id") % 2 === 1))
+          .join(bcnt, Seq("w1", "w2"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .join(cont, Seq("w2"), "left")
+          .select(col("doc_id"),
+            round(lp, 6).cast(DecimalType(18, 6)).as("lp"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("lp")).cast("double") / count(lit(1)), 6)
+              .as("avg_logprob"))
+          .orderBy("doc_id")
+          .persist()
+        out.count() // materialize while the train caches are live
+        train.unpersist(false); trainBig.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        big AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tl WHERE doc_id % 2 = 0)),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+        cx AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS n1v
+               FROM big GROUP BY 1),
+        bt AS (SELECT DISTINCT w1, w2 FROM big),
+        ct AS (SELECT w2, count(*) AS n1w FROM bt GROUP BY 1),
+        st AS (SELECT (SELECT count(*) FROM bt)
+                      + (SELECT count(DISTINCT w)
+                         FROM (SELECT unnest(toks) AS w FROM tl
+                               WHERE doc_id % 2 = 0)) AS s),
+        sc AS (
+          SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tl WHERE doc_id % 2 = 1)),
+        lp AS (
+          SELECT b.doc_id,
+                 CAST(round(CASE
+                   WHEN cx.c1 IS NULL THEN
+                     ln(CAST(coalesce(ct.n1w, 0) + 1 AS DOUBLE)
+                        / CAST(st.s AS DOUBLE))
+                   ELSE
+                     ln(CAST(greatest(4 * coalesce(bc.c12, 0) - 3, 0) * st.s
+                             + 3 * cx.n1v * (coalesce(ct.n1w, 0) + 1)
+                          AS DOUBLE)
+                        / CAST(4 * cx.c1 * st.s AS DOUBLE))
+                 END, 6) AS DECIMAL(18,6)) AS lp
+          FROM sc b
+          LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+          LEFT JOIN cx ON cx.w1 = b.w1
+          LEFT JOIN ct ON ct.w2 = b.w2, st)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id ORDER BY doc_id""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
