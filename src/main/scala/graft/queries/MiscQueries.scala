@@ -1808,6 +1808,59 @@ object MiscQueries {
       oracle = Some(pagerankOracle),
       bench = true),
 
+    // k-core peeling (Seidman, Social Networks'83) over the same user
+    // co-occurrence graph as graph_triangles: iteratively remove nodes of
+    // degree < k (k = 3) — the classic dense-subgraph/spam-ring locator
+    // (surviving the 3-core requires mutually reinforcing co-activity a
+    // bot ring shows and drive-by users don't). Unrolled to 4 synchronous
+    // rounds like the PageRank/BPE trainers (a zero-removal round means
+    // the core converged; the round rows make that visible), each round =
+    // one degree aggregate + two key-semi-joins — all integer, so the
+    // oracle replays the rounds as chained CTEs bit-exactly. At 100 TB:
+    // per-round cost is one shuffle on node id over the CURRENT edge set
+    // (shrinking monotonically); a production fixpoint loop checkpoints
+    // every few rounds exactly like Graph.pageRank.
+    "graph_kcore" -> QueryDef(
+      fn = (s, d) => {
+        val k = 3; val rounds = 4
+        val b = t(s, d, "events")
+          .select(col("event_type"),
+            graft.sources.Tables.eventMinute.as("mn"),
+            col("user_id"))
+          .distinct()
+        var prev = b.as("x").join(b.as("y"),
+            col("x.event_type") === col("y.event_type") &&
+              col("x.mn") === col("y.mn") &&
+              col("x.user_id") < col("y.user_id"))
+          .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+          .distinct()
+          .persist()
+        val rows = collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
+        (1 to rounds).foreach { r =>
+          val deg = prev.select(col("a").as("u"))
+            .unionAll(prev.select(col("b").as("u")))
+            .groupBy("u").agg(count(lit(1)).as("dg"))
+            .persist()
+          val nNodes = deg.count()
+          val nRemoved = deg.where(col("dg") < k).count()
+          val keep = deg.where(col("dg") >= k)
+          val next = prev
+            .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+            .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+            .persist()
+          val nEdges = next.count()
+          deg.unpersist(false); prev.unpersist(false)
+          rows += ((r, nNodes, nRemoved, nEdges))
+          prev = next
+        }
+        prev.unpersist(false)
+        val sp = s
+        import sp.implicits._
+        rows.toSeq.toDF("round", "n_nodes", "n_removed", "n_edges_after")
+          .orderBy("round")
+      },
+      oracle = Some(kcoreOracle)),
+
     // Triangle census + global clustering coefficient over the user
     // co-occurrence graph (users sharing an (event_type, minute) activity
     // bucket — minute granularity keeps bucket occupancy small, so the
@@ -1869,6 +1922,42 @@ object MiscQueries {
                  AS clustering
         FROM agg"""))
   )
+
+  /** k-core peeling rounds unrolled as chained CTEs from the same k/rounds
+    * constants as the engine; all-integer so the replay is bit-exact. */
+  private lazy val kcoreOracle: String = {
+    val k = 3; val rounds = 4
+    val its = (1 to rounds).map { r =>
+      s"""d$r AS (
+            SELECT u, count(*) AS dg
+            FROM (SELECT a AS u FROM e${r - 1}
+                  UNION ALL SELECT b FROM e${r - 1})
+            GROUP BY u),
+          e$r AS (
+            SELECT e.a, e.b
+            FROM e${r - 1} e
+            JOIN d$r ka ON ka.u = e.a AND ka.dg >= $k
+            JOIN d$r kb ON kb.u = e.b AND kb.dg >= $k)"""
+    }.mkString(",\n")
+    val reports = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+            (SELECT count(*) FROM d$r) AS n_nodes,
+            (SELECT count(*) FROM d$r WHERE dg < $k) AS n_removed,
+            (SELECT count(*) FROM e$r) AS n_edges_after"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH bk AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 60000000 AS mn, user_id
+        FROM events),
+      e0 AS (
+        SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        FROM bk x JOIN bk y
+          ON x.event_type = y.event_type AND x.mn = y.mn
+             AND x.user_id < y.user_id),
+      $its
+      SELECT * FROM ($reports) ORDER BY round"""
+  }
 
   /** Oracle iterations generated from the same constants as the engine
     * (Graph.DefaultScale, PagerankIters) so the two sides can't drift:

@@ -2892,6 +2892,72 @@ object TextQueries {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Bootstrap confidence interval for the corpus mean quality score —
+    // error bars on the data-card number, via the BAYESIAN bootstrap
+    // (Rubin, Ann. Stat.'81: per-doc Exp(1) weights instead of integer
+    // multinomial multiplicities — same first-order behavior as Efron'79,
+    // and deterministic here because the weights derive from md5):
+    // resample b gives doc i weight w = −ln(u_ib), u_ib = (h+1)/2^48 off
+    // the md5 48-bit prefix (division by 2^48 is exact, so both engines
+    // ln() the identical double), and the resample mean is Σw·q / Σw with
+    // both sums 6dp-DECIMAL-accumulated. With B = 32 resamples the
+    // reported interval is the resample-mean RANGE (min/max ≈ the
+    // 2.5/97.5 order statistics at this B). At 100 TB: the B weights are
+    // computed scan-side, the aggregate is one B-group shuffle with
+    // map-side partials — the corpus is scanned once regardless of B.
+    "quality_bootstrap_ci" -> QueryDef(
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val B = 32
+        val q = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+        val st = q.agg(count(lit(1)), sum(col("q").cast(dec))).head()
+        val n = st.getLong(0)
+        val meanQ = st.getDecimal(1).doubleValue / n
+        val w = -log(
+          (conv(substring(md5(concat_ws("_", col("doc_id"), col("b"))),
+            1, 12), 16, 10).cast("long") + 1).cast("double")
+            / lit(281474976710656.0))
+        val means = q
+          .select(col("doc_id"), col("q"),
+            explode(sequence(lit(1), lit(B))).as("b"))
+          .select(col("b"),
+            round(w * col("q"), 6).cast(dec).as("wq"),
+            round(w, 6).cast(dec).as("wr"))
+          .groupBy("b")
+          .agg((sum(col("wq")).cast("double") / sum(col("wr")).cast("double"))
+            .as("m"))
+        means.agg(round(min(col("m")), 6).as("ci_lo"),
+            round(max(col("m")), 6).as("ci_hi"))
+          .select(lit(n).as("n_docs"), lit(B.toLong).as("n_resamples"),
+            round(lit(meanQ), 6).as("mean_q"), col("ci_lo"), col("ci_hi"))
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT doc_id, $qualitySql AS q FROM documents),
+        r AS (SELECT doc_id, q, unnest(generate_series(1, 32)) AS b FROM q),
+        w AS (
+          SELECT b, q,
+                 -ln(CAST(CAST(concat('0x', substr(md5(concat(
+                        CAST(doc_id AS VARCHAR), '_', CAST(b AS VARCHAR))),
+                        1, 12)) AS BIGINT)
+                        + 1 AS DOUBLE) / 281474976710656.0) AS w
+          FROM r),
+        m AS (
+          SELECT b,
+                 CAST(sum(CAST(round(w * q, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(round(w, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS m
+          FROM w GROUP BY b),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE)
+                        / count(*) AS mq
+               FROM q)
+        SELECT st.n_docs, CAST(32 AS BIGINT) AS n_resamples,
+               round(st.mq, 6) AS mean_q,
+               round((SELECT min(m) FROM m), 6) AS ci_lo,
+               round((SELECT max(m) FROM m), 6) AS ci_hi
+        FROM st""")),
+
     // Canonical fingerprint: md5 over normalized text.
     "text_fingerprint" -> QueryDef(
       fn = (s, d) =>
