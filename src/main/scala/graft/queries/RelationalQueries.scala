@@ -1927,6 +1927,107 @@ object RelationalQueries {
                  AS DOUBLE) AS hour_sum
         FROM events ORDER BY event_id""")),
 
+    // Sliding 7-day distinct users (the MAU/WAU curve) off MERGEABLE daily
+    // KMV sketches — the sliding-window-distinct shape that actually ships
+    // at 100 TB: an exact trailing distinct re-touches 7 days of raw
+    // events PER DAY (7× amplification, and distinct-over-window cannot
+    // partial-aggregate), while the sketch path maintains one bottom-64
+    // sketch per day (the standing table a streaming sink would keep) and
+    // answers every window from 7×64 standing rows by the lossless KMV
+    // union-recut (any hash among the window's 64 smallest is among its
+    // own day's 64 smallest — Beyer et al. SIGMOD'07). When the merged
+    // union holds < 64 distinct hashes every contributing daily sketch
+    // was complete, so the estimate IS the exact count. The window fan-out
+    // is an explode of each day's 64 sketch rows to the ≤7 target days —
+    // an equi-join, never a range nested-loop. The exact side here is
+    // oracle evidence, bounded at harness scale.
+    "events_mau_sketch" -> QueryDef(
+      fn = (s, d) => {
+        val k = 64
+        val H = 281474976710656.0 // 2^48, the md5-prefix hash range
+        val du = t(s, d, "events")
+          .select(Tables.eventDay.as("day"), col("user_id")).distinct()
+          .persist()
+        val days = du.select(col("day")).distinct()
+        val wDay = Window.partitionBy(col("day"))
+          .orderBy(col("h"), col("user_id"))
+        val sk = du
+          .withColumn("h",
+            conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+              .cast("long"))
+          .withColumn("rn", row_number().over(wDay))
+          .where(col("rn") <= k)
+          .select("day", "h", "user_id")
+        val contrib = sk
+          .select(col("h"), col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("tday"))
+          .join(days.select(col("day").as("tday")), Seq("tday"), "left_semi")
+          .select(col("tday"), col("h"), col("user_id")).distinct()
+        val wT = Window.partitionBy(col("tday"))
+          .orderBy(col("h"), col("user_id"))
+        val est = contrib
+          .withColumn("rn", row_number().over(wT))
+          .where(col("rn") <= k)
+          .groupBy("tday")
+          .agg(count(lit(1)).as("m"),
+            max(when(col("rn") === k, col("h"))).as("hk"))
+          .select(col("tday").as("day"),
+            when(col("m") < k, col("m").cast("double"))
+              .otherwise(lit((k - 1).toDouble * H) / col("hk")).as("raw"))
+        val exact = du
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("tday"))
+          .join(days.select(col("day").as("tday")), Seq("tday"), "left_semi")
+          .groupBy("tday").agg(countDistinct(col("user_id")).as("n_exact"))
+          .select(col("tday").as("day"), col("n_exact"))
+        val out = exact.join(est, Seq("day"))
+          .select(col("day"), col("n_exact"), round(col("raw"), 6).as("est"))
+          .orderBy("day")
+          .persist()
+        out.count() // materialize while the (day, user) cache is live
+        du.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH du AS (
+          SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+          FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        hs AS (
+          SELECT day, user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) AS h
+          FROM du),
+        sk AS (
+          SELECT day, h, user_id
+          FROM (SELECT day, h, user_id,
+                       row_number() OVER (PARTITION BY day
+                                          ORDER BY h, user_id) AS rn
+                FROM hs)
+          WHERE rn <= 64),
+        contrib AS (
+          SELECT DISTINCT t.day AS tday, s.h, s.user_id
+          FROM sk s JOIN days t ON t.day BETWEEN s.day AND s.day + 6),
+        mr AS (
+          SELECT tday, h,
+                 row_number() OVER (PARTITION BY tday
+                                    ORDER BY h, user_id) AS rn
+          FROM contrib),
+        est AS (
+          SELECT tday AS day, count(*) AS m,
+                 max(CASE WHEN rn = 64 THEN h END) AS hk
+          FROM mr WHERE rn <= 64 GROUP BY 1),
+        ex AS (
+          SELECT t.day, count(DISTINCT u.user_id) AS n_exact
+          FROM du u JOIN days t ON t.day BETWEEN u.day AND u.day + 6
+          GROUP BY 1)
+        SELECT ex.day, ex.n_exact,
+               round(CASE WHEN est.m < 64 THEN CAST(est.m AS DOUBLE)
+                          ELSE 63.0 * 281474976710656 / est.hk END, 6)
+                 AS est
+        FROM ex JOIN est ON est.day = ex.day
+        ORDER BY ex.day""")),
+
     // Sliding DISTINCT count over a value-based frame: per user, the
     // maximum number of distinct event types seen in any trailing 1-hour
     // window. Spark has no DISTINCT window aggregate, so the engine form

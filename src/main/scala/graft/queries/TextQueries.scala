@@ -2892,6 +2892,64 @@ object TextQueries {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Mutual information between the language and source mixtures — the
+    // metadata-association number next to corpus_diversity's per-column
+    // entropies: MI ≈ 0 means sources are language-balanced (a language
+    // gate won't silently drop a source, and vice versa); high MI means
+    // the two dimensions confound and per-(lang, source) budgets are
+    // needed. MI = Σ (n_ls/N)·ln(n_ls·N / (n_l·n_s)) computed as integer
+    // products inside ln (identical rationals on both engines), per-cell
+    // terms n_ls·ln(·) rounded to 6dp into DECIMAL, ONE closing division
+    // by N. The joint table is |langs|×|sources|-bounded (map-side
+    // partials at any corpus size); marginals re-aggregate the joint, not
+    // the corpus. MI ≥ 0 in exact arithmetic but the rounded sum can land
+    // an ulp under zero on independent mixtures → the +0.0 guard after
+    // the round, the −0.0 rule the engine uses everywhere.
+    "corpus_lang_source_mi" -> QueryDef(
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val joint = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("nls"))
+          .persist()
+        val nTot = joint.agg(sum(col("nls"))).head.getLong(0)
+        val nl = joint.groupBy("lang").agg(sum(col("nls")).as("nl"))
+        val ns = joint.groupBy("source").agg(sum(col("nls")).as("ns"))
+        val logv = log((col("nls") * lit(nTot)).cast("double")
+          / (col("nl") * col("ns")).cast("double"))
+        val out = joint.join(nl, "lang").join(ns, "source")
+          .select(round(col("nls").cast("double") * logv, 6).cast(dec)
+            .as("term"))
+          .agg(sum(col("term")).as("tsum"))
+          .select(lit(nTot).as("n_docs"),
+            (round(col("tsum").cast("double") / lit(nTot.toDouble), 6)
+              + lit(0.0)).as("mi_nats"))
+          .persist()
+        out.count() // materialize while the joint cache is live
+        joint.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH joint AS (
+          SELECT lang, source, count(*) AS nls
+          FROM documents GROUP BY 1, 2),
+        nl AS (SELECT lang, CAST(sum(nls) AS BIGINT) AS nl
+               FROM joint GROUP BY 1),
+        ns AS (SELECT source, CAST(sum(nls) AS BIGINT) AS ns
+               FROM joint GROUP BY 1),
+        nt AS (SELECT CAST(sum(nls) AS BIGINT) AS n FROM joint),
+        terms AS (
+          SELECT CAST(round(CAST(j.nls AS DOUBLE)
+                   * ln(CAST(j.nls * nt.n AS DOUBLE)
+                        / CAST(nl.nl * ns.ns AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS term
+          FROM joint j
+          JOIN nl ON nl.lang = j.lang
+          JOIN ns ON ns.source = j.source, nt)
+        SELECT nt.n AS n_docs,
+               round(CAST((SELECT sum(term) FROM terms) AS DOUBLE)
+                     / CAST(nt.n AS DOUBLE), 6) + 0.0 AS mi_nats
+        FROM nt""")),
+
     // Bootstrap confidence interval for the corpus mean quality score —
     // error bars on the data-card number, via the BAYESIAN bootstrap
     // (Rubin, Ann. Stat.'81: per-doc Exp(1) weights instead of integer
