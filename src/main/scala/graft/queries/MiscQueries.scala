@@ -631,12 +631,13 @@ object MiscQueries {
     // operator, complementing agg_approx_distinct (Spark's opaque HLL,
     // tolerance-adjudicated) and agg_kmv_distinct (order statistics).
     // m = 64 registers over the md5-prefix 48-bit hash: bucket = h mod 64,
-    // rho = leading-zero rank of h div 64 (47 − bitlength, via the minimal
+    // rho = leading-zero rank of h div 64 in its 42-bit frame (43 −
+    // bitlength, via the minimal
     // binary string both engines render identically), register = max rho.
-    // Estimate = alpha_64·m² / Σ 2^(−M_j), computed EXACTLY: scale by 2^47
+    // Estimate = alpha_64·m² / Σ 2^(−M_j), computed EXACTLY: scale by 2^43
     // so the denominator is an integer sum of power-of-two terms (max
-    // 64·2^47 = 2^53, still exact in a double), absent buckets contribute
-    // 2^47 each; then ONE IEEE division by the same driver-side constant.
+    // 64·2^43 = 2^49, exact in a double), absent buckets contribute
+    // 2^43 each; then ONE IEEE division by the same driver-side constant.
     // The standard small-range branch applies linear counting m·ln(m/V)
     // when E ≤ 2.5m and V(=empty registers) > 0 — ln of an integer ratio,
     // identical across engines. At 100 TB: registers are one group-bounded
@@ -645,7 +646,7 @@ object MiscQueries {
     // min — estimates never rescan data.
     "agg_hll_distinct" -> QueryDef(
       fn = (s, d) => {
-        val alphaNum = 0.709 * 4096.0 * 140737488355328.0 // α_64·m²·2^47
+        val alphaNum = 0.709 * 4096.0 * 8796093022208.0 // α_64·m²·2^43
         val pairs = t(s, d, "events")
           .select(col("event_type"), col("user_id")).distinct()
           .withColumn("h",
@@ -655,17 +656,17 @@ object MiscQueries {
           .select(col("event_type"), (col("h") % 64).as("bucket"),
             expr("h DIV 64").as("wv"))
           .select(col("event_type"), col("bucket"),
-            when(col("wv") === 0, lit(47))
-              .otherwise(lit(47) - length(conv(col("wv"), 10, 2))).as("rho"))
+            when(col("wv") === 0, lit(43))
+              .otherwise(lit(43) - length(conv(col("wv"), 10, 2))).as("rho"))
           .groupBy("event_type", "bucket").agg(max(col("rho")).as("mj"))
         val grouped = regs.groupBy("event_type")
           .agg(count(lit(1)).as("n_present"),
-            sum(expr("shiftleft(cast(1 as bigint), cast(47 - mj as int))"))
+            sum(expr("shiftleft(cast(1 as bigint), cast(43 - mj as int))"))
               .as("s_present"))
           .select(col("event_type"),
             (lit(64L) - col("n_present")).as("n_zero"),
             (col("s_present")
-              + (lit(64L) - col("n_present")) * lit(140737488355328L))
+              + (lit(64L) - col("n_present")) * lit(8796093022208L))
               .cast("double").as("s_int"))
         val estRaw = lit(alphaNum) / col("s_int")
         val est = when(estRaw <= 160.0 && col("n_zero") > 0,
@@ -688,23 +689,23 @@ object MiscQueries {
           FROM d),
         r AS (
           SELECT event_type, h % 64 AS bucket,
-                 CASE WHEN h // 64 = 0 THEN 47
-                      ELSE 47 - length(bin(h // 64)) END AS rho
+                 CASE WHEN h // 64 = 0 THEN 43
+                      ELSE 43 - length(bin(h // 64)) END AS rho
           FROM h),
         b AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
         g AS (
           SELECT event_type,
                  64 - count(*) AS n_zero,
-                 CAST(CAST(sum(CAST(1 AS BIGINT) << (47 - mj)) AS BIGINT)
-                      + (64 - count(*)) * 140737488355328 AS DOUBLE) AS s_int
+                 CAST(CAST(sum(CAST(1 AS BIGINT) << (43 - mj)) AS BIGINT)
+                      + (64 - count(*)) * 8796093022208 AS DOUBLE) AS s_int
           FROM b GROUP BY 1),
         n AS (SELECT event_type, count(*) AS n_exact FROM d GROUP BY 1),
         e AS (
           SELECT n.event_type, n.n_exact,
-                 CASE WHEN ${0.709 * 4096.0 * 140737488355328.0} / s_int <= 160.0
+                 CASE WHEN ${0.709 * 4096.0 * 8796093022208.0} / s_int <= 160.0
                            AND n_zero > 0
                       THEN 64.0 * ln(64.0 / n_zero)
-                      ELSE ${0.709 * 4096.0 * 140737488355328.0} / s_int
+                      ELSE ${0.709 * 4096.0 * 8796093022208.0} / s_int
                  END AS est
           FROM n JOIN g ON g.event_type = n.event_type)
         SELECT event_type, n_exact, round(est, 6) AS est,
