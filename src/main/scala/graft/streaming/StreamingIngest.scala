@@ -788,6 +788,83 @@ object StreamingIngest {
           .otherwise(lit((k - 1).toDouble * H) / col("hk")), 6).as("est"))
   }
 
+  /** Streaming HyperLogLog register maintenance — the MAX-merge twin of
+    * [[toSketchSink]]'s min-k union: every micro-batch folds its per-group
+    * register contributions into a standing `db.table_hll(g, bucket, mj)`
+    * table (≤ groups × 64 rows; the same md5-prefix hash, bucket = h mod
+    * 64, rho in the 42-bit remaining frame as the batch
+    * `agg_hll_distinct`). Register max-merge is a set-style operation like
+    * KMV's min — re-folding a retried (at-least-once) batch takes
+    * max(x, x) = x and changes nothing, so idempotency falls out of the
+    * algebra with no tag bookkeeping. [[hllEstimates]] answers distinct
+    * counts from the standing registers through the same exact
+    * power-of-two arithmetic as the batch query, so streamed and one-shot
+    * estimates are deterministically EQUAL, never just close. */
+  def toHllSink(
+      events: DataFrame, db: String, table: String,
+      groupCol: String = "event_type", keyCol: String = "user_id"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) foldHllBatch(batch, db, table, groupCol, keyCol)
+    }
+
+  /** One micro-batch fold: standing registers ∪ batch registers, max per
+    * (group, bucket). Bounded at groups × 64 rows by construction. */
+  private def foldHllBatch(
+      batch: DataFrame, db: String, table: String,
+      groupCol: String, keyCol: String): Unit = {
+    val s = batch.sparkSession
+    val tbl = s"$db.${table}_hll"
+    val regs = batch
+      .select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("long").as("key_id"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("key_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .select(col("g"), (col("h") % 64).as("bucket"),
+        expr("h DIV 64").as("wv"))
+      .select(col("g"), col("bucket"),
+        when(col("wv") === 0, lit(43))
+          .otherwise(lit(43) - length(conv(col("wv"), 10, 2)))
+          .cast("int").as("mj"))
+      .groupBy("g", "bucket").agg(max(col("mj")).as("mj"))
+    val base =
+      if (s.catalog.tableExists(tbl))
+        s.table(tbl).select("g", "bucket", "mj").unionByName(regs)
+      else regs
+    val merged = base.groupBy("g", "bucket").agg(max(col("mj")).as("mj"))
+    // groups × 64 rows by construction: safe to pin on the driver so the
+    // overwrite does not read the table it replaces
+    val rows = merged.collect().toSeq
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, merged.schema)
+      .write.mode("overwrite").format("parquet").saveAsTable(tbl)
+  }
+
+  /** Per-group HLL estimates off the standing register table — the same
+    * exact arithmetic as the batch `agg_hll_distinct`: integer denominator
+    * Σ 2^(43−M_j) (absent buckets contribute 2^43), one IEEE division,
+    * linear counting m·ln(m/V) in the small range. */
+  def hllEstimates(spark: SparkSession, db: String, table: String): DataFrame = {
+    val alphaNum = 0.709 * 4096.0 * 8796093022208.0 // α_64·m²·2^43
+    val g = spark.table(s"$db.${table}_hll")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(43 - mj as int))"))
+          .as("s_present"))
+      .select(col("g"),
+        (lit(64L) - col("n_present")).as("n_zero"),
+        (col("s_present")
+          + (lit(64L) - col("n_present")) * lit(8796093022208L))
+          .cast("double").as("s_int"))
+    val estRaw = lit(alphaNum) / col("s_int")
+    val est = when(estRaw <= 160.0 && col("n_zero") > 0,
+        lit(64.0) * log(lit(64.0) / col("n_zero").cast("double")))
+      .otherwise(estRaw)
+    g.select(col("g"), round(est, 6).as("est"))
+  }
+
   /** Streaming novelty annotation (graft.text.Novelty at ingest): every
     * micro-batch is scored against the STANDING gram→first-doc table and
     * written tag-partitioned with its novelty columns; the batch's own

@@ -744,6 +744,70 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE kmv_sink CASCADE")
   }
 
+  test("HLL sink max-merges micro-batch registers into the standing table") {
+    val dir = Files.createTempDirectory("graft-stream-hll").toString
+    staticEvents.where(col("event_id") < 400).write.mode("overwrite")
+      .parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS hll_sink")
+    spark.sql("DROP TABLE IF EXISTS hll_sink.events_hll")
+
+    val stream = spark.readStream.schema(staticEvents.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toHllSink(stream, "hll_sink", "events").start()
+    try {
+      q.processAllAvailable()
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b2")
+      q.processAllAvailable()
+      // re-publish batch 2's CONTENT as a new file: register max-merge is
+      // idempotent (max(x, x) = x), so the standing table must not change
+      val before = spark.table("hll_sink.events_hll")
+        .collect().map(_.toSeq).toSet
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b3")
+      q.processAllAvailable()
+      spark.catalog.refreshTable("hll_sink.events_hll")
+      val after = spark.table("hll_sink.events_hll")
+        .collect().map(_.toSeq).toSet
+      assert(after == before, "re-folding identical elements changed registers")
+    } finally q.stop()
+
+    // standing registers equal the direct one-shot registers over ALL
+    // events — the cross-micro-batch form of max-merge losslessness
+    spark.catalog.refreshTable("hll_sink.events_hll")
+    val direct = staticEvents
+      .select(col("event_type").cast("string").as("g"),
+        col("user_id").cast("long").as("key_id"))
+      .distinct()
+      .withColumn("h",
+        conv(substring(md5(col("key_id").cast("string")), 1, 12), 16, 10)
+          .cast("long"))
+      .select(col("g"), (col("h") % 64).as("bucket"),
+        expr("h DIV 64").as("wv"))
+      .select(col("g"), col("bucket"),
+        when(col("wv") === 0, lit(43))
+          .otherwise(lit(43) - length(conv(col("wv"), 10, 2)))
+          .cast("int").as("mj"))
+      .groupBy("g", "bucket").agg(max(col("mj")).as("mj"))
+      .collect().map(_.toSeq).toSet
+    val standing = spark.table("hll_sink.events_hll")
+      .select("g", "bucket", "mj").collect().map(_.toSeq).toSet
+    assert(standing == direct,
+      "standing registers diverge from the one-shot registers over all data")
+
+    // estimates are sane against exact distincts (same ±bias tolerance
+    // SketchSpec uses for the batch HLL)
+    val est = StreamingIngest.hllEstimates(spark, "hll_sink", "events")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = staticEvents.groupBy(col("event_type").cast("string").as("g"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (g, e) =>
+      val n = exact(g).toDouble
+      assert(math.abs(e - n) / n < 0.5,
+        s"$g: HLL estimate $e implausibly far from exact $n")
+    }
+    spark.sql("DROP DATABASE hll_sink CASCADE")
+  }
+
   test("novelty sink scores batches against the standing gram table") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream-novelty").toString
