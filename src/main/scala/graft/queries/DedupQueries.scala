@@ -481,6 +481,73 @@ object DedupQueries {
         JOIN sigs sb ON sb.doc_id = p.doc_b
         ORDER BY p.doc_a, p.doc_b""")),
 
+    // b-bit minwise hashing calibration (Li–König, CACM'11): store only
+    // the LOWEST 2 BITS of each minhash coordinate — 4 bytes per doc for
+    // the whole 16-coordinate signature instead of 128, the storage shape
+    // a 100 TB standing signature index actually wants — and correct the
+    // estimator for random low-bit collisions: E[agree_b] = C + (1−C)·J
+    // with C = 2^(−b), so Ĵ = (A − ¼)/(¾) = (a − 4)/12 for integer
+    // agreement count a, clamped at 0. This query grades that trade per
+    // verified pair: exact Jaccard, the full-width estimate (a_full/16),
+    // and the 2-bit estimate side by side with both absolute errors —
+    // the compression-calibration view read before shrinking the index.
+    // One persisted signature scan feeds the pairs pipeline and both
+    // agreement columns; everything after the pair relation is
+    // pair-bounded. All estimates are integer ratios — exact on both
+    // engines.
+    "dedup_minhash_bbit" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minHashSignatures(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs =
+          Dedup.minHashLshPairs(docs, threshold = 0.8, precomputedSigs = Some(sigs))
+        val sa = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") "doc_a" else s"${c}_a"): _*)
+        val sb = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") "doc_b" else s"${c}_b"): _*)
+        val agreeFull = (0 until Dedup.NumHashes)
+          .map(i => when(col(s"m${i}_a") === col(s"m${i}_b"), 1).otherwise(0))
+          .reduce(_ + _)
+        val agreeB = (0 until Dedup.NumHashes)
+          .map(i => when(col(s"m${i}_a") % 4 === col(s"m${i}_b") % 4, 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        val k = lit(Dedup.NumHashes.toDouble)
+        val estFull = agreeFull / k
+        val estB = greatest(agreeB - 4, lit(0)).cast("double") / lit(12.0)
+        val out = pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            round(estFull, 6).as("est_full"),
+            round(estB, 6).as("est_2bit"),
+            round(abs(estFull - col("jaccard")), 6).as("err_full"),
+            round(abs(estB - col("jaccard")), 6).as("err_2bit"))
+          .orderBy("doc_a", "doc_b")
+          .persist()
+        out.count() // materialize while the shared signature cache is live
+        sigs.unpersist(false)
+        out
+      },
+      oracle = Some({
+        val agreeBSql = (0 until Dedup.NumHashes)
+          .map(i => s"CASE WHEN sa.m$i % 4 = sb.m$i % 4 THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH ${minhashPairsCtes(0.8)}
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               round(($agreeSumSql) / ${Dedup.NumHashes}.0, 6) AS est_full,
+               round(CAST(greatest(($agreeBSql) - 4, 0) AS DOUBLE) / 12.0, 6)
+                 AS est_2bit,
+               round(abs(($agreeSumSql) / ${Dedup.NumHashes}.0 - p.jaccard), 6)
+                 AS err_full,
+               round(abs(CAST(greatest(($agreeBSql) - 4, 0) AS DOUBLE) / 12.0
+                         - p.jaccard), 6) AS err_2bit
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_a
+        JOIN sigs sb ON sb.doc_id = p.doc_b
+        ORDER BY p.doc_a, p.doc_b"""
+      })),
+
     // LSH recall evaluation — the dedup twin of sim_ann_recall: how many
     // of the TRUE near-dup pairs (exact all-pairs Jaccard >= 0.8) does
     // the banded MinHash pipeline actually surface? Recall < 1 means a

@@ -2892,6 +2892,97 @@ object TextQueries {
                round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Jensen–Shannon divergence between two snapshots' UNIGRAM
+    // distributions (even-doc vs odd-doc halves as the two snapshots) —
+    // the vocabulary-level drift monitor next to quality_psi_drift's
+    // score-level PSI and quality_ks_drift's worst-gap statistic: JS is
+    // symmetric, bounded by ln 2, and (unlike KL) finite when either side
+    // has vocabulary the other lacks, which is exactly the drift case.
+    // Everything inside ln() is an integer ratio — p/m = 2·cp·NQ /
+    // (cp·NQ + cq·NP) with corpus-count products < 2^53 — so both engines
+    // ln() identical rationals; per-term cp·ln(·) rounds to 6dp into
+    // DECIMAL; the two closing divisions by 2·N are IEEE on identical
+    // operands. One tokenize explode, two vocab-bounded aggregates, a
+    // vocab-sized full-outer join — no corpus-sized shuffle.
+    "corpus_js_divergence" -> QueryDef(
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .as("w"))
+        val cp = toks.where(col("doc_id") % 2 === 0)
+          .groupBy("w").agg(count(lit(1)).as("cp"))
+        val cq = toks.where(col("doc_id") % 2 === 1)
+          .groupBy("w").agg(count(lit(1)).as("cq"))
+        val j = cp.join(cq, Seq("w"), "full_outer")
+          .select(coalesce(col("cp"), lit(0L)).as("cp"),
+            coalesce(col("cq"), lit(0L)).as("cq"))
+          .persist()
+        val st = j.agg(sum(col("cp")), sum(col("cq")),
+          sum(when(col("cp") > 0, 1L).otherwise(0L)),
+          sum(when(col("cq") > 0, 1L).otherwise(0L))).head()
+        val np = st.getLong(0); val nq = st.getLong(1)
+        val va = st.getLong(2); val vb = st.getLong(3)
+        val zero = lit(0).cast(dec)
+        val t1 = sum(when(col("cp") > 0,
+          round(col("cp").cast("double")
+            * log((lit(2L) * col("cp") * lit(nq)).cast("double")
+              / (col("cp") * lit(nq) + col("cq") * lit(np)).cast("double")),
+            6).cast(dec)).otherwise(zero))
+        val t2 = sum(when(col("cq") > 0,
+          round(col("cq").cast("double")
+            * log((lit(2L) * col("cq") * lit(np)).cast("double")
+              / (col("cp") * lit(nq) + col("cq") * lit(np)).cast("double")),
+            6).cast(dec)).otherwise(zero))
+        val out = j.agg(t1.as("t1"), t2.as("t2"))
+          .select(lit(va).as("vocab_a"), lit(vb).as("vocab_b"),
+            (round(col("t1").cast("double") / lit(2.0 * np)
+              + col("t2").cast("double") / lit(2.0 * nq), 6) + lit(0.0))
+              .as("js_nats"))
+          .persist()
+        out.count() // materialize while the joint-count cache is live
+        j.unpersist(false)
+        out
+      },
+      oracle = Some("""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        cpt AS (SELECT w, count(*) AS cp FROM tok WHERE doc_id % 2 = 0
+                GROUP BY w),
+        cqt AS (SELECT w, count(*) AS cq FROM tok WHERE doc_id % 2 = 1
+                GROUP BY w),
+        j AS (
+          SELECT coalesce(cpt.cp, 0) AS cp, coalesce(cqt.cq, 0) AS cq
+          FROM cpt FULL OUTER JOIN cqt ON cpt.w = cqt.w),
+        st AS (
+          SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cq) AS BIGINT) AS nq,
+                 CAST(sum(CASE WHEN cp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS va,
+                 CAST(sum(CASE WHEN cq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS vb
+          FROM j),
+        ts AS (
+          SELECT
+            sum(CASE WHEN cp > 0 THEN
+                  CAST(round(cp * ln(CAST(2 * cp * st.nq AS DOUBLE)
+                    / CAST(cp * st.nq + cq * st.np AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS t1,
+            sum(CASE WHEN cq > 0 THEN
+                  CAST(round(cq * ln(CAST(2 * cq * st.np AS DOUBLE)
+                    / CAST(cp * st.nq + cq * st.np AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+                ELSE CAST(0 AS DECIMAL(18,6)) END) AS t2
+          FROM j, st)
+        SELECT st.va AS vocab_a, st.vb AS vocab_b,
+               round(CAST(ts.t1 AS DOUBLE) / (2.0 * st.np)
+                     + CAST(ts.t2 AS DOUBLE) / (2.0 * st.nq), 6) + 0.0
+                 AS js_nats
+        FROM ts, st""")),
+
     // Mutual information between the language and source mixtures — the
     // metadata-association number next to corpus_diversity's per-column
     // entropies: MI ≈ 0 means sources are language-balanced (a language
