@@ -124,9 +124,55 @@ object ScaleSmoke {
     topkSection(spark, tmp)
     bpeSection(spark, tmp, copies)
     triangleSection(spark)
+    mauSketchSection(spark, copies)
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
+  }
+
+  /** Sliding-MAU sketch posture (events_mau_sketch): the standing daily
+    * sketch table and the window-merge volume are SKETCH-bounded —
+    * days × 64 rows and ≤ days × 64 × 7 contribution rows — no matter how
+    * many users the corpus carries, while the exact trailing distinct
+    * re-touches every (day, user) pair 7×. Replicating users N× must
+    * leave the standing row count and merge volume EXACTLY unchanged once
+    * every day saturates its 64-slot sketch. */
+  private def mauSketchSection(spark: SparkSession, copies: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val du1 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      .select(Tables.eventDay.as("day"), col("user_id")).distinct()
+    val duN = (0 until copies).map { c =>
+      du1.select(col("day"), (col("user_id") + lit(c * 10000000L)).as("user_id"))
+    }.reduce(_ unionAll _)
+    def volumes(du: DataFrame): (Long, Long, Long) = {
+      val w = Window.partitionBy(col("day")).orderBy(col("h"), col("user_id"))
+      val sk = du
+        .withColumn("h",
+          conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+            .cast("long"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rn") <= 64)
+        .select("day", "h", "user_id")
+      val days = du.select(col("day")).distinct()
+      val contrib = sk
+        .select(col("h"), col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("tday"))
+        .join(days.select(col("day").as("tday")), Seq("tday"), "left_semi")
+      (du.count(), sk.count(), contrib.count())
+    }
+    val (raw1, sk1, c1) = volumes(du1)
+    val (rawN, skN, cN) = volumes(duN)
+    val nDays = du1.select(col("day")).distinct().count()
+    println(s"[scale] mau_sketch 1x: raw=$raw1 sketch_rows=$sk1 contrib=$c1" +
+      s"  ${copies}x: raw=$rawN sketch_rows=$skN contrib=$cN (days=$nDays)")
+    assert(rawN >= raw1 * copies * 9L / 10L, "replication did not grow raw pairs")
+    assert(skN <= nDays * 64,
+      s"standing sketch exceeded days*64: $skN > ${nDays * 64}")
+    assert(skN == sk1,
+      s"sketch rows changed under ${copies}x users: $sk1 -> $skN " +
+        "(both sides must saturate at min(users/day, 64))")
+    assert(cN == c1 && cN <= nDays * 64 * 7,
+      s"window merge volume not sketch-bounded: $c1 -> $cN")
   }
 
   /** BPE training cost is VOCAB-bounded, not corpus-bounded — the posture
