@@ -57,6 +57,65 @@ object AsOfJoin {
     carried.where(col("__side") === 1).drop("__side")
   }
 
+  /** NEAREST-event join: every `left` row + the payload of the right row
+    * whose time is CLOSEST in either direction on the same key (sensor
+    * alignment / nearest-quote semantics; ties at equal distance go to
+    * the BACKWARD match, the causal side). Emits `nearest_<p>` payloads
+    * plus `direction` ('backward'/'forward', NULL when the key has no
+    * right rows) and `gap_<time>` (the absolute distance).
+    *
+    * Shape: the same tag-union as [[asOf]], then BOTH carries inside ONE
+    * key-partition — backward = last-non-null over (time asc, right rows
+    * first on ties), forward = last-non-null over (time desc, right rows
+    * first) — i.e. one hash Exchange and two per-partition sorts; no
+    * second shuffle and no join of two as-of results. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r1 = right
+      .groupBy(col(key), col(time))
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select(col(key) +: col(time) +: col(time).as("__rt") +:
+        payload.map(p => col(s"__p.$p").as(s"asof_$p")): _*)
+
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rt", lit(null).cast(left.schema(time).dataType))
+      .select(leftCols.map(col) ++ Seq(col("__side"), col("__rt")) ++
+        payload.map(p => lit(null).cast(r1.schema(s"asof_$p").dataType).as(s"asof_$p")): _*)
+    val r = r1.withColumn("__side", lit(0))
+      .select(leftCols.map(c =>
+        if (c == key || c == time) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__side"), col("__rt")) ++ payload.map(p => col(s"asof_$p")): _*)
+
+    val wb = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(key))
+      .orderBy(col(time).desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(
+        (leftCols.map(col) :+ col("__side") :+
+          last(col("__rt"), ignoreNulls = true).over(wb).as("__bt") :+
+          last(col("__rt"), ignoreNulls = true).over(wf).as("__ft")) ++
+          payload.flatMap(p => Seq(
+            last(col(s"asof_$p"), ignoreNulls = true).over(wb).as(s"__b_$p"),
+            last(col(s"asof_$p"), ignoreNulls = true).over(wf).as(s"__f_$p"))): _*)
+      .where(col("__side") === 1)
+    val pickB = col("__bt").isNotNull &&
+      (col("__ft").isNull || (col(time) - col("__bt")) <= (col("__ft") - col(time)))
+    carried.select(
+      (leftCols.map(col) :+
+        when(col("__bt").isNull && col("__ft").isNull, lit(null).cast("string"))
+          .when(pickB, lit("backward")).otherwise(lit("forward")).as("direction") :+
+        when(pickB, col(time) - col("__bt"))
+          .otherwise(col("__ft") - col(time)).as(s"gap_$time")) ++
+        payload.map(p =>
+          when(pickB, col(s"__b_$p")).otherwise(col(s"__f_$p")).as(s"nearest_$p")): _*)
+  }
+
   /** FORWARD as-of join: every `left` row + the payload of the EARLIEST
     * `right` row with `right.time >= left.time` on the same key — the
     * next-event attribution direction (time-to-next-touch, next-quote

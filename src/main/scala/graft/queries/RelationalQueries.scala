@@ -1630,6 +1630,57 @@ object RelationalQueries {
           ON c.user_id = v.user_id AND c.us <= v.us
         ORDER BY c.user_id, c.event_id""")),
 
+    // NEAREST-event join — the third as-of direction: each click matched
+    // to the view CLOSEST in time either way (sensor-alignment /
+    // nearest-quote semantics), ties at equal distance to the BACKWARD
+    // (causal) side. AsOfJoin.nearest computes both carries inside ONE
+    // key partition — one hash Exchange, two per-partition sorts — never
+    // a join of two as-of results and never an inequality nested loop.
+    // The oracle composes DuckDB's two native ASOF directions and picks
+    // the nearer with the same tie rule.
+    "join_nearest" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), Tables.eventUs.as("us"),
+            col("event_type"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "event_id", "us")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "us", "value")
+        graft.operators.AsOfJoin
+          .nearest(clicks, views, key = "user_id", time = "us",
+            payload = Seq("value"))
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+          FROM events),
+        c AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click'),
+        v AS (SELECT user_id, us, max(value) AS val
+              FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        b AS (
+          SELECT c.user_id, c.event_id, c.us, v.val AS bval, v.us AS bus
+          FROM c ASOF LEFT JOIN v
+            ON c.user_id = v.user_id AND c.us >= v.us),
+        f AS (
+          SELECT c.user_id, c.event_id, c.us, v.val AS fval, v.us AS fus
+          FROM c ASOF LEFT JOIN v
+            ON c.user_id = v.user_id AND c.us <= v.us)
+        SELECT b.user_id AS user_id, b.event_id AS event_id, b.us AS us,
+               CASE WHEN bus IS NULL AND fus IS NULL THEN NULL
+                    WHEN bus IS NOT NULL
+                         AND (fus IS NULL OR (b.us - bus) <= (fus - b.us))
+                    THEN 'backward' ELSE 'forward' END AS direction,
+               CASE WHEN bus IS NOT NULL
+                         AND (fus IS NULL OR (b.us - bus) <= (fus - b.us))
+                    THEN b.us - bus ELSE fus - b.us END AS gap_us,
+               CASE WHEN bus IS NOT NULL
+                         AND (fus IS NULL OR (b.us - bus) <= (fus - b.us))
+                    THEN bval ELSE fval END AS nearest_value
+        FROM b JOIN f ON f.user_id = b.user_id AND f.event_id = b.event_id
+        ORDER BY b.user_id, b.event_id""")),
+
     // ROLLUP grouping sets; NULLS FIRST pinned on both sides (Spark default
     // asc = nulls first, DuckDB default = nulls last).
     "agg_rollup" -> QueryDef(
