@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The harness tail-parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt decorations get in the way: the logger's "[info] " prefix
+// on forked-run stdout, and the trailing "[success] Total time: ..." banner.
+// Inherit the child's stdout directly and drop the banner so the compact
+// bench line is genuinely the process's last stdout content.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess

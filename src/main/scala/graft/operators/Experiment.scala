@@ -42,7 +42,10 @@ object Experiment {
     val pb = col("conv_b").cast("double") / col("n_b")
     val pp = tot.cast("double") / n
     c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      // per-rate guards: an EMPTY cohort must read NULL, not 0/0 = NaN
+      // (reachable via abTestReadout on a one-cohort stream prefix)
+      when(col("n_a") > 0, round(pa, 6)).as("rate_a"),
+      when(col("n_b") > 0, round(pb, 6)).as("rate_b"),
       when(degenerate, lit(null).cast("double"))
         .otherwise(round((pa - pb) /
           sqrt(pp * (lit(1.0) - pp) *

@@ -80,6 +80,174 @@ object Graph {
     ranks
   }
 
+  /** k-core peeling (Seidman, "Network structure and minimum degree",
+    * Social Networks 1983 — public methodology): iteratively remove nodes
+    * of degree < k, reporting per-round census rows. A fixed `rounds`
+    * count (like [[pageRank]]'s fixed `iters`) keeps the computation
+    * oracle-replayable as chained CTEs; a zero-removal round means the
+    * core converged, and the round rows make that visible.
+    *
+    * 100 TB posture: per-round cost is one degree aggregate + two
+    * key-semi-joins over the CURRENT edge set (shrinking monotonically) —
+    * all shuffles on node keys, nothing driver-side but four report
+    * scalars per round. The edge relation is `localCheckpoint`ed once and
+    * each round's survivor set is checkpointed again, so the analyzed plan
+    * is CONSTANT-SIZE per round — without this, each round's plan embeds
+    * ~5 copies of the previous round's tree (the degree aggregate reads it
+    * twice and both semi-join key sets derive from that aggregate), an
+    * O(5^rounds) blow-up that OOMs the driver long before the executors
+    * see data. Same iterative-lineage hazard rule as [[pageRank]],
+    * [[graft.dedup.Dedup.connectedComponents]], and the BPE trainer.
+    *
+    * @param edges (a: long, b: long) with a < b, distinct (a simple graph)
+    * @param k     minimum surviving degree
+    * @param rounds fixed synchronous peel count (oracle-replayable)
+    * @return (round, n_nodes, n_removed, n_edges_after) — one row per round
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var prev = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint(true)
+    val rows = collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val deg = prev.select(explode(array(col("a"), col("b"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNodes = deg.count()
+      val nRemoved = deg.where(col("dg") < k).count()
+      val keep = deg.where(col("dg") >= k)
+      val next = prev
+        .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true) // truncate: plan stays one round deep
+      val nEdges = next.count()
+      deg.unpersist(false)
+      rows += ((r, nNodes, nRemoved, nEdges))
+      prev = next
+    }
+    rows.toSeq.toDF("round", "n_nodes", "n_removed", "n_edges_after")
+  }
+
+  /** k-truss peeling (Cohen, "Trussness: cohesive subgraphs for social
+    * network analysis", NSA tech report 2008 — public methodology): keep
+    * only edges supported by at least k−2 triangles, iterated a fixed
+    * number of synchronous rounds; the census rows report the peel. A
+    * k-truss is a strictly stronger cohesion certificate than the
+    * (k−1)-core — each surviving EDGE (not node) sits in k−2 mutually
+    * adjacent wedges — the standard next rung on the dense-subgraph
+    * ladder after [[kCore]].
+    *
+    * Per-round support counting reuses [[triangleStats]]'s degree-ordered
+    * orientation (Schank–Wagner): each triangle enumerates exactly once,
+    * forward out-degrees are O(√m), and the triple carries its three
+    * CANONICAL (a<b) edge keys so support lands back on undirected edges
+    * with one explode + one groupBy. All counts integer — a SQL oracle
+    * replays the rounds as chained CTEs bit-exactly.
+    *
+    * 100 TB posture: every step is an equi-join / aggregate on node or
+    * edge keys over the CURRENT (monotonically shrinking) edge set;
+    * per-round lineage is truncated (`localCheckpoint`) exactly like
+    * [[kCore]] — see that method's Scaladoc for why a persist() is NOT
+    * enough. Driver state: four census scalars per round.
+    *
+    * @param edges (a: long, b: long) with a < b, distinct (a simple graph)
+    * @param k      truss order (edge survives with ≥ k−2 triangles)
+    * @param rounds fixed synchronous peel count (oracle-replayable)
+    * @return (round, n_edges, n_removed, n_edges_after) — one row per round
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var prev = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint(true)
+    val rows = collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val nEdges = prev.count()
+      val deg = prev.select(explode(array(col("a"), col("b"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+      val da = deg.select(col("u").as("a"), col("dg").as("da"))
+      val db = deg.select(col("u").as("b"), col("dg").as("db"))
+      val fwdCond = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      // oriented edge + its canonical key, persisted: three self-join arms
+      val fwd = prev.join(da, "a").join(db, "b")
+        .select(col("a"), col("b"),
+          when(fwdCond, col("a")).otherwise(col("b")).as("s"),
+          when(fwdCond, col("b")).otherwise(col("a")).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val e1 = fwd.select(col("s").as("x"), col("t").as("y"),
+        col("a").as("a1"), col("b").as("b1"))
+      val e2 = fwd.select(col("s").as("y"), col("t").as("z"),
+        col("a").as("a2"), col("b").as("b2"))
+      val e3 = fwd.select(col("s").as("x"), col("t").as("z"),
+        col("a").as("a3"), col("b").as("b3"))
+      val support = e1.join(e2, "y").join(e3, Seq("x", "z"))
+        .select(explode(array(
+          struct(col("a1").as("a"), col("b1").as("b")),
+          struct(col("a2").as("a"), col("b2").as("b")),
+          struct(col("a3").as("a"), col("b3").as("b")))).as("e"))
+        .select(col("e.a"), col("e.b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+      val next = prev.join(support, Seq("a", "b"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= lit((k - 2).toLong))
+        .select(col("a"), col("b"))
+        .localCheckpoint(true) // truncate: plan stays one round deep
+      val nAfter = next.count()
+      fwd.unpersist(false)
+      rows += ((r, nEdges, nEdges - nAfter, nAfter))
+      prev = next
+    }
+    rows.toSeq.toDF("round", "n_edges", "n_removed", "n_edges_after")
+  }
+
+  /** [[kCore]] run to convergence instead of a fixed round count: peels
+    * until a round removes zero nodes (the k-core fixpoint) or `maxRounds`
+    * is hit, and returns the SURVIVING EDGE SET rather than the census —
+    * the production form (the census form exists because a fixed round
+    * count is what a SQL oracle can replay). Edge count shrinks
+    * monotonically round-over-round, so termination is guaranteed in at
+    * most `n_nodes` rounds; each round is checkpoint-truncated exactly
+    * like [[kCore]].
+    *
+    * @return (a: long, b: long) — edges of the k-core subgraph
+    */
+  def kCoreFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var prev = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint(true)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val deg = prev.select(explode(array(col("a"), col("b"))).as("u"))
+        .groupBy("u").agg(count(lit(1)).as("dg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nRemoved = deg.where(col("dg") < k).count()
+      if (nRemoved == 0L) {
+        converged = true
+        deg.unpersist(false)
+      } else {
+        val keep = deg.where(col("dg") >= k)
+        // re-select: a USING-column semi-join hoists its key column first
+        val next = prev
+          .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint(true)
+        next.count() // materialize before dropping deg
+        deg.unpersist(false)
+        prev = next
+      }
+      r += 1
+    }
+    prev
+  }
+
   /** Global triangle census over an undirected simple graph — the second
     * classic link-structure statistic next to PageRank: triangle count and
     * global clustering coefficient (3·triangles / wedges) measure local

@@ -1817,50 +1817,55 @@ object MiscQueries {
     // rounds like the PageRank/BPE trainers (a zero-removal round means
     // the core converged; the round rows make that visible), each round =
     // one degree aggregate + two key-semi-joins — all integer, so the
-    // oracle replays the rounds as chained CTEs bit-exactly. At 100 TB:
-    // per-round cost is one shuffle on node id over the CURRENT edge set
-    // (shrinking monotonically); a production fixpoint loop checkpoints
-    // every few rounds exactly like Graph.pageRank.
+    // oracle replays the rounds as chained CTEs bit-exactly. The peel
+    // lives in Graph.kCore, which localCheckpoints each round so the plan
+    // stays one round deep (see its Scaladoc for the lineage hazard); the
+    // convergence-probed production form is Graph.kCoreFixpoint.
     "graph_kcore" -> QueryDef(
       fn = (s, d) => {
-        val k = 3; val rounds = 4
         val b = t(s, d, "events")
           .select(col("event_type"),
             graft.sources.Tables.eventMinute.as("mn"),
             col("user_id"))
           .distinct()
-        var prev = b.as("x").join(b.as("y"),
+        val edges = b.as("x").join(b.as("y"),
             col("x.event_type") === col("y.event_type") &&
               col("x.mn") === col("y.mn") &&
               col("x.user_id") < col("y.user_id"))
           .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
           .distinct()
-          .persist()
-        val rows = collection.mutable.Buffer.empty[(Int, Long, Long, Long)]
-        (1 to rounds).foreach { r =>
-          val deg = prev.select(col("a").as("u"))
-            .unionAll(prev.select(col("b").as("u")))
-            .groupBy("u").agg(count(lit(1)).as("dg"))
-            .persist()
-          val nNodes = deg.count()
-          val nRemoved = deg.where(col("dg") < k).count()
-          val keep = deg.where(col("dg") >= k)
-          val next = prev
-            .join(keep.select(col("u").as("a")), Seq("a"), "left_semi")
-            .join(keep.select(col("u").as("b")), Seq("b"), "left_semi")
-            .persist()
-          val nEdges = next.count()
-          deg.unpersist(false); prev.unpersist(false)
-          rows += ((r, nNodes, nRemoved, nEdges))
-          prev = next
-        }
-        prev.unpersist(false)
-        val sp = s
-        import sp.implicits._
-        rows.toSeq.toDF("round", "n_nodes", "n_removed", "n_edges_after")
+        graft.operators.Graph.kCore(edges, k = 3, rounds = 4)
           .orderBy("round")
       },
       oracle = Some(kcoreOracle)),
+
+    // k-truss peeling (Cohen'08) over the same co-occurrence graph — the
+    // EDGE-cohesion rung above k-core: an edge survives only with >= k-2
+    // supporting triangles (k = 4 here: every kept co-activity pair must
+    // close two independent triangles — the mutual-reinforcement
+    // certificate spam-ring detection wants, strictly stronger than
+    // degree). 3 synchronous rounds via Graph.kTruss (checkpointed
+    // lineage like kCore); per-round support counting rides the
+    // Schank-Wagner orientation, so each triangle is enumerated once and
+    // hub wedge joins stay O(sqrt m). All integer — the oracle replays
+    // the rounds as chained CTEs bit-exactly.
+    "graph_ktruss" -> QueryDef(
+      fn = (s, d) => {
+        val b = t(s, d, "events")
+          .select(col("event_type"),
+            graft.sources.Tables.eventMinute.as("mn"),
+            col("user_id"))
+          .distinct()
+        val edges = b.as("x").join(b.as("y"),
+            col("x.event_type") === col("y.event_type") &&
+              col("x.mn") === col("y.mn") &&
+              col("x.user_id") < col("y.user_id"))
+          .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+          .distinct()
+        graft.operators.Graph.kTruss(edges, k = 4, rounds = 3)
+          .orderBy("round")
+      },
+      oracle = Some(ktrussOracle)),
 
     // Triangle census + global clustering coefficient over the user
     // co-occurrence graph (users sharing an (event_type, minute) activity
@@ -1952,6 +1957,62 @@ object MiscQueries {
                epoch_us(ts) // 60000000 AS mn, user_id
         FROM events),
       e0 AS (
+        SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        FROM bk x JOIN bk y
+          ON x.event_type = y.event_type AND x.mn = y.mn
+             AND x.user_id < y.user_id),
+      $its
+      SELECT * FROM ($reports) ORDER BY round"""
+  }
+
+  /** k-truss peeling rounds unrolled as chained CTEs from the same
+    * k/rounds constants as the engine; orientation, triangle enumeration,
+    * and support counts are all integer so the replay is bit-exact. */
+  private lazy val ktrussOracle: String = {
+    val k = 4; val rounds = 3
+    val its = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+            SELECT u, count(*) AS dg
+            FROM (SELECT a AS u FROM e${r - 1}
+                  UNION ALL SELECT b FROM e${r - 1})
+            GROUP BY u),
+          f$r AS MATERIALIZED (
+            SELECT e.a, e.b,
+                   CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                        THEN e.a ELSE e.b END AS s,
+                   CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                        THEN e.b ELSE e.a END AS t
+            FROM e${r - 1} e
+            JOIN d$r da ON da.u = e.a JOIN d$r db ON db.u = e.b),
+          t$r AS MATERIALIZED (
+            SELECT e1.a AS a1, e1.b AS b1, e2.a AS a2, e2.b AS b2,
+                   e3.a AS a3, e3.b AS b3
+            FROM f$r e1 JOIN f$r e2 ON e2.s = e1.t
+                        JOIN f$r e3 ON e3.s = e1.s AND e3.t = e2.t),
+          s$r AS MATERIALIZED (
+            SELECT a, b, count(*) AS sup
+            FROM (SELECT a1 AS a, b1 AS b FROM t$r
+                  UNION ALL SELECT a2, b2 FROM t$r
+                  UNION ALL SELECT a3, b3 FROM t$r)
+            GROUP BY a, b),
+          e$r AS MATERIALIZED (
+            SELECT e.a, e.b
+            FROM e${r - 1} e LEFT JOIN s$r s ON s.a = e.a AND s.b = e.b
+            WHERE coalesce(s.sup, 0) >= ${k - 2})"""
+    }.mkString(",\n")
+    val reports = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+            (SELECT count(*) FROM e${r - 1}) AS n_edges,
+            (SELECT count(*) FROM e${r - 1})
+              - (SELECT count(*) FROM e$r) AS n_removed,
+            (SELECT count(*) FROM e$r) AS n_edges_after"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH bk AS MATERIALIZED (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 60000000 AS mn, user_id
+        FROM events),
+      e0 AS MATERIALIZED (
         SELECT DISTINCT x.user_id AS a, y.user_id AS b
         FROM bk x JOIN bk y
           ON x.event_type = y.event_type AND x.mn = y.mn

@@ -705,8 +705,10 @@ object RelationalQueries {
                  CAST(sum(CASE WHEN grp = 1 THEN cv ELSE 0 END) AS BIGINT) AS conv_b
           FROM g)
         SELECT n_a, conv_a, n_b, conv_b,
-               round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-               round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+               CASE WHEN n_a > 0
+                    THEN round(CAST(conv_a AS DOUBLE) / n_a, 6) END AS rate_a,
+               CASE WHEN n_b > 0
+                    THEN round(CAST(conv_b AS DOUBLE) / n_b, 6) END AS rate_b,
                CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
                          OR conv_a + conv_b = n_a + n_b THEN NULL
                     ELSE round((CAST(conv_a AS DOUBLE) / n_a

@@ -50,16 +50,29 @@ object KCenter {
     val v = emb.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("v")).persist()
     try {
-      val seed = v.orderBy(col("id")).limit(1).head()
+      val seedRows = v.orderBy(col("id")).limit(1).collect()
+      require(seedRows.nonEmpty,
+        s"k-center selection needs a non-empty relation ($idCol/$embCol)")
+      val seed = seedRows.head
       var centers = Vector(Center(1, seed.getLong(0), None))
       var centerVecs = Vector(seed.getSeq[Double](1).toArray)
-      for (step <- 2 to k) {
+      var exhausted = false
+      for (step <- 2 to k if !exhausted) {
         val dists = centerVecs.map(c => dist2(col("v"), c))
         val md = round(if (dists.size == 1) dists.head else least(dists: _*), 6)
         val top = v.select(col("id"), md.as("md"), col("v"))
           .orderBy(col("md").desc, col("id")).limit(1).head()
-        centers :+= Center(step, top.getLong(0), Some(top.getDouble(1)))
-        centerVecs :+= top.getSeq[Double](2).toArray
+        if (top.getDouble(1) <= 0.0) {
+          // every remaining point coincides with a selected center (k
+          // exceeds the distinct-point count): stop instead of silently
+          // re-selecting the same point — the Bpe.train 'exhausted' rule.
+          // Unreachable for the harness queries (distinct embeddings,
+          // k << n), so the unrolled SQL oracle replay is unaffected.
+          exhausted = true
+        } else {
+          centers :+= Center(step, top.getLong(0), Some(top.getDouble(1)))
+          centerVecs :+= top.getSeq[Double](2).toArray
+        }
       }
       (centers, centerVecs)
     } finally v.unpersist()

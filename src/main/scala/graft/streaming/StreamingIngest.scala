@@ -799,7 +799,17 @@ object StreamingIngest {
     * algebra with no tag bookkeeping. [[hllEstimates]] answers distinct
     * counts from the standing registers through the same exact
     * power-of-two arithmetic as the batch query, so streamed and one-shot
-    * estimates are deterministically EQUAL, never just close. */
+    * estimates are deterministically EQUAL, never just close.
+    *
+    * SINGLE WRITER PER TABLE: idempotency covers retries of the SAME
+    * query, not concurrent queries sharing one `db.table` — each fold
+    * read-merge-OVERWRITES the whole register table, so a second
+    * concurrent writer's registers would be replaced by this writer's
+    * snapshot (the same contract the tag-partition admission sinks make
+    * implicitly, where a shared tag would likewise collide). Give each
+    * stream its own table and max-merge at read time if fan-in is
+    * needed — registers merge losslessly, like [[toNbCountsSink]]'s
+    * tag-partitioned counts. */
   def toHllSink(
       events: DataFrame, db: String, table: String,
       groupCol: String = "event_type", keyCol: String = "user_id"): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -137,9 +137,15 @@ object ScaleSmoke {
     * re-touches every (day, user) pair 7×. Replicating users N× must
     * leave the standing row count and merge volume EXACTLY unchanged once
     * every day saturates its 64-slot sketch. */
-  private def mauSketchSection(spark: SparkSession, copies: Int): Unit = {
+  // The two volume-assertion sections below carry no wall-time requires, so
+  // they are safe under CI contention: ScaleSmokeSpec runs them on every
+  // `sbt test` (round-8 verdict: hard growth-ratio asserts that live only
+  // in a manual main regress silently). Public + sfDir-parameterized for
+  // exactly that reuse; `main` keeps calling them at sf0.1.
+  def mauSketchSection(spark: SparkSession, copies: Int,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val du1 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val du1 = Tables.load(spark, sfDir, "events")
       .select(Tables.eventDay.as("day"), col("user_id")).distinct()
     val duN = (0 until copies).map { c =>
       du1.select(col("day"), (col("user_id") + lit(c * 10000000L)).as("user_id"))
@@ -217,8 +223,9 @@ object ScaleSmoke {
     * work. Asserted on the sf0.1 co-occurrence graph: the theoretical cap
     * holds exactly, and the oriented join does a fraction of the naive
     * wedge work. */
-  private def triangleSection(spark: SparkSession): Unit = {
-    val b = Tables.load(spark, "/root/testdata/sf0.1", "events")
+  def triangleSection(spark: SparkSession,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+    val b = Tables.load(spark, sfDir, "events")
       .select(col("event_type"), Tables.eventMinute.as("mn"), col("user_id"))
       .distinct()
     val e = b.as("x").join(b.as("y"),

@@ -51,6 +51,87 @@ class GraphSpec extends AnyFunSuite {
     assert(total > ideal - ideal / 1000, "leakage must stay below 0.1%")
   }
 
+  // 4-clique (every degree 3) with a pendant path 4—5—6 hanging off it:
+  // the 3-core is exactly the clique, reached after one peel.
+  private val cliqueTail: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L))
+
+  test("kCore census: clique survives, tail peels in one round") {
+    val got = Graph.kCore(cliqueTail.toDF("a", "b"), k = 3, rounds = 3)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, 6L, 2L, 6L),   // 6 nodes seen, 5 and 6 removed, clique's 6 edges left
+      (2, 4L, 0L, 6L),   // converged: zero removals
+      (3, 4L, 0L, 6L)))  // stays at the fixpoint
+  }
+
+  test("kCore: k above max degree empties the graph; census rows show it") {
+    val got = Graph.kCore(cliqueTail.toDF("a", "b"), k = 9, rounds = 2)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 6L, 6L, 0L), (2, 0L, 0L, 0L)))
+  }
+
+  test("kTruss census: K4 edges (support 2) survive k=4; pendant triangle peels") {
+    // K4 on {1..4} + a pendant triangle {4,5,6}: every K4 edge closes two
+    // triangles (support 2), every pendant-triangle edge closes one
+    // (support 1) — at k=4 (needs >= 2) the pendant triangle peels in
+    // round one and K4 is the fixpoint.
+    val g = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val got = Graph.kTruss(g.toDF("a", "b"), k = 4, rounds = 2)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, 9L, 3L, 6L),   // pendant triangle's 3 edges drop
+      (2, 6L, 0L, 6L)))  // K4 converged
+  }
+
+  test("kTruss: k=3 keeps exactly the triangle-supported edges") {
+    // triangle {1,2,3} + bridge (3,4): the bridge closes no triangle and
+    // is the only edge removed at k=3 (support >= 1).
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = Graph.kTruss(g.toDF("a", "b"), k = 3, rounds = 2)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 4L, 1L, 3L), (2, 3L, 0L, 3L)))
+  }
+
+  test("kCoreFixpoint returns the surviving edge set and stops at convergence") {
+    val core = Graph.kCoreFixpoint(cliqueTail.toDF("a", "b"), k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(core == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // a graph already at its fixpoint passes through unchanged
+    val again = Graph.kCoreFixpoint(core.toSeq.toDF("a", "b"), k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(again == core)
+  }
+
+  test("kCore plan stays constant-size per round (lineage truncated)") {
+    // Without localCheckpoint each round's analyzed tree embeds ~5 copies
+    // of the previous round's — O(5^rounds) nodes. With truncation the
+    // last round's plan must be no deeper than round one's, regardless of
+    // how many rounds ran. Probe via the surviving-edge form, whose return
+    // value IS the iterated relation.
+    def planSize(rounds: Int): Int = {
+      var prev = cliqueTail.toDF("a", "b")
+        .select($"a".cast("long"), $"b".cast("long")).localCheckpoint(true)
+      // replicate kCore's per-round plan shape exactly, returning the tree
+      (1 to rounds).foreach { _ =>
+        val deg = prev.select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.array($"a", $"b")).as("u"))
+          .groupBy("u").count().withColumnRenamed("count", "dg")
+        val keep = deg.where($"dg" >= 3)
+        prev = prev
+          .join(keep.select($"u".as("a")), Seq("a"), "left_semi")
+          .join(keep.select($"u".as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+      }
+      prev.queryExecution.analyzed.collect { case n => n }.size
+    }
+    assert(planSize(4) == planSize(1),
+      "checkpointed rounds must not grow the analyzed plan")
+  }
+
   test("dangling node leaks deterministically, result reproducible") {
     val a = ranks(4, (1L, 2L), (3L, 2L))
     val b = ranks(4, (1L, 2L), (3L, 2L))

@@ -10,6 +10,39 @@ class PlanAuditSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf("sf0.001")
 
+  // ---- registry-wide plan-size guard (round-9 lesson: graph_kcore) ----
+  // Iterative queries that forget the localCheckpoint rule grow their
+  // analyzed plan multiplicatively per round (kcore: ~5x/round — a 24 GB
+  // driver heap to peel a 23k-edge graph). The blown-up plans live in
+  // CONSTRUCTION-TIME actions (per-round count()s), not in the returned
+  // DataFrame, so auditing `dfs` alone cannot see them; a
+  // QueryExecutionListener sees the analyzed plan of EVERY action fired
+  // while the registry is built and executed. Registered here, before the
+  // lazy `dfs`/`plans` force anything.
+  private val planNodeCap = 2000
+  private val maxNodesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val worstPlanHead = new java.util.concurrent.atomic.AtomicReference[String]("")
+  private val oversized = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val markerSeen = new java.util.concurrent.CountDownLatch(1)
+  private val MarkerLit = 424242424201L
+  spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+    private def record(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+      val a = qe.analyzed
+      val n = a.collect { case p => p }.size
+      if (n > maxNodesSeen.getAndUpdate(m => math.max(m, n))) {
+        worstPlanHead.set(a.toString.linesIterator.take(5).mkString("\n"))
+      }
+      if (n > planNodeCap) oversized.add(s"${a.nodeName}... ($n nodes)")
+      if (a.toString.contains(MarkerLit.toString)) markerSeen.countDown()
+    }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      record(qe)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+      record(qe)
+  })
+
   // Build each registry DataFrame exactly once (construction itself runs
   // driver-side actions for threshold-pull queries) and share it between
   // the executed-plan strings and the logical-plan audits.
@@ -266,6 +299,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty,
       s"forced broadcast on an undeclared unbounded input in: ${offenders.mkString(", ")}")
+  }
+
+  test("no action anywhere in the registry carries an oversized analyzed plan") {
+    // Forces the full registry (construction + execution), then drains the
+    // listener bus up to a marker query: the bus is FIFO, so once the
+    // marker's event lands every prior action has been recorded.
+    plans.size // force every query's construction AND execution
+    spark.range(1).select(org.apache.spark.sql.functions.lit(MarkerLit)).collect()
+    assert(markerSeen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "listener bus did not drain to the marker in 60s")
+    val offenders = {
+      import scala.jdk.CollectionConverters._
+      oversized.asScala.toSeq.sorted
+    }
+    assert(offenders.isEmpty,
+      s"analyzed plans over $planNodeCap nodes (un-checkpointed iteration?):\n" +
+        offenders.mkString("\n") +
+        s"\nlargest plan seen (${maxNodesSeen.get} nodes) starts:\n${worstPlanHead.get}")
+    info(s"largest analyzed plan across the registry: ${maxNodesSeen.get} nodes (cap $planNodeCap)")
   }
 
   test("metadata-only multimodal queries never read the payload bytes") {
