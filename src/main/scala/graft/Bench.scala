@@ -190,10 +190,34 @@ object Bench {
     "q20_promotion_suppliers", "decontam_embedding",
     "events_time_to_convert", "events_mau_sketch", "split_leakage")
 
+  /** Self-calibration on top of the static list: any query whose median in
+    * the PREVIOUS bench record (target/bench.json survives across rounds)
+    * reached 2 s gets isolated too, so a new expensive query earns its
+    * singleton shard automatically next run instead of waiting for a
+    * by-hand list update. Absent/unparseable file → empty set (first run
+    * falls back to the static list alone). */
+  private def previouslySlow(): Set[String] = {
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      if (!java.nio.file.Files.exists(p)) Set.empty
+      else {
+        val txt = java.nio.file.Files.readString(p)
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).toSeq
+          .flatMap { m =>
+            """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+              .filter(_.group(2).toDouble >= 2.0)
+              .map(_.group(1))
+          }.toSet
+      }
+    } catch { case _: Throwable => Set.empty }
+  }
+
   private def parentMain(): Unit = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val shardSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_SIZE", "8").toInt
-    val (heavy, light) = names.partition(isolateQueries)
+    val isolate = isolateQueries ++ previouslySlow()
+    val (heavy, light) = names.partition(isolate)
     val nLightShards = math.max(1, (light.size + shardSize - 1) / shardSize)
     // Round-robin keeps each shared shard a mix of cheap queries; every
     // heavy query is its own shard (fresh JVM, zero co-tenants).

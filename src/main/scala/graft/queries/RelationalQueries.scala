@@ -930,6 +930,175 @@ object RelationalQueries {
         FROM v"""))
       ,
 
+    // Sequential experiment monitoring: Wald's SPRT (Wald, "Sequential
+    // Tests of Statistical Hypotheses", Ann. Math. Stat. 1945) over the
+    // daily conversion Bernoullis — the always-valid alternative to
+    // peeking at a fixed-horizon z-test (each peek at events_ab_test
+    // inflates false positives; the SPRT's thresholds hold at EVERY day).
+    // Trial = an active (user, day); success = that user purchased that
+    // day. H0: p = 0.3 vs H1: p = 0.4, alpha = beta = 0.05. The cumulative
+    // log-likelihood ratio after day d is cs·ln(p1/p0) + (cn−cs)·
+    // ln((1−p1)/(1−p0)); decision crosses ±ln(19). DETERMINISM: both ln
+    // constants and the threshold are rounded HALF_UP to 6dp ON THE
+    // DRIVER and injected into the Spark plan AND the generated oracle as
+    // decimal literals, so the whole curve is exact integer×decimal
+    // arithmetic — no cross-engine transcendental at all (stricter than
+    // the 6dp-round-then-decimal-sum LM pattern: here even the constants
+    // can't drift). Scale: one events scan, one (day,user) aggregate, one
+    // day rollup, one cumulative window over ≤ #days rows — bounded.
+    "events_sequential_sprt" -> QueryDef(
+      fn = (s, d) => {
+        def bd6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val c1 = bd6(math.log(4.0 / 3.0))  // ln(p1/p0) = ln(0.4/0.3)
+        val c2 = bd6(math.log(6.0 / 7.0))  // ln((1-p1)/(1-p0)) = ln(0.6/0.7)
+        val a = bd6(math.log(19.0))        // ln((1-beta)/alpha)
+        val ud = t(s, d, "events")
+          .select(Tables.eventDay.as("day"), col("user_id"), col("event_type"))
+          .groupBy("day", "user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("sc"))
+        val daily = ud.groupBy("day")
+          .agg(count(lit(1)).as("n"), sum(col("sc")).as("s"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = daily.select(col("day"),
+          sum(col("n")).over(w).as("cn"), sum(col("s")).over(w).as("cs"))
+        val llr = col("cs").cast(DecimalType(20, 0)) * lit(c1.bigDecimal) +
+          (col("cn") - col("cs")).cast(DecimalType(20, 0)) * lit(c2.bigDecimal)
+        cum.select(col("day"), col("cn").as("n_trials"),
+            col("cs").as("n_success"),
+            round(llr, 6).cast("double").as("llr"),
+            when(llr >= lit(a.bigDecimal), lit("accept_h1"))
+              .when(llr <= lit(a.bigDecimal.negate), lit("accept_h0"))
+              .otherwise(lit("continue")).as("decision"))
+          .orderBy("day")
+      },
+      oracle = {
+        def bd6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+        val c1 = bd6(math.log(4.0 / 3.0))
+        val c2 = bd6(math.log(6.0 / 7.0))
+        val a = bd6(math.log(19.0))
+        Some(s"""
+        WITH ud AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+                 max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS sc
+          FROM events GROUP BY 1, 2),
+        daily AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(sc) AS BIGINT) AS s
+          FROM ud GROUP BY day),
+        cum AS (
+          SELECT day,
+                 CAST(sum(n) OVER w AS BIGINT) AS cn,
+                 CAST(sum(s) OVER w AS BIGINT) AS cs
+          FROM daily
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        l AS (
+          SELECT day, cn, cs,
+                 CAST(cs AS DECIMAL(20,0)) * ($c1)
+                   + CAST(cn - cs AS DECIMAL(20,0)) * ($c2) AS llr
+          FROM cum)
+        SELECT day, cn AS n_trials, cs AS n_success,
+               CAST(round(llr, 6) AS DOUBLE) AS llr,
+               CASE WHEN llr >= ($a) THEN 'accept_h1'
+                    WHEN llr <= -($a) THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM l ORDER BY day""")
+      }),
+
+    // Difference-in-differences readout (Card & Krueger AER'94 made the
+    // design canonical): cohort × period double difference — the
+    // quasi-experimental estimate when only one cohort receives a change
+    // mid-stream and raw post-period deltas confound with time trends.
+    // Cohorts are the same deterministic md5-parity buckets as
+    // events_ab_test; periods split at the event-time midpoint like
+    // events_cuped; metric = per-user purchases per period. DID =
+    // (mean_b_post − mean_b_pre) − (mean_a_post − mean_a_pre). Every cell
+    // total is an exact integer sum, so the whole card is one user-keyed
+    // conditional aggregate + one global aggregate + scalar IEEE closes —
+    // NULL-guarded when a cohort is empty. Output is one row.
+    "events_did" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"), col("event_type"))
+        val mm = ev.agg(min(col("us")), max(col("us"))).head()
+        val tmid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val isP = col("event_type") === "purchase"
+        val per = ev.groupBy("user_id").agg(
+            sum(when(isP && col("us") <= tmid, 1L).otherwise(0L)).as("x"),
+            sum(when(isP && col("us") > tmid, 1L).otherwise(0L)).as("y"))
+          .select(col("x"), col("y"),
+            graft.operators.Experiment.cohort(col("user_id")).as("grp"))
+        val m = per.agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp") === 0, col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("grp") === 0, col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("grp") === 1, col("x")).otherwise(0L)).as("sxb"),
+          sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("syb"))
+        val ok = col("n_a") > 0 && col("n_b") > 0
+        def mean(sm: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+          sm.cast("double") / n
+        val did = (mean(col("syb"), col("n_b")) - mean(col("sxb"), col("n_b"))) -
+          (mean(col("sya"), col("n_a")) - mean(col("sxa"), col("n_a")))
+        m.select(col("n_a"), col("n_b"),
+          when(ok, round(mean(col("sxa"), col("n_a")), 6))
+            .otherwise(lit(null).cast("double")).as("mean_a_pre"),
+          when(ok, round(mean(col("sya"), col("n_a")), 6))
+            .otherwise(lit(null).cast("double")).as("mean_a_post"),
+          when(ok, round(mean(col("sxb"), col("n_b")), 6))
+            .otherwise(lit(null).cast("double")).as("mean_b_pre"),
+          when(ok, round(mean(col("syb"), col("n_b")), 6))
+            .otherwise(lit(null).cast("double")).as("mean_b_post"),
+          when(ok, round(did, 6))
+            .otherwise(lit(null).cast("double")).as("did"))
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT min(epoch_us(ts))
+                   + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS tmid
+          FROM events),
+        per AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) <= (SELECT tmid FROM b)
+                          THEN 1 ELSE 0 END) AS x,
+                 sum(CASE WHEN event_type = 'purchase'
+                          AND epoch_us(ts) > (SELECT tmid FROM b)
+                          THEN 1 ELSE 0 END) AS y
+          FROM events GROUP BY user_id),
+        g AS (
+          SELECT x, y,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 2 AS grp
+          FROM per),
+        m AS (
+          SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN grp = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
+                 CAST(sum(CASE WHEN grp = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
+                 CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(sum(CASE WHEN grp = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
+                 CAST(sum(CASE WHEN grp = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+          FROM g)
+        SELECT n_a, n_b,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(CAST(sxa AS DOUBLE) / n_a, 6) END AS mean_a_pre,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(CAST(sya AS DOUBLE) / n_a, 6) END AS mean_a_post,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(CAST(sxb AS DOUBLE) / n_b, 6) END AS mean_b_pre,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round(CAST(syb AS DOUBLE) / n_b, 6) END AS mean_b_post,
+               CASE WHEN n_a > 0 AND n_b > 0
+                    THEN round((CAST(syb AS DOUBLE) / n_b
+                                - CAST(sxb AS DOUBLE) / n_b)
+                               - (CAST(sya AS DOUBLE) / n_a
+                                  - CAST(sxa AS DOUBLE) / n_a), 6) END AS did
+        FROM m""")),
+
     // Burst/rate-limit audit: per-user peak events-per-minute vs a cap —
     // the abuse/bot gate every event pipeline fronts with (a scraper
     // shows a hot minute where an organic user's peak stays low).
