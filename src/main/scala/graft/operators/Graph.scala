@@ -248,6 +248,132 @@ object Graph {
     prev
   }
 
+  /** Synchronous label-propagation community detection (Raghavan, Albert
+    * & Kumara, "Near linear time algorithm to detect community structures
+    * in large-scale networks", Phys. Rev. E 2007 — public methodology),
+    * determinized: every node starts labeled with its own id; each round
+    * every node adopts the label MOST FREQUENT among its neighbors, ties
+    * broken by MINIMUM label. The min-label tie-break replaces the paper's
+    * random choice, so the whole run is reproducible and a SQL oracle can
+    * replay the rounds as chained CTEs — all label/count arithmetic is
+    * integer, bit-exact cross-engine. Synchronous (all nodes update from
+    * the PREVIOUS round's labels), like [[pageRank]].
+    *
+    * 100 TB posture: each round is one equi-join of the directed edge
+    * relation against the label relation + two node-keyed aggregates (the
+    * per-(node, label) count, then the argmax-with-min-tie-break resolved
+    * as max-count join-back + min) — O(edges) per round, shuffles only on
+    * node keys, nothing driver-side. The directed edge relation is
+    * persisted once; each round's labels are `localCheckpoint`ed so the
+    * analyzed plan stays one round deep — the iterative-lineage rule of
+    * [[kCore]]'s Scaladoc.
+    *
+    * @param edges  (a: long, b: long) with a < b, distinct (a simple graph)
+    * @param rounds fixed synchronous update count (oracle-replayable)
+    * @return (node: long, label: long) after `rounds` updates
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    lpaIterate(edges, rounds).last
+
+  /** [[labelPropagation]] with a per-round convergence census instead of
+    * the final labels: (round, n_labels, n_changed) — distinct surviving
+    * labels and nodes that switched label that round. A zero-changed round
+    * means the propagation converged; the census makes that visible (the
+    * same census-vs-result split as [[kCore]] vs [[kCoreFixpoint]]).
+    * Always emits exactly `rounds` rows — zeros on an empty graph. */
+  def labelPropagationCensus(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val states = lpaIterate(edges, rounds)
+    val rows = (1 to rounds).map { r =>
+      val prev = states(r - 1).select(col("node"), col("label").as("pl"))
+      val cur = states(r)
+      val nLabels = cur.select(col("label")).distinct().count()
+      val nChanged = cur.join(prev, "node")
+        .where(col("label") =!= col("pl")).count()
+      (r, nLabels, nChanged)
+    }
+    rows.toDF("round", "n_labels", "n_changed")
+  }
+
+  /** The shared synchronous-LPA loop: element i of the returned seq is the
+    * label relation after i rounds (element 0 = the node-id start), each
+    * `localCheckpoint`ed so the plan stays one round deep. */
+  private def lpaIterate(edges: DataFrame, rounds: Int): Seq[DataFrame] = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+    // both directions: u's neighborhood is every v sharing an edge
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = dir.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val states = collection.mutable.Buffer(labels)
+    for (_ <- 0 until rounds) {
+      val cnt = dir.join(labels, dir("v") === labels("node"))
+        .groupBy(dir("u").as("u"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val mx = cnt.groupBy("u").agg(max(col("cnt")).as("mx"))
+      labels = cnt.join(mx, "u")
+        .where(col("cnt") === col("mx"))
+        .groupBy(col("u").as("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // truncate: plan stays one round deep
+      cnt.unpersist(false)
+      states += labels
+    }
+    dir.unpersist(false)
+    states.toSeq
+  }
+
+  /** Newman modularity of a labeling over an undirected simple graph
+    * (Newman & Girvan, "Finding and evaluating community structure in
+    * networks", Phys. Rev. E 2004 — public methodology):
+    *
+    *   Q = Σ_c [ e_c/m − (d_c / 2m)² ]  =  (4m·Σe_c − Σd_c²) / 4m²
+    *
+    * where e_c = intra-community edges, d_c = total degree of community c,
+    * m = |E|. The right-hand form keeps everything integer until ONE
+    * closing IEEE division, so the readout hash-matches cross-engine; the
+    * integer products go through DECIMAL(38,0) — Σd_c² exceeds BIGINT on
+    * billion-edge graphs.
+    *
+    * 100 TB posture: two label-keyed joins on the edge relation + one
+    * label-keyed degree aggregate + scalar closes — all shuffles on graph
+    * keys, output is one row.
+    *
+    * @param edges  (a: long, b: long) with a < b, distinct
+    * @param labels (node: long, label: long), e.g. [[labelPropagation]]'s
+    * @return one row: n_communities, n_edges, intra_edges, modularity
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val m = e.count()
+    val intra = e.join(la, "a").join(lb, "b")
+      .where(col("la") === col("lb")).count()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val byC = deg.join(labels, "node")
+      .groupBy("label").agg(sum(col("dg")).as("dc"))
+      .agg(count(lit(1)).as("nc"),
+        coalesce(sum(col("dc").cast(DecimalType(38, 0)) * col("dc")),
+          lit(0).cast(DecimalType(38, 0))).as("sumdc2"))
+    e.unpersist(false)
+    val fourM = BigDecimal(4L * m)
+    byC.select(col("nc").as("n_communities"), lit(m).as("n_edges"),
+      lit(intra).as("intra_edges"),
+      (if (m > 0)
+        round((lit(fourM.bigDecimal) * lit(intra) - col("sumdc2"))
+          .cast("double") / lit((fourM * m).toDouble), 6)
+      else lit(null).cast("double")).as("modularity"))
+  }
+
   /** Global triangle census over an undirected simple graph — the second
     * classic link-structure statistic next to PageRank: triangle count and
     * global clustering coefficient (3·triangles / wedges) measure local

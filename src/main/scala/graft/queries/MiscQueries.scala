@@ -17,6 +17,66 @@ object MiscQueries {
     * forces the oracle eagerly; a later-declared val would still be 0). */
   private val PagerankIters = 5
 
+  /** LPA round count for graph_lpa / graph_modularity (same
+    * declared-before-defs rule as PagerankIters). */
+  private val LpaRounds = 3
+
+  /** The user co-occurrence graph every graph_* query peels: users sharing
+    * an (event_type, minute) activity bucket, canonical a < b, distinct.
+    * Minute buckets keep occupancy small so the pair explode is bounded
+    * (see graph_triangles' comment for the hour-bucket density artifact). */
+  private def coEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val b = t(s, d, "events")
+      .select(col("event_type"),
+        graft.sources.Tables.eventMinute.as("mn"),
+        col("user_id"))
+      .distinct()
+    b.as("x").join(b.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.mn") === col("y.mn") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct()
+  }
+
+  /** LPA rounds unrolled as chained CTEs from the same round count as the
+    * engine (Graph.labelPropagation): per round, neighbor-label counts →
+    * per-node max count → min label among the argmax set. All integer, so
+    * the replay is bit-exact; MATERIALIZED stops DuckDB's default CTE
+    * inlining from re-expanding each round's tree exponentially (the
+    * graph_ktruss lesson). Ends WITHOUT a closing comma so callers can
+    * `$lpaRoundsCte SELECT ...` or append `, extra AS (...)`. */
+  private lazy val lpaRoundsCte: String = {
+    val its = (1 to LpaRounds).map { r =>
+      s"""c$r AS MATERIALIZED (
+            SELECT dir.u, l.label, CAST(count(*) AS BIGINT) AS cnt
+            FROM dir JOIN l${r - 1} l ON l.node = dir.v
+            GROUP BY dir.u, l.label),
+          m$r AS MATERIALIZED (
+            SELECT u, max(cnt) AS mx FROM c$r GROUP BY u),
+          l$r AS MATERIALIZED (
+            SELECT c.u AS node, min(c.label) AS label
+            FROM c$r c JOIN m$r m ON m.u = c.u AND c.cnt = m.mx
+            GROUP BY c.u)"""
+    }.mkString(",\n")
+    s"""
+      WITH bk AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts) // 60000000 AS mn, user_id
+        FROM events),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        FROM bk x JOIN bk y
+          ON x.event_type = y.event_type AND x.mn = y.mn
+             AND x.user_id < y.user_id),
+      dir AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b AS u, a AS v FROM e0),
+      l0 AS (
+        SELECT DISTINCT u AS node, u AS label FROM dir),
+      $its"""
+  }
+
   /** DuckDB mirror of Ann.topKApprox with its default planes
     * (hyperplanes(numPlanes, 64, seed=42)): same bucket bits, same
     * Hamming<=1 xor probes, same rounded-cosine ranking. */
@@ -1866,6 +1926,78 @@ object MiscQueries {
           .orderBy("round")
       },
       oracle = Some(ktrussOracle)),
+
+    // Label-propagation community detection (Raghavan et al., Phys. Rev. E
+    // 2007) over the same co-occurrence graph, determinized: min-label
+    // tie-break replaces the paper's random choice, every node starts as
+    // its own community, 3 synchronous rounds (Graph.labelPropagation —
+    // checkpointed per round like kCore). Census rows per round —
+    // surviving distinct labels + nodes that switched — make convergence
+    // visible (a zero-changed round means the labeling is stable), and
+    // the fixed row count survives the empty graph at sf0.001 the same
+    // way kCore's census does. All integer — the oracle replays the
+    // rounds as chained CTEs; community QUALITY is graph_modularity's
+    // readout next door.
+    "graph_lpa" -> QueryDef(
+      fn = (s, d) => graft.operators.Graph
+        .labelPropagationCensus(coEdges(s, d), rounds = LpaRounds)
+        .orderBy("round"),
+      oracle = Some {
+        val reports = (1 to LpaRounds).map { r =>
+          s"""SELECT $r AS round,
+                (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM l$r)
+                  AS n_labels,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM l$r a JOIN l${r - 1} b
+                   ON a.node = b.node AND a.label <> b.label) AS n_changed"""
+        }.mkString(" UNION ALL ")
+        s"""
+        $lpaRoundsCte
+        SELECT * FROM ($reports) ORDER BY round"""
+      }),
+
+    // Newman modularity (Newman & Girvan, Phys. Rev. E 2004) of the LPA
+    // labeling — the quality score FOR the community structure the census
+    // above reports: Q = (4m·Σe_c − Σd_c²)/4m², kept integer (Σd_c²
+    // through DECIMAL(38,0)) until one closing IEEE division, so the
+    // one-row readout hash-matches cross-engine. Q near 0 = no better
+    // than random; the fixture's co-occurrence graph scores positive
+    // because minute-bucket co-activity is genuinely assortative.
+    "graph_modularity" -> QueryDef(
+      fn = (s, d) => {
+        // both consumers (propagation + modularity) read the edge set:
+        // checkpoint the distinct self-join once instead of replaying it
+        val edges = coEdges(s, d).localCheckpoint(true)
+        val labels = graft.operators.Graph.labelPropagation(edges, rounds = LpaRounds)
+        graft.operators.Graph.modularity(edges, labels)
+      },
+      oracle = Some(s"""
+        $lpaRoundsCte,
+        deg AS MATERIALIZED (
+          SELECT u AS node, CAST(count(*) AS BIGINT) AS dg
+          FROM (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0)
+          GROUP BY u),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+        intra AS (
+          SELECT CAST(count(*) AS BIGINT) AS ie
+          FROM e0 JOIN l$LpaRounds la ON la.node = e0.a
+                  JOIN l$LpaRounds lb ON lb.node = e0.b
+          WHERE la.label = lb.label),
+        bc AS (
+          SELECT CAST(count(*) AS BIGINT) AS nc,
+                 coalesce(sum(CAST(dc AS DECIMAL(38,0)) * dc),
+                          CAST(0 AS DECIMAL(38,0))) AS sumdc2
+          FROM (SELECT l.label, CAST(sum(deg.dg) AS BIGINT) AS dc
+                FROM deg JOIN l$LpaRounds l ON l.node = deg.node
+                GROUP BY l.label))
+        SELECT bc.nc AS n_communities, mm.m AS n_edges,
+               intra.ie AS intra_edges,
+               CASE WHEN mm.m > 0 THEN
+                 round(CAST(CAST(4 * mm.m AS DECIMAL(38,0)) * intra.ie
+                            - bc.sumdc2 AS DOUBLE)
+                       / CAST(4 * mm.m * mm.m AS DOUBLE), 6)
+               END AS modularity
+        FROM bc, mm, intra""")),
 
     // Triangle census + global clustering coefficient over the user
     // co-occurrence graph (users sharing an (event_type, minute) activity

@@ -132,6 +132,48 @@ class GraphSpec extends AnyFunSuite {
       "checkpointed rounds must not grow the analyzed plan")
   }
 
+  test("labelPropagation: two bridged triangles resolve to two communities") {
+    // triangles {1,2,3} and {4,5,6} + bridge (3,4). Hand-rolled synchronous
+    // min-label rounds: r1 {1:2,2:1,3:1,4:3,5:4,6:4}, r2 {1:1,2:1,3:1,
+    // 4:4,5:3,6:3}, r3 {1:1,2:1,3:1,4:3,5:3,6:3} — the intended split.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Graph.labelPropagation(g.toDF("a", "b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagationCensus traces convergence; empty graph yields zero rows of zeros") {
+    // same bridged triangles; hand-rolled: r1 labels {2,1,1,3,4,4} -> 4
+    // distinct, 6 switched; r2 {1,1,1,4,3,3} -> 3 distinct, 4 switched;
+    // r3 {1,1,1,3,3,3} -> 2 distinct, 1 switched.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Graph.labelPropagationCensus(g.toDF("a", "b"), rounds = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 4L, 6L), (2, 3L, 4L), (3, 2L, 1L)))
+    val empty = Graph.labelPropagationCensus(
+      Seq.empty[(Long, Long)].toDF("a", "b"), rounds = 2)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(empty == Seq((1, 0L, 0L), (2, 0L, 0L)))
+  }
+
+  test("modularity: exact rational on the two-community split; 0 for one community") {
+    // m=7, intra=6 (bridge crosses), d_c = 7 each, sum d_c^2 = 98:
+    // Q = (4*7*6 - 98) / (4*49) = 70/196 = 0.357143 (6dp).
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)).toDF("node", "label")
+    val row = Graph.modularity(g, labels).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 7L, 6L)))
+    assert(row.getDouble(3) == 0.357143)
+    // all nodes one community: Q = (4m*m - (2m)^2) / 4m^2 = exactly 0
+    val one = (1L to 6L).map(n => (n, 0L)).toDF("node", "label")
+    assert(Graph.modularity(g, one).head().getDouble(3) == 0.0)
+  }
+
   test("dangling node leaks deterministically, result reproducible") {
     val a = ranks(4, (1L, 2L), (3L, 2L))
     val b = ranks(4, (1L, 2L), (3L, 2L))
