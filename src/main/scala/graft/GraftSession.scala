@@ -46,6 +46,8 @@ object GraftSession {
       graft.functions.WordMinHashSigs.register(spark)
     if (!spark.catalog.functionExists("simhash_sig"))
       graft.functions.SimHashSig.register(spark)
+    if (!spark.catalog.functionExists("winnow"))
+      graft.functions.Winnow.register(spark)
     spark
   }
 }

@@ -218,6 +218,53 @@ object MiscQueries {
       FROM ph GROUP BY doc_id ORDER BY doc_id"""
   }
 
+  /** DuckDB mirror of Winnow(text, 8, 8): per-position signed base-257
+    * polynomial hashes (the rollingFpOracle HUGEINT trick, converted to
+    * signed BEFORE comparison — Spark's longs order signed), windows of 8
+    * consecutive hash positions, per-window min with LEFTMOST tie (min pos
+    * among rows at the min hash), selections dedup'd by (pos, hash). */
+  private def winnowingOracle: String = {
+    val poly = (1 to 8).map { j =>
+      val pow = BigInt(257).pow(8 - j)
+      s"CAST(unicode(substr(text, CAST(i AS INT) + ${j - 1}, 1)) AS HUGEINT) * $pow"
+    }.mkString(" + ")
+    val two64 = BigInt(2).pow(64)
+    val two63 = BigInt(2).pow(63)
+    s"""
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 15),
+      p AS (
+        SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS i FROM d),
+      hh AS (
+        SELECT doc_id, i,
+               CASE WHEN hu >= $two63 THEN CAST(hu - $two64 AS BIGINT)
+                    ELSE CAST(hu AS BIGINT) END AS h
+        FROM (SELECT doc_id, i, ($poly) % $two64 AS hu FROM p)),
+      w AS (
+        SELECT doc_id, unnest(generate_series(1, len - 14)) AS j FROM d),
+      win AS (
+        SELECT w.doc_id, w.j, hh.i AS q, hh.h
+        FROM w JOIN hh ON hh.doc_id = w.doc_id
+                      AND hh.i BETWEEN w.j AND w.j + 7),
+      sel AS (SELECT doc_id, j, min(h) AS mh FROM win GROUP BY doc_id, j),
+      selq AS (
+        SELECT win.doc_id, win.j, sel.mh AS h, min(win.q) AS q
+        FROM win JOIN sel ON sel.doc_id = win.doc_id AND sel.j = win.j
+                         AND win.h = sel.mh
+        GROUP BY win.doc_id, win.j, sel.mh),
+      fp AS (SELECT DISTINCT doc_id, q, h FROM selq),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+               bit_xor(h) AS fp_xor, min(h) AS fp_min, max(h) AS fp_max
+        FROM fp GROUP BY doc_id)
+      SELECT d.doc_id, CAST(d.len - 7 AS BIGINT) AS n_grams, agg.n_selected,
+             agg.fp_xor, agg.fp_min, agg.fp_max,
+             round(CAST(agg.n_selected AS DOUBLE) / (d.len - 7), 6) AS density
+      FROM d JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ANN via sign-random-projection LSH + multiprobe: the scale path for
@@ -1839,6 +1886,34 @@ object MiscQueries {
                round(1.0 - CAST(total_chars AS DOUBLE) /
                      CAST(bucket_cap * n_docs AS DOUBLE), 6) AS waste_frac
         FROM g ORDER BY bucket_cap""")),
+
+    // Full winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    // SIGMOD'03) via the native Winnow expression: per-window minimum of
+    // the 8-gram rolling hashes over 8-hash windows, leftmost tie,
+    // dedup'd by position — guarantees a shared fingerprint for any
+    // 15+-char overlap at ~2/(w+1) the density of full shingling. The
+    // per-doc card (count + bit_xor + min/max of selected hashes +
+    // density) pins the SELECTION SET bit-exactly against the oracle's
+    // window-min replay; the O(len) monotonic-deque kernel runs scan-side
+    // in WholeStageCodegen — at 100 TB the fingerprint pass is part of
+    // the scan, never a len*w explode through a shuffle.
+    "text_winnowing" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents").where(length(col("text")) >= 15)
+        docs.select(col("doc_id"),
+            (length(col("text")) - lit(7)).cast("long").as("n_grams"),
+            explode(expr("winnow(text, 8, 8)")).as("fp"))
+          .groupBy("doc_id", "n_grams")
+          .agg(count(lit(1)).as("n_selected"),
+            expr("bit_xor(fp)").as("fp_xor"),
+            min(col("fp")).as("fp_min"), max(col("fp")).as("fp_max"))
+          .select(col("doc_id"), col("n_grams"), col("n_selected"),
+            col("fp_xor"), col("fp_min"), col("fp_max"),
+            round(col("n_selected").cast("double") / col("n_grams"), 6)
+              .as("density"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(winnowingOracle)),
 
     // Native codegen'd rolling-hash fingerprint (RollingHashMin expression):
     // O(len) winnowing fingerprint, the scale path for shingle hashing.
