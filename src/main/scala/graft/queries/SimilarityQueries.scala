@@ -192,6 +192,28 @@ object SimilarityQueries {
         WHERE e.vec_id <> 0
         ORDER BY score DESC, e.vec_id LIMIT 10""")),
 
+    // MMR diversified retrieval (Carbonell-Goldstein SIGIR'98) for the
+    // same query vector: top-30 rounded-cosine candidates (the
+    // distributed part — one scan + TakeOrdered, identical plan family to
+    // sim_topk_bruteforce; the IVF probe drops in for the indexed path),
+    // then 10 greedy lambda=0.7 rounds DRIVER-SIDE over the bounded
+    // candidate set — relevance traded against max-similarity to the
+    // already-picked set, so near-duplicate neighbors stop crowding the
+    // result the way they do in the raw top-k. Every rounding point and
+    // tie-break is pinned; the oracle replays candidates AND all greedy
+    // rounds as chained CTEs.
+    "sim_mmr" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        graft.sim.Mmr.select(t(s, d, "embeddings"),
+            queryId = 0, n = 30, k = 10, lambda = 0.7)
+          .map(p => (p.step.toLong, p.id, p.rel, p.score))
+          .toDF("step", "vec_id", "relevance", "mmr_score")
+          .orderBy("step")
+      },
+      oracle = Some(graft.sim.Mmr.selectOracleSql(
+        queryId = 0, n = 30, k = 10, lambda = 0.7))),
+
     // kNN join: top-3 neighbors for each of the first 20 vectors. The
     // query side (small) is broadcast; candidates never shuffle until the
     // per-query top-k window.
