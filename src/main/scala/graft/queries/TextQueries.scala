@@ -421,6 +421,93 @@ object TextQueries {
                  + 0.0 AS gap
         FROM g ORDER BY bin""")),
 
+    // Isotonic (PAV) calibration of the LR classifier (Zadrozny & Elkan
+    // KDD'02 brought isotonic regression to classifier calibration;
+    // Ayer et al. Ann. Math. Stat. 1955 for PAV itself): the
+    // reliability table above DIAGNOSES miscalibration — this fits the
+    // monotone repair. The score being calibrated is the RAW length-
+    // saturation heuristic x2 = min(tokens/100, 1) against the en label
+    // — the realistic shape ("turn a heuristic into a probability"): at
+    // sf0.01 it occupies 18 of 20 bins with many rate inversions, so
+    // the pooling genuinely fires (the trained-LR score collapses into
+    // 2 bins and exercises nothing). Scores bin to 20 buckets (one
+    // corpus scan); the isotonic fit is then computed via the MINIMAX
+    // characterization of isotonic regression, fit(i) = max_{a<=i}
+    // min_{b>=i} pooledRate(a, b) — equivalent to sequential
+    // pool-adjacent-violators but expressible as bounded relational
+    // algebra: interval pooled rates from prefix sums over the <=20-bin
+    // relation, a theta join bounded by BIN COUNT (never data volume),
+    // two nested min/max aggregates. Every pooled rate is one division
+    // of exact integer-valued sums, so both engines compute the
+    // identical quotient set and the same minimax winner — bit-exact
+    // with zero sequential driver code. Output is monotone by
+    // construction: the calibrated rate a quality gate can threshold
+    // without the non-monotone raw-rate inversions.
+    "quality_isotonic" -> QueryDef(
+      fn = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.text.LogReg
+        val bins = LogReg.features(t(s, d, "documents"))
+          .select(col("y"),
+            least(floor(col("x2") * 20), lit(19L)).cast("long").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("ys"))
+          .localCheckpoint(true) // scanned by 4 downstream arms
+        val wcum = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = bins.select(col("bin"), col("n"), col("ys"),
+          sum(col("n")).over(wcum).as("cn"), sum(col("ys")).over(wcum).as("cy"))
+        val lo = pre.select(col("bin").as("a"),
+          (col("cn") - col("n")).as("cn0"), (col("cy") - col("ys")).as("cy0"))
+        val hi = pre.select(col("bin").as("b"),
+          col("cn").as("cn1"), col("cy").as("cy1"))
+        val iv = lo.join(hi, col("a") <= col("b"))
+          .select(col("a"), col("b"),
+            ((col("cy1") - col("cy0"))
+              / (col("cn1") - col("cn0")).cast("double")).as("pooled"))
+        val fit = bins.select(col("bin").as("r"))
+          .join(iv, col("a") <= col("r") && col("b") >= col("r"))
+          .groupBy("r", "a").agg(min(col("pooled")).as("mn"))
+          .groupBy("r").agg(max(col("mn")).as("iso"))
+        bins.join(fit, col("bin") === col("r"))
+          .select(col("bin"), col("n").as("n_docs"),
+            col("ys").cast("long").as("n_pos"),
+            round(col("ys") / col("n").cast("double"), 6).as("raw_rate"),
+            round(col("iso"), 6).as("iso_rate"))
+          .orderBy("bin")
+      },
+      oracle = Some(s"""
+        WITH sc AS (
+          SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 least(CAST($tokSql AS DOUBLE) / 100.0, 1.0) AS x2
+          FROM documents),
+        bins AS (
+          SELECT least(CAST(floor(x2 * 20) AS BIGINT), 19) AS bin,
+                 CAST(count(*) AS BIGINT) AS n, sum(y) AS ys
+          FROM sc GROUP BY 1),
+        pre AS (
+          SELECT bin, n, ys,
+                 sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+                 sum(ys) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cy
+          FROM bins),
+        iv AS (
+          SELECT lo.bin AS a, hi.bin AS b,
+                 (hi.cy - (lo.cy - lo.ys))
+                   / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS pooled
+          FROM pre lo JOIN pre hi ON lo.bin <= hi.bin),
+        inner_min AS (
+          SELECT r.bin AS r, iv.a, min(iv.pooled) AS mn
+          FROM bins r JOIN iv ON iv.a <= r.bin AND iv.b >= r.bin
+          GROUP BY r.bin, iv.a),
+        fit AS (SELECT r, max(mn) AS iso FROM inner_min GROUP BY r)
+        SELECT b.bin, b.n AS n_docs, CAST(b.ys AS BIGINT) AS n_pos,
+               round(b.ys / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+               round(f2.iso, 6) AS iso_rate
+        FROM bins b JOIN fit f2 ON f2.r = b.bin
+        ORDER BY b.bin""")),
+
     // Inter-classifier agreement (Cohen'60 kappa): the two in-engine
     // English classifiers — the 5-round logistic regression (z > 0) and
     // the hashed-feature Naive Bayes (decimal log-posterior compare) —

@@ -76,7 +76,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // group-cardinality-sized relation — bounded by the number of
       // sketch groups, never by data volume; everything downstream of
       // it joins equi on the pair key
-      "agg_kmv_intersect")
+      "agg_kmv_intersect",
+      // the isotonic minimax fit enumerates pooled-rate intervals over
+      // the <=20-row BIN relation (a <= b, then a <= r <= b) — theta
+      // joins bounded by bin count, never by data volume; the corpus
+      // scan upstream is one equi-keyed aggregate
+      "quality_isotonic")
 
   test("no query plans a cartesian product or nested-loop join") {
     val offenders = plans.filter { case (name, p) =>
