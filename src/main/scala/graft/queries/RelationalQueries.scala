@@ -948,38 +948,17 @@ object RelationalQueries {
     // day rollup, one cumulative window over ≤ #days rows — bounded.
     "events_sequential_sprt" -> QueryDef(
       fn = (s, d) => {
-        def bd6(x: Double) = BigDecimal(x)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        val c1 = bd6(math.log(4.0 / 3.0))  // ln(p1/p0) = ln(0.4/0.3)
-        val c2 = bd6(math.log(6.0 / 7.0))  // ln((1-p1)/(1-p0)) = ln(0.6/0.7)
-        val a = bd6(math.log(19.0))        // ln((1-beta)/alpha)
         val ud = t(s, d, "events")
           .select(Tables.eventDay.as("day"), col("user_id"), col("event_type"))
           .groupBy("day", "user_id")
           .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("sc"))
-        val daily = ud.groupBy("day")
-          .agg(count(lit(1)).as("n"), sum(col("sc")).as("s"))
-        val w = Window.orderBy("day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = daily.select(col("day"),
-          sum(col("n")).over(w).as("cn"), sum(col("s")).over(w).as("cs"))
-        val llr = col("cs").cast(DecimalType(20, 0)) * lit(c1.bigDecimal) +
-          (col("cn") - col("cs")).cast(DecimalType(20, 0)) * lit(c2.bigDecimal)
-        cum.select(col("day"), col("cn").as("n_trials"),
-            col("cs").as("n_success"),
-            round(llr, 6).cast("double").as("llr"),
-            when(llr >= lit(a.bigDecimal), lit("accept_h1"))
-              .when(llr <= lit(a.bigDecimal.negate), lit("accept_h0"))
-              .otherwise(lit("continue")).as("decision"))
-          .orderBy("day")
+        graft.operators.Experiment.sprtCurve(ud)
       },
       oracle = {
-        def bd6(x: Double) = BigDecimal(x)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
-        val c1 = bd6(math.log(4.0 / 3.0))
-        val c2 = bd6(math.log(6.0 / 7.0))
-        val a = bd6(math.log(19.0))
+        val c1 = graft.operators.Experiment.SprtC1.toString
+        val c2 = graft.operators.Experiment.SprtC2.toString
+        val a = graft.operators.Experiment.SprtA.toString
         Some(s"""
         WITH ud AS (
           SELECT epoch_us(ts) // 86400000000 AS day, user_id,

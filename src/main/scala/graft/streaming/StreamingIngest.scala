@@ -1104,6 +1104,58 @@ object StreamingIngest {
     Experiment.zReadout(Experiment.cohortCounts(users))
   }
 
+  /** Streaming SPRT trial ledger — continuously-maintained SEQUENTIAL-test
+    * state (the always-valid monitor the A/B counters' fixed-horizon z
+    * cannot give: Wald's SPRT thresholds hold at EVERY read, so peeking
+    * daily costs nothing): every micro-batch writes its per-(day, user)
+    * conversion contribution (sc = did this user purchase that day IN
+    * THIS BATCH) into a TAG PARTITION of `db.table_sprt_trials`. Unlike
+    * the additive A/B counters this ledger merges by MAX at read time —
+    * sc is a has-purchased flag and trial membership is set membership,
+    * both set-style merges — so a retried batch is a structural no-op
+    * and a user whose first purchase of a day arrives in a later batch
+    * flips that day's sc exactly once. [[sprtReadout]] answers the Wald
+    * decision curve off the standing ledger through the SAME
+    * [[graft.operators.Experiment.sprtCurve]] as the batch
+    * `events_sequential_sprt` query, so the surfaces cannot drift.
+    * Standing state is O(active user-days) rows per tag — bounded by
+    * users × days, never event volume. */
+  def toSprtSink(
+      events: DataFrame, db: String, table: String,
+      tagPrefix: String = "stream",
+      tagColumn: String = "dl_ingest_date"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          foldSprtBatch(batch, db, table,
+            tag = f"$tagPrefix%s_b$batchId%05d", tagColumn = tagColumn)
+    }
+
+  /** One micro-batch trial-ledger fold (the foreachBatch body of
+    * [[toSprtSink]], factored out for direct retry tests). Idempotent for
+    * a given tag. */
+  private[graft] def foldSprtBatch(
+      batch: DataFrame, db: String, table: String,
+      tag: String, tagColumn: String = "dl_ingest_date"): Unit = {
+    val per = batch
+      .select(graft.sources.Tables.eventDay.as("day"),
+        col("user_id"), col("event_type"))
+      .groupBy("day", "user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("sc"))
+      .withColumn(tagColumn, lit(tag))
+    writeTagPartition(per, s"$db.${table}_sprt_trials", tagColumn)
+  }
+
+  /** The sequential decision curve off the standing ledger: per-(day,
+    * user) flags MAX-merge across tags, then the shared Experiment
+    * SPRT arithmetic — result-identical to running the batch query over
+    * the union of every ingested batch. */
+  def sprtReadout(spark: SparkSession, db: String, table: String): DataFrame =
+    graft.operators.Experiment.sprtCurve(
+      spark.table(s"$db.${table}_sprt_trials")
+        .groupBy("day", "user_id").agg(max(col("sc")).as("sc")))
+
   /** Memory-sink writer used by tests to drive a stream synchronously. */
   def toMemorySink(df: DataFrame, name: String, outputMode: String): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.format("memory").queryName(name).outputMode(outputMode)

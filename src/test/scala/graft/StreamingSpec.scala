@@ -984,6 +984,58 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE ab_sink CASCADE")
   }
 
+  test("SPRT sink maintains the trial ledger; readout equals the batch curve") {
+    val dir = Files.createTempDirectory("graft-stream-sprt").toString
+    staticEvents.where(col("event_id") < 400).write.mode("overwrite")
+      .parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS sprt_sink")
+    spark.sql("DROP TABLE IF EXISTS sprt_sink.events_sprt_trials")
+
+    val stream = spark.readStream.schema(staticEvents.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toSprtSink(stream, "sprt_sink", "events").start()
+    try {
+      q.processAllAvailable()
+      publishBatch(staticEvents.where(col("event_id") >= 400), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("sprt_sink.events_sprt_trials")
+
+    // the ledger MAX-merges per-(day, user) flags across tags: a user
+    // whose first purchase of a day arrives in batch 2 must flip that
+    // day's sc exactly once, and a (day, user) active in both batches
+    // must count as ONE trial — so the streamed curve equals the batch
+    // SPRT over the union, decision strings included
+    import graft.operators.Experiment
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
+    val streamed = rows(StreamingIngest.sprtReadout(spark, "sprt_sink", "events"))
+    val direct = rows(Experiment.sprtCurve(
+      staticEvents
+        .select(graft.sources.Tables.eventDay.as("day"),
+          col("user_id"), col("event_type"))
+        .groupBy("day", "user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("sc"))))
+    assert(streamed == direct,
+      s"streamed SPRT curve != batch curve\n$streamed\n$direct")
+    // cross-batch merge genuinely exercised: some (day, user) appears in
+    // both tag partitions (else the split was trivially day-aligned)
+    val spanning = spark.table("sprt_sink.events_sprt_trials")
+      .groupBy("day", "user_id")
+      .agg(countDistinct(col("dl_ingest_date")).as("ntags"))
+      .where(col("ntags") > 1).count()
+    assert(spanning > 0, "no (day,user) spanned both batches; split is trivial")
+
+    // a RETRIED batch tag rewrites its own partition — max-merge makes
+    // the readout a structural no-op
+    StreamingIngest.foldSprtBatch(
+      staticEvents.where(col("event_id") >= 400), "sprt_sink", "events",
+      tag = "stream_b00001")
+    spark.catalog.refreshTable("sprt_sink.events_sprt_trials")
+    val afterRetry = rows(StreamingIngest.sprtReadout(spark, "sprt_sink", "events"))
+    assert(afterRetry == direct, "retried tag perturbed the SPRT curve")
+    spark.sql("DROP DATABASE sprt_sink CASCADE")
+  }
+
   test("NB counts sink retrains continuously; model equals the batch trainer") {
     import graft.text.NaiveBayes
     val staticDocs = spark.read
