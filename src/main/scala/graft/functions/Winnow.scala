@@ -107,6 +107,49 @@ object Winnow {
     new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
   }
 
+  /** DuckDB CTE chain replaying [[compute]] for `documents`: per-position
+    * signed base-257 k-gram hashes (polynomial powers taken MOD 2^64 as
+    * literals so the HUGEINT accumulation never overflows int128 — the
+    * wrapped powers are exactly what the Scala kernel's Long arithmetic
+    * uses), windows of `w` consecutive hash positions, per-window min
+    * with LEFTMOST tie. Ends at `selq(doc_id, j, q, h)` — one row per
+    * (window, selection); consumers dedup to their grain (positions for
+    * the per-doc card, hashes for cross-doc pairs). Docs shorter than one
+    * full window (len < k+w−1) are excluded, mirroring the query-side
+    * filter. */
+  def fpCtesSql(k: Int, w: Int): String = {
+    val two64 = BigInt(2).pow(64)
+    val two63 = BigInt(2).pow(63)
+    val poly = (1 to k).map { j =>
+      val powMod = BigInt(257).pow(k - j).mod(two64)
+      s"CAST(unicode(substr(text, CAST(i AS INT) + ${j - 1}, 1)) AS HUGEINT) * $powMod"
+    }.mkString(" + ")
+    s"""d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= ${k + w - 1}),
+      p AS (
+        SELECT doc_id, text, unnest(generate_series(1, len - ${k - 1})) AS i
+        FROM d),
+      hh AS (
+        SELECT doc_id, i,
+               CASE WHEN hu >= $two63 THEN CAST(hu - $two64 AS BIGINT)
+                    ELSE CAST(hu AS BIGINT) END AS h
+        FROM (SELECT doc_id, i, ($poly) % $two64 AS hu FROM p)),
+      w AS (
+        SELECT doc_id, unnest(generate_series(1, len - ${k + w - 2})) AS j
+        FROM d),
+      win AS (
+        SELECT w.doc_id, w.j, hh.i AS q, hh.h
+        FROM w JOIN hh ON hh.doc_id = w.doc_id
+                      AND hh.i BETWEEN w.j AND w.j + ${w - 1}),
+      sel AS (SELECT doc_id, j, min(h) AS mh FROM win GROUP BY doc_id, j),
+      selq AS (
+        SELECT win.doc_id, win.j, sel.mh AS h, min(win.q) AS q
+        FROM win JOIN sel ON sel.doc_id = win.doc_id AND sel.j = win.j
+                         AND win.h = sel.mh
+        GROUP BY win.doc_id, win.j, sel.mh)"""
+  }
+
   /** Register `winnow(str, k, w)` for SQL / expr() use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(

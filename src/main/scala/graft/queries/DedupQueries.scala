@@ -930,6 +930,71 @@ object DedupQueries {
         WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         ORDER BY doc_id""")),
 
+    // Winnowing-fingerprint near-dup pairs (Schleimer et al. SIGMOD'03 —
+    // the MOSS pipeline shape): the scan-side Winnow kernel selects
+    // ~2/(w+1)-density 16-gram fingerprints per doc, a doc-frequency cap
+    // (df <= 10) drops boilerplate fingerprints BEFORE the pair join (at
+    // sf0.01 8-gram fps reach df 390 — one shared prefix would explode
+    // the join; 16-gram max df is 13, and the cap is the standard
+    // stop-fingerprint discipline), then pairs sharing >= 3 surviving
+    // fingerprints report with a resemblance score over the kept sets.
+    // Relative to MinHash-LSH this is the POSITIONAL family: a shared
+    // fingerprint certifies a literal >= 31-char overlap (w+k-1), so it
+    // catches contiguous plagiarism/quotation that bag-of-shingles
+    // resemblance dilutes. Every join is equi on the fingerprint or doc
+    // key; the fingerprint relation is ~1/8 the gram volume by
+    // construction.
+    "dedup_winnow_pairs" -> QueryDef(
+      fn = (s, d) => {
+        val fps = t(s, d, "documents").where(length(col("text")) >= 31)
+          .select(col("doc_id"), explode(expr("winnow(text, 16, 16)")).as("fp"))
+          .distinct()
+        val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        val keep = fps.join(df.where(col("df") <= 10), "fp")
+          .select(col("doc_id"), col("fp"))
+          .persist()
+        val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = keep.as("a").join(keep.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 3)
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            round(col("shared").cast("double")
+              / (col("na") + col("nb") - col("shared")).cast("double"), 6)
+              .as("resemblance"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH ${graft.functions.Winnow.fpCtesSql(16, 16)},
+        fps AS (SELECT DISTINCT doc_id, h FROM selq),
+        dfc AS (SELECT h, count(*) AS df FROM fps GROUP BY h),
+        keep AS (
+          SELECT f.doc_id, f.h FROM fps f
+          JOIN dfc ON dfc.h = f.h WHERE dfc.df <= 10),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM keep GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM keep a JOIN keep b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, p.shared,
+               round(CAST(p.shared AS DOUBLE)
+                     / CAST(na.n + nb.n - p.shared AS DOUBLE), 6)
+                 AS resemblance
+        FROM pairs p
+        JOIN sizes na ON na.doc_id = p.doc_a
+        JOIN sizes nb ON nb.doc_id = p.doc_b
+        WHERE p.shared >= 3
+        ORDER BY p.doc_a, p.doc_b""")),
+
     // Word-3-gram Jaccard near-dup pairs: LSH candidates from scan-side
     // word MinHash (native WordMinHashSigs), exact Jaccard at 0.5.
     // Signature minima run over the shingle MULTISET in the engine and the

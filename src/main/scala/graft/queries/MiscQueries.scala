@@ -218,41 +218,13 @@ object MiscQueries {
       FROM ph GROUP BY doc_id ORDER BY doc_id"""
   }
 
-  /** DuckDB mirror of Winnow(text, 8, 8): per-position signed base-257
-    * polynomial hashes (the rollingFpOracle HUGEINT trick, converted to
-    * signed BEFORE comparison — Spark's longs order signed), windows of 8
-    * consecutive hash positions, per-window min with LEFTMOST tie (min pos
-    * among rows at the min hash), selections dedup'd by (pos, hash). */
+  /** DuckDB mirror of Winnow(text, 8, 8) via the shared
+    * [[graft.functions.Winnow.fpCtesSql]] replay (signed-before-compare
+    * hashes, leftmost-tie window min), dedup'd to selected POSITIONS for
+    * the per-doc card. */
   private def winnowingOracle: String = {
-    val poly = (1 to 8).map { j =>
-      val pow = BigInt(257).pow(8 - j)
-      s"CAST(unicode(substr(text, CAST(i AS INT) + ${j - 1}, 1)) AS HUGEINT) * $pow"
-    }.mkString(" + ")
-    val two64 = BigInt(2).pow(64)
-    val two63 = BigInt(2).pow(63)
     s"""
-      WITH d AS (
-        SELECT doc_id, text, length(text) AS len
-        FROM documents WHERE length(text) >= 15),
-      p AS (
-        SELECT doc_id, text, unnest(generate_series(1, len - 7)) AS i FROM d),
-      hh AS (
-        SELECT doc_id, i,
-               CASE WHEN hu >= $two63 THEN CAST(hu - $two64 AS BIGINT)
-                    ELSE CAST(hu AS BIGINT) END AS h
-        FROM (SELECT doc_id, i, ($poly) % $two64 AS hu FROM p)),
-      w AS (
-        SELECT doc_id, unnest(generate_series(1, len - 14)) AS j FROM d),
-      win AS (
-        SELECT w.doc_id, w.j, hh.i AS q, hh.h
-        FROM w JOIN hh ON hh.doc_id = w.doc_id
-                      AND hh.i BETWEEN w.j AND w.j + 7),
-      sel AS (SELECT doc_id, j, min(h) AS mh FROM win GROUP BY doc_id, j),
-      selq AS (
-        SELECT win.doc_id, win.j, sel.mh AS h, min(win.q) AS q
-        FROM win JOIN sel ON sel.doc_id = win.doc_id AND sel.j = win.j
-                         AND win.h = sel.mh
-        GROUP BY win.doc_id, win.j, sel.mh),
+      WITH ${graft.functions.Winnow.fpCtesSql(8, 8)},
       fp AS (SELECT DISTINCT doc_id, q, h FROM selq),
       agg AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected,
