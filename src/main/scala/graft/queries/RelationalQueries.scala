@@ -236,6 +236,91 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Stationary distribution of the event-type Markov chain (power
+    // iteration on the row-normalized transition matrix — the PageRank
+    // primitive applied to the BEHAVIORAL graph): where a user's session
+    // spends its time in the long run, the baseline against which
+    // events_transition_entropy's per-state surprise reads. Mechanics:
+    // the per-user lead window + (from, to) count aggregate is the one
+    // corpus shuffle (the events_transitions plan); the k x k count
+    // matrix (k = event types, bounded) is pulled to the driver and
+    // iterated 12 rounds — trainer pattern, k^2 driver state. Each term
+    // pi_f * c_ft / rowsum_f is rounded to 6dp and the per-target sums
+    // accumulate in exact DECIMAL, so iteration order cannot perturb the
+    // curve and the oracle replays all 12 rounds as chained CTEs
+    // bit-exactly (the LR-weights quantization discipline).
+    "events_markov_stationary" -> QueryDef(
+      fn = (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val counts = t(s, d, "events")
+          .select(col("user_id"), Tables.eventUs.as("us"),
+            col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("f"), col("to_type").as("tt"))
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val types = counts.keys.flatMap { case (a, b) => Seq(a, b) }
+          .toSeq.distinct.sorted
+        val rowSum = types.map(tp =>
+          tp -> counts.collect { case ((f, _), n) if f == tp => n }.sum).toMap
+        def bd6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        var pi = types.map(_ -> (1.0 / types.size)).toMap
+        for (_ <- 1 to 12) {
+          val terms = counts.toSeq.map { case ((f, tt), n) =>
+            tt -> bd6(pi(f) * n / rowSum(f))
+          }
+          pi = types.map { tp =>
+            tp -> terms.collect { case (t2, v) if t2 == tp => v }
+              .foldLeft(BigDecimal(0))(_ + _).toDouble
+          }.toMap
+        }
+        types.map(tp => (tp, pi(tp), rowSum(tp)))
+          .toDF("event_type", "stationary_p", "n_out")
+          .orderBy("event_type")
+      },
+      oracle = {
+        val rounds = (1 to 12).map { r =>
+          s"""pi$r AS MATERIALIZED (
+                SELECT ty.et,
+                       CAST(coalesce(
+                         sum(CAST(round(pi.p * tc.c / rs.rs, 6)
+                                  AS DECIMAL(18,6))),
+                         CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS p
+                FROM ty
+                LEFT JOIN tc ON tc.tt = ty.et
+                LEFT JOIN rs ON rs.f = tc.f
+                LEFT JOIN pi${r - 1} pi ON pi.et = tc.f
+                GROUP BY ty.et)"""
+        }.mkString(",\n")
+        Some(s"""
+        WITH pairs AS (
+          SELECT event_type AS f,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS tt
+          FROM events),
+        tc AS MATERIALIZED (
+          SELECT f, tt, CAST(count(*) AS BIGINT) AS c
+          FROM pairs WHERE tt IS NOT NULL GROUP BY 1, 2),
+        rs AS (SELECT f, CAST(sum(c) AS BIGINT) AS rs FROM tc GROUP BY f),
+        ty AS (SELECT DISTINCT et
+               FROM (SELECT f AS et FROM tc UNION ALL SELECT tt FROM tc)),
+        pi0 AS (
+          SELECT et, 1.0 / (SELECT CAST(count(*) AS BIGINT) FROM ty) AS p
+          FROM ty),
+        $rounds
+        SELECT ty.et AS event_type, pi12.p AS stationary_p,
+               CAST(coalesce(r2.rs, 0) AS BIGINT) AS n_out
+        FROM ty
+        JOIN pi12 ON pi12.et = ty.et
+        LEFT JOIN rs r2 ON r2.f = ty.et
+        ORDER BY event_type""")
+      }),
+
     // Linear multi-touch attribution (the standard marketing-analytics
     // credit model; Shapley'53 value with order-independent uniform
     // weights degenerates to exactly this split): each 'purchase'
