@@ -995,6 +995,75 @@ object DedupQueries {
         WHERE p.shared >= 3
         ORDER BY p.doc_a, p.doc_b""")),
 
+    // Incremental winnowing pairs: only fingerprint collisions TOUCHING
+    // the delta (odd doc_ids; evens are standing history) are probed —
+    // the delta-sized kept-fp relation equi-joins the standing fp table
+    // once, O(delta) like every other _incr in the family (in production
+    // the fp and df tables are standing and additively maintained; df is
+    // corpus-global so the stop-fingerprint cap cannot drift between the
+    // batch and incremental paths). The (b even OR a < b) join predicate
+    // emits delta-standing pairs once from the delta side and
+    // delta-delta pairs once in canonical order — no post-hoc DISTINCT.
+    // Equals the full pipeline restricted to pairs with a delta side,
+    // which is exactly how the oracle replays it.
+    "dedup_winnow_incr" -> QueryDef(
+      fn = (s, d) => {
+        val fps = t(s, d, "documents").where(length(col("text")) >= 31)
+          .select(col("doc_id"), explode(expr("winnow(text, 16, 16)")).as("fp"))
+          .distinct()
+        val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        val keep = fps.join(df.where(col("df") <= 10), "fp")
+          .select(col("doc_id"), col("fp"))
+          .persist()
+        val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val keepD = keep.where(col("doc_id") % 2 === 1)
+        val pairs = keepD.as("a").join(keep.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.doc_id") =!= col("b.doc_id") &&
+              (col("b.doc_id") % 2 === 0 || col("a.doc_id") < col("b.doc_id")))
+          .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 3)
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            round(col("shared").cast("double")
+              / (col("na") + col("nb") - col("shared")).cast("double"), 6)
+              .as("resemblance"))
+          .orderBy("doc_a", "doc_b")
+      },
+      oracle = Some(s"""
+        WITH ${graft.functions.Winnow.fpCtesSql(16, 16)},
+        fps AS (SELECT DISTINCT doc_id, h FROM selq),
+        dfc AS (SELECT h, count(*) AS df FROM fps GROUP BY h),
+        keep AS (
+          SELECT f.doc_id, f.h FROM fps f
+          JOIN dfc ON dfc.h = f.h WHERE dfc.df <= 10),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                  FROM keep GROUP BY doc_id),
+        pairs AS (
+          SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                 greatest(a.doc_id, b.doc_id) AS doc_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM keep a JOIN keep b
+            ON a.h = b.h AND a.doc_id <> b.doc_id
+           AND (b.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+          WHERE a.doc_id % 2 = 1
+          GROUP BY 1, 2)
+        SELECT p.doc_a, p.doc_b, p.shared,
+               round(CAST(p.shared AS DOUBLE)
+                     / CAST(na.n + nb.n - p.shared AS DOUBLE), 6)
+                 AS resemblance
+        FROM pairs p
+        JOIN sizes na ON na.doc_id = p.doc_a
+        JOIN sizes nb ON nb.doc_id = p.doc_b
+        WHERE p.shared >= 3
+        ORDER BY p.doc_a, p.doc_b""")),
+
     // Word-3-gram Jaccard near-dup pairs: LSH candidates from scan-side
     // word MinHash (native WordMinHashSigs), exact Jaccard at 0.5.
     // Signature minima run over the shingle MULTISET in the engine and the
