@@ -48,6 +48,8 @@ object GraftSession {
       graft.functions.SimHashSig.register(spark)
     if (!spark.catalog.functionExists("winnow"))
       graft.functions.Winnow.register(spark)
+    if (!spark.catalog.functionExists("hilbert_xy"))
+      graft.functions.HilbertXY.register(spark)
     spark
   }
 }

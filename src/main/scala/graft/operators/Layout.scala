@@ -68,6 +68,25 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Cluster `df` by the HILBERT order of (`xCol`, `yCol`) into
+    * `numFiles` parquet files — [[zorderWrite]] with the locality-
+    * superior curve (consecutive Hilbert cells are grid-adjacent; the
+    * Z-curve jumps across half the grid at quadrant seams, widening
+    * per-file min/max boxes). Key via the native
+    * [[graft.functions.HilbertXY]] kernel, 16 bits per dimension. */
+  def hilbertWrite(
+      df: DataFrame, xCol: String, yCol: String,
+      path: String, numFiles: Int): Unit = {
+    // via the function registry (GraftSession.tune registers it) — the
+    // VectorOps.dot / winnow convention for native-kernel Columns
+    df.withColumn("__h",
+        expr(s"hilbert_xy(CAST($xCol AS BIGINT), CAST($yCol AS BIGINT), 16)"))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Deterministic training-order shuffle key: shard and within-shard
     * position from an md5 coin over the row key — the reproducible global
     * permutation SGD training wants (sequential reads see an unbiased

@@ -1329,6 +1329,39 @@ object MiscQueries {
         FROM xy ORDER BY zval, event_id"""
       }),
 
+    // Hilbert-curve clustering key over the same (user, hour) plane as
+    // layout_zorder — the locality-superior curve: consecutive Hilbert
+    // cells are GRID-ADJACENT where the Z-curve jumps across half the
+    // grid at quadrant seams, so per-file min/max boxes along the curve
+    // are tighter (LayoutSpec proves hilbertWrite's box pruning).
+    // Computed by the native HilbertXY kernel (a 16-round reflect/swap
+    // walk — iterated symbolically the expression tree doubles per
+    // round, which is why Morton gets shift-masks and Hilbert gets a
+    // codegen'd static call); the oracle replays the rounds as chained
+    // CTEs carrying the rotated (x, y) as COLUMNS, one row of state per
+    // event — the linear replay of an exponential expression.
+    "layout_hilbert" -> QueryDef(
+      fn = (s, d) =>
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            graft.sources.Tables.eventHour.as("hr"))
+          .select(col("event_id"), col("user_id"), col("hr"),
+            expr("hilbert_xy(user_id, hr, 16)").as("hval"))
+          .orderBy("hval", "event_id"),
+      oracle = Some(s"""
+        WITH h0 AS (
+          SELECT event_id AS key, user_id & 65535 AS x,
+                 (epoch_us(ts) // 3600000000) & 65535 AS y,
+                 CAST(0 AS BIGINT) AS d
+          FROM events),
+        ${graft.functions.HilbertXY.roundsCtesSql(16)},
+        e AS (
+          SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hr
+          FROM events)
+        SELECT e.event_id, e.user_id, e.hr, h16.d AS hval
+        FROM e JOIN h16 ON h16.key = e.event_id
+        ORDER BY hval, event_id""")),
+
     // Referential-integrity audit (the dbt/Great-Expectations test class
     // as one query): primary-key duplicate counts and cross-table orphan
     // counts, each check one aggregate or anti-join over narrow key

@@ -92,6 +92,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.except(ev3).count() == 0 && ev3.except(back).count() == 0)
   }
 
+  test("hilbert write round-trips and prunes both axes of a box query") {
+    GraftSession.tune(spark)
+    val dir = Files.createTempDirectory("graft_hilbert").toString
+    Layout.hilbertWrite(ev, "user_id", "hr", s"$dir/h", numFiles)
+    val back = spark.read.parquet(s"$dir/h")
+    assert(back.count() == ev.count())
+    assert(back.except(ev).count() == 0 && ev.except(back).count() == 0)
+
+    // baseline: user-only sort — no hr locality at all
+    ev.repartitionByRange(numFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(s"$dir/u")
+    val r = ev.agg(min("hr"), max("hr")).head
+    val (hlo, hhi) = (r.getLong(0), r.getLong(1))
+    val qlo = hlo + (hhi - hlo) * 3 / 8
+    val qhi = hlo + (hhi - hlo) * 4 / 8
+    def touched(path: String): Int =
+      fileBoxes(path).count(b =>
+        b.getAs[Long]("hlo") <= qhi && b.getAs[Long]("hhi") >= qlo)
+    assert(touched(s"$dir/u") == numFiles,
+      "user-sorted layout unexpectedly prunes hr")
+    assert(touched(s"$dir/h") <= numFiles * 2 / 3,
+      s"hilbert layout gives no hr pruning: ${touched(s"$dir/h")}/$numFiles")
+  }
+
   test("shuffled write: balanced shards, a permutation, and decorrelated order") {
     import spark.implicits._
     val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
