@@ -188,7 +188,11 @@ object Bench {
     "text_kneser_ney_logprob", "text_backoff_logprob", "bpe_encode", "bpe_train",
     "sim_ann_pq", "sim_ann_ivfpq", "sim_ann_ivfpq_rerank", "sim_ann_ivfadc",
     "q20_promotion_suppliers", "decontam_embedding",
-    "events_time_to_convert", "events_mau_sketch", "split_leakage")
+    "events_time_to_convert", "events_mau_sketch", "split_leakage",
+    // round-9 additions measured multi-second isolated (BenchSome):
+    // lpa 5.0s, modularity 3.6s, winnow pairs 2.2s (+ its incr twin)
+    "graph_lpa", "graph_modularity",
+    "dedup_winnow_pairs", "dedup_winnow_incr")
 
   /** Self-calibration on top of the static list: any query whose median in
     * the PREVIOUS bench record (target/bench.json survives across rounds)

@@ -421,6 +421,89 @@ object TextQueries {
                  + 0.0 AS gap
         FROM g ORDER BY bin""")),
 
+    // Brier score decomposition (Brier'50; Murphy, "A new vector
+    // partition of the probability score", J. Appl. Meteor. 1973): the
+    // one-row score card for the same heuristic forecast the isotonic
+    // query calibrates — total Brier plus its reliability (calibration
+    // gap, lower better), resolution (how much the forecast separates
+    // outcomes, higher better), and uncertainty (outcome base-rate
+    // entropy, the forecast-independent floor) components over the
+    // 20-bin partition. Determinism: the forecast rounds to 6dp once;
+    // every squared term (per-doc Brier, per-bin reliability/resolution)
+    // rounds to 6dp and accumulates in exact DECIMAL, so summation order
+    // cannot perturb any component; closing divisions are scalar IEEE.
+    // One corpus scan + a <=20-row rollup.
+    "quality_brier" -> QueryDef(
+      fn = (s, d) => {
+        import graft.text.LogReg
+        val dec = DecimalType(18, 6)
+        val f6 = round(col("x2"), 6)
+        val base = LogReg.features(t(s, d, "documents"))
+          .select(col("y"), f6.as("f"),
+            least(floor(f6 * 20), lit(19L)).cast("long").as("bin"))
+          .localCheckpoint(true) // three aggregates read it
+        val tot = base.agg(count(lit(1)).as("n"), sum(col("y")).as("ys"),
+          sum(round((col("f") - col("y")) * (col("f") - col("y")), 6)
+            .cast(dec)).as("bsum")).head()
+        val (n, ys, bsum) =
+          (tot.getLong(0), tot.getDouble(1), tot.getDecimal(2))
+        val baseRate = ys / n
+        val bins = base.groupBy("bin")
+          .agg(count(lit(1)).as("nk"), sum(col("y")).as("ysk"),
+            sum(col("f").cast(dec)).as("fsum"))
+        val fbar = col("fsum").cast("double") / col("nk").cast("double")
+        val acc = col("ysk") / col("nk").cast("double")
+        val parts = bins.agg(
+          sum(round(col("nk") * (fbar - acc) * (fbar - acc), 6).cast(dec))
+            .as("rel"),
+          sum(round(col("nk") * (acc - lit(baseRate)) * (acc - lit(baseRate)),
+            6).cast(dec)).as("res"))
+        parts.select(lit(n).as("n_docs"),
+          round(lit(bsum).cast("double") / n, 6).as("brier"),
+          round(col("rel").cast("double") / n, 6).as("reliability"),
+          round(col("res").cast("double") / n, 6).as("resolution"),
+          lit(BigDecimal(baseRate * (1.0 - baseRate))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            .as("uncertainty"))
+      },
+      oracle = Some(s"""
+        WITH sc AS (
+          SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 round(least(CAST($tokSql AS DOUBLE) / 100.0, 1.0), 6) AS f
+          FROM documents),
+        b AS (
+          SELECT y, f, least(CAST(floor(f * 20) AS BIGINT), 19) AS bin
+          FROM sc),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, sum(y) AS ys,
+                 sum(CAST(round((f - y) * (f - y), 6) AS DECIMAL(18,6)))
+                   AS bsum
+          FROM b),
+        bins AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS nk, sum(y) AS ysk,
+                 sum(CAST(f AS DECIMAL(18,6))) AS fsum
+          FROM b GROUP BY bin),
+        parts AS (
+          SELECT
+            sum(CAST(round(nk * (CAST(fsum AS DOUBLE) / CAST(nk AS DOUBLE)
+                                 - ysk / CAST(nk AS DOUBLE))
+                              * (CAST(fsum AS DOUBLE) / CAST(nk AS DOUBLE)
+                                 - ysk / CAST(nk AS DOUBLE)), 6)
+                     AS DECIMAL(18,6))) AS rel,
+            sum(CAST(round(nk * (ysk / CAST(nk AS DOUBLE)
+                                 - (SELECT ys / n FROM tot))
+                              * (ysk / CAST(nk AS DOUBLE)
+                                 - (SELECT ys / n FROM tot)), 6)
+                     AS DECIMAL(18,6))) AS res
+          FROM bins)
+        SELECT tot.n AS n_docs,
+               round(CAST(tot.bsum AS DOUBLE) / tot.n, 6) AS brier,
+               round(CAST(parts.rel AS DOUBLE) / tot.n, 6) AS reliability,
+               round(CAST(parts.res AS DOUBLE) / tot.n, 6) AS resolution,
+               round((tot.ys / tot.n) * (1.0 - tot.ys / tot.n), 6)
+                 AS uncertainty
+        FROM tot, parts""")),
+
     // Isotonic (PAV) calibration of the LR classifier (Zadrozny & Elkan
     // KDD'02 brought isotonic regression to classifier calibration;
     // Ayer et al. Ann. Math. Stat. 1955 for PAV itself): the
