@@ -57,6 +57,57 @@ object AsOfJoin {
     carried.where(col("__side") === 1).drop("__side")
   }
 
+  /** [[asOf]] with a match-freshness bound — the production form (a
+    * 3-day-old quote is not "the" quote): the backward match is kept only
+    * when `left.time − right.time <= tolerance`, otherwise the row keeps
+    * NULL payloads, exactly as if no right row preceded it. Emits the
+    * `asof_<p>` payloads plus `gap_<time>` (the match's age; NULL when no
+    * match or stale). Same ONE-shuffle union-and-carry as [[asOf]] with
+    * the matched right TIME carried alongside the payloads so the
+    * freshness test is a scan-side projection, never a second join. */
+  def asOfTolerance(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, payload: Seq[String],
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val leftCols = left.columns.toSeq
+    val r1 = right
+      .groupBy(col(key), col(time))
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select(col(key) +: col(time) +: col(time).as("__rt") +:
+        payload.map(p => col(s"__p.$p").as(s"asof_$p")): _*)
+
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rt", lit(null).cast(left.schema(time).dataType))
+      .select(leftCols.map(col) ++ Seq(col("__side"), col("__rt")) ++
+        payload.map(p =>
+          lit(null).cast(r1.schema(s"asof_$p").dataType).as(s"asof_$p")): _*)
+    val r = r1.withColumn("__side", lit(0))
+      .select(leftCols.map(c =>
+        if (c == key || c == time) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col("__side"), col("__rt")) ++
+        payload.map(p => col(s"asof_$p")): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(
+        (leftCols.map(col) :+ col("__side") :+
+          last(col("__rt"), ignoreNulls = true).over(w).as("__bt")) ++
+          payload.map(p =>
+            last(col(s"asof_$p"), ignoreNulls = true).over(w).as(s"asof_$p")): _*)
+      .where(col("__side") === 1)
+    val fresh = col("__bt").isNotNull &&
+      (col(time) - col("__bt")) <= lit(tolerance)
+    carried.select(
+      (leftCols.map(col) :+
+        when(fresh, col(time) - col("__bt")).as(s"gap_$time")) ++
+        payload.map(p => when(fresh, col(s"asof_$p")).as(s"asof_$p")): _*)
+  }
+
   /** NEAREST-event join: every `left` row + the payload of the right row
     * whose time is CLOSEST in either direction on the same key (sensor
     * alignment / nearest-quote semantics; ties at equal distance go to

@@ -1807,6 +1807,41 @@ object RelationalQueries {
     // (graft.operators.AsOfJoin - union + sorted carry-forward, one
     // shuffle). The oracle uses DuckDB's native ASOF LEFT JOIN; event time
     // in epoch-micros on both sides.
+    // Tolerance-bounded as-of: the backward match survives only when it
+    // is <= 1h old — stale-quote rejection, the production variant of
+    // join_asof (the matched right TIME rides the same one-shuffle
+    // union-and-carry, so freshness is a scan-side projection, never a
+    // second join). Oracle = DuckDB's native ASOF with a post-join CASE.
+    "join_asof_tolerance" -> QueryDef(
+      fn = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), Tables.eventUs.as("us"),
+            col("event_type"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "event_id", "us")
+        val views = ev.where(col("event_type") === "view")
+          .select("user_id", "us", "value")
+        graft.operators.AsOfJoin
+          .asOfTolerance(clicks, views, key = "user_id", time = "us",
+            payload = Seq("value"), tolerance = 3600000000L)
+          .orderBy("user_id", "event_id")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value
+          FROM events),
+        c AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'click'),
+        v AS (SELECT user_id, us, max(value) AS asof_value
+              FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT c.user_id AS user_id, c.event_id AS event_id, c.us AS us,
+               CASE WHEN v.us IS NOT NULL AND c.us - v.us <= 3600000000
+                    THEN c.us - v.us END AS gap_us,
+               CASE WHEN v.us IS NOT NULL AND c.us - v.us <= 3600000000
+                    THEN v.asof_value END AS asof_value
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND c.us >= v.us
+        ORDER BY c.user_id, c.event_id""")),
+
     "join_asof" -> QueryDef(
       fn = (s, d) => {
         val ev = t(s, d, "events")

@@ -122,6 +122,137 @@ object TextQueries {
         w0 AS (SELECT 0.0 AS b, 0.0 AS wl, 0.0 AS ws),$rounds"""
   }
 
+  /** Shared per-doc verdict CTE chain for the two in-engine classifiers —
+    * ends at `lr(doc_id, a)`, `nb(doc_id, b)`, `lab(doc_id, y)` — used by
+    * the kappa agreement AND the McNemar error-rate comparison, so both
+    * readouts grade the identical classifier pair and neither can drift
+    * from quality_lr_* / quality_nb_*. */
+  private def lrNbOracleCtes: String = s"""${lrRoundsCtes(5)},
+        lr AS (
+          SELECT doc_id,
+                 CASE WHEN w.b
+                        + w.wl * least(CAST($tokSql AS DOUBLE) / 100.0, 1.0)
+                        + w.ws * (CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)}
+                                  AS DOUBLE) / $tokSql) > 0
+                      THEN 1 ELSE 0 END AS a
+          FROM documents, w5 w),
+        tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents),
+        bk AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 16 AS bucket
+          FROM tok),
+        cnt AS (
+          SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+        lab AS (
+          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        m AS (
+          SELECT bucket,
+                 sum(CASE WHEN l.y = 0 THEN c.cnt ELSE 0 END) AS c0,
+                 sum(CASE WHEN l.y = 1 THEN c.cnt ELSE 0 END) AS c1
+          FROM cnt c JOIN lab l USING (doc_id)
+          GROUP BY bucket),
+        mw AS (
+          SELECT bucket, c0, c1,
+                 sum(c0) OVER () AS t0, sum(c1) OVER () AS t1
+          FROM m),
+        mm AS (
+          SELECT bucket,
+                 CAST(round(ln(CAST(c0 + 1 AS DOUBLE)
+                   / CAST(t0 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp0,
+                 CAST(round(ln(CAST(c1 + 1 AS DOUBLE)
+                   / CAST(t1 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp1
+          FROM mw),
+        pr AS (
+          SELECT count(*) AS nd,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nd1
+          FROM documents),
+        nb AS (
+          SELECT c.doc_id,
+                 CASE WHEN sum(c.cnt * mm.lp1)
+                          + (SELECT CAST(round(ln(CAST(nd1 AS DOUBLE)
+                             / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
+                             FROM pr)
+                        > sum(c.cnt * mm.lp0)
+                          + (SELECT CAST(round(ln(CAST(nd - nd1 AS DOUBLE)
+                             / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
+                             FROM pr)
+                      THEN 1 ELSE 0 END AS b
+          FROM cnt c JOIN mm USING (bucket)
+          GROUP BY c.doc_id)"""
+
+  /** The Spark twin of [[lrNbOracleCtes]]: per-doc verdicts of the two
+    * in-engine classifiers plus the truth — (doc_id, a = LR says en,
+    * b = NB says en, y = labeled en). LR trains exactly as quality_lr_*,
+    * NB scores exactly as quality_nb_score; the result is
+    * `localCheckpoint`ed so both consumers aggregate off materialized
+    * rows with the training caches already released. */
+  private def lrNbPerDoc(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.LogReg
+    val width = 16
+    val dec = DecimalType(18, 6)
+    val docs = t(s, d, "documents")
+    // Rater A: logistic regression, trained exactly as quality_lr_*.
+    val f = LogReg.features(docs).persist()
+    val wts = LogReg.trainOnFeatures(f, iters = 5)
+    val lrEn = (lit(wts(0)) +
+      lit(wts(1)) * least(TextAnalysis.tokenCount(col("text"))
+        .cast("double") / lit(100.0), lit(1.0)) +
+      lit(wts(2)) * TextAnalysis.stopwordRatio(col("text"))) > 0
+    val lr = docs.select(col("doc_id"),
+      when(lrEn, 1L).otherwise(0L).as("a"))
+    // Rater B: Naive Bayes, scored exactly as quality_nb_score.
+    val pr = docs.agg(count(lit(1)),
+      sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
+    val (nd, nd1) = (pr.getLong(0), pr.getLong(1))
+    val cnt = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+          .as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
+          % width).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val enDocs = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val model = cnt.join(enDocs, "doc_id")
+      .groupBy("bucket")
+      .agg(sum(when(col("y") === 0L, col("cnt")).otherwise(0L)).as("c0"),
+        sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("c1"))
+      .select(col("bucket"), col("c0"), col("c1"),
+        sum(col("c0")).over(Window.partitionBy()).as("t0"),
+        sum(col("c1")).over(Window.partitionBy()).as("t1"))
+      .select(col("bucket"),
+        round(log((col("c0") + 1).cast("double")
+          / (col("t0") + width).cast("double")), 6).cast(dec).as("lp0"),
+        round(log((col("c1") + 1).cast("double")
+          / (col("t1") + width).cast("double")), 6).cast(dec).as("lp1"))
+    val prior0 = round(log(lit((nd - nd1).toDouble / nd.toDouble)), 6)
+      .cast(dec)
+    val prior1 = round(log(lit(nd1.toDouble / nd.toDouble)), 6).cast(dec)
+    val nb = cnt.join(model, "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("lp0")).as("s0raw"),
+        sum(col("cnt") * col("lp1")).as("s1raw"))
+      .select(col("doc_id"),
+        when(col("s1raw") + prior1 > col("s0raw") + prior0, 1L)
+          .otherwise(0L).as("b"))
+    val out = lr.join(nb, "doc_id").join(enDocs, "doc_id")
+      .localCheckpoint(true)
+    f.unpersist(false)
+    cnt.unpersist(false)
+    out
+  }
+
   private def lrOracleSql(iters: Int): String =
     s"""
         WITH ${lrRoundsCtes(iters)},
@@ -605,59 +736,7 @@ object TextQueries {
     // registry entry.
     "quality_kappa" -> QueryDef(
       fn = (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        import graft.text.LogReg
-        val width = 16
-        val dec = DecimalType(18, 6)
-        val docs = t(s, d, "documents")
-        // Rater A: logistic regression, trained exactly as quality_lr_*.
-        val f = LogReg.features(docs).persist()
-        val wts = LogReg.trainOnFeatures(f, iters = 5)
-        val lrEn = (lit(wts(0)) +
-          lit(wts(1)) * least(TextAnalysis.tokenCount(col("text"))
-            .cast("double") / lit(100.0), lit(1.0)) +
-          lit(wts(2)) * TextAnalysis.stopwordRatio(col("text"))) > 0
-        val lr = docs.select(col("doc_id"),
-          when(lrEn, 1L).otherwise(0L).as("a"))
-        // Rater B: Naive Bayes, scored exactly as quality_nb_score.
-        val pr = docs.agg(count(lit(1)),
-          sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
-        val (nd, nd1) = (pr.getLong(0), pr.getLong(1))
-        val cnt = docs
-          .select(col("doc_id"),
-            explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-              .as("w"))
-          .select(col("doc_id"),
-            (conv(substring(md5(col("w")), 1, 12), 16, 10).cast("long")
-              % width).as("bucket"))
-          .groupBy("doc_id", "bucket")
-          .agg(count(lit(1)).as("cnt"))
-          .persist()
-        val enDocs = docs.select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-        val model = cnt.join(enDocs, "doc_id")
-          .groupBy("bucket")
-          .agg(sum(when(col("y") === 0L, col("cnt")).otherwise(0L)).as("c0"),
-            sum(when(col("y") === 1L, col("cnt")).otherwise(0L)).as("c1"))
-          .select(col("bucket"), col("c0"), col("c1"),
-            sum(col("c0")).over(Window.partitionBy()).as("t0"),
-            sum(col("c1")).over(Window.partitionBy()).as("t1"))
-          .select(col("bucket"),
-            round(log((col("c0") + 1).cast("double")
-              / (col("t0") + width).cast("double")), 6).cast(dec).as("lp0"),
-            round(log((col("c1") + 1).cast("double")
-              / (col("t1") + width).cast("double")), 6).cast(dec).as("lp1"))
-        val prior0 = round(log(lit((nd - nd1).toDouble / nd.toDouble)), 6)
-          .cast(dec)
-        val prior1 = round(log(lit(nd1.toDouble / nd.toDouble)), 6).cast(dec)
-        val nb = cnt.join(model, "bucket")
-          .groupBy("doc_id")
-          .agg(sum(col("cnt") * col("lp0")).as("s0raw"),
-            sum(col("cnt") * col("lp1")).as("s1raw"))
-          .select(col("doc_id"),
-            when(col("s1raw") + prior1 > col("s0raw") + prior0, 1L)
-              .otherwise(0L).as("b"))
-        val cells = lr.join(nb, "doc_id")
+        val cells = lrNbPerDoc(s, d)
           .agg(count(lit(1)).as("n"),
             sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L))
               .as("n11"),
@@ -673,75 +752,14 @@ object TextQueries {
           ((col("n11") + col("n01")).cast("double") / nD) +
           ((col("n00") + col("n01")).cast("double") / nD) *
           ((col("n00") + col("n10")).cast("double") / nD)
-        val out = cells.select(col("n").as("n_docs"),
-            col("n11").as("n_both_en"), col("n00").as("n_both_other"),
-            col("n10").as("n_lr_only"), col("n01").as("n_nb_only"),
-            round(po, 6).as("po"), round(pe, 6).as("pe"),
-            round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
-          .persist()
-        out.count() // materialize while the feature/tf caches are live
-        f.unpersist(false)
-        cnt.unpersist(false)
-        out
+        cells.select(col("n").as("n_docs"),
+          col("n11").as("n_both_en"), col("n00").as("n_both_other"),
+          col("n10").as("n_lr_only"), col("n01").as("n_nb_only"),
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
       },
       oracle = Some(s"""
-        WITH ${lrRoundsCtes(5)},
-        lr AS (
-          SELECT doc_id,
-                 CASE WHEN w.b
-                        + w.wl * least(CAST($tokSql AS DOUBLE) / 100.0, 1.0)
-                        + w.ws * (CAST(${hitsSql(TextAnalysis.LangStopwords.head._2)}
-                                  AS DOUBLE) / $tokSql) > 0
-                      THEN 1 ELSE 0 END AS a
-          FROM documents, w5 w),
-        tok AS (
-          SELECT doc_id,
-                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                    x -> x <> '')) AS w
-          FROM documents),
-        bk AS (
-          SELECT doc_id,
-                 CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) % 16 AS bucket
-          FROM tok),
-        cnt AS (
-          SELECT doc_id, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
-        lab AS (
-          SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-          FROM documents),
-        m AS (
-          SELECT bucket,
-                 sum(CASE WHEN l.y = 0 THEN c.cnt ELSE 0 END) AS c0,
-                 sum(CASE WHEN l.y = 1 THEN c.cnt ELSE 0 END) AS c1
-          FROM cnt c JOIN lab l USING (doc_id)
-          GROUP BY bucket),
-        mw AS (
-          SELECT bucket, c0, c1,
-                 sum(c0) OVER () AS t0, sum(c1) OVER () AS t1
-          FROM m),
-        mm AS (
-          SELECT bucket,
-                 CAST(round(ln(CAST(c0 + 1 AS DOUBLE)
-                   / CAST(t0 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp0,
-                 CAST(round(ln(CAST(c1 + 1 AS DOUBLE)
-                   / CAST(t1 + 16 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp1
-          FROM mw),
-        pr AS (
-          SELECT count(*) AS nd,
-                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nd1
-          FROM documents),
-        nb AS (
-          SELECT c.doc_id,
-                 CASE WHEN sum(c.cnt * mm.lp1)
-                          + (SELECT CAST(round(ln(CAST(nd1 AS DOUBLE)
-                             / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
-                             FROM pr)
-                        > sum(c.cnt * mm.lp0)
-                          + (SELECT CAST(round(ln(CAST(nd - nd1 AS DOUBLE)
-                             / CAST(nd AS DOUBLE)), 6) AS DECIMAL(18,6))
-                             FROM pr)
-                      THEN 1 ELSE 0 END AS b
-          FROM cnt c JOIN mm USING (bucket)
-          GROUP BY c.doc_id),
+        WITH $lrNbOracleCtes,
         cells AS (
           SELECT count(*) AS n,
                  sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
@@ -771,6 +789,59 @@ object TextQueries {
                            + (CAST(n00 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
                              * (CAST(n00 + n10 AS DOUBLE)
                                 / CAST(n AS DOUBLE)))), 6) AS kappa
+        FROM cells""")),
+
+    // Paired error-rate comparison (McNemar, Psychometrika 1947; the
+    // classifier-comparison form in Dietterich, Neural Computation 1998):
+    // kappa asks "do LR and NB AGREE" — this asks the decision question
+    // "is one MORE ACCURATE than the other", which only the discordant
+    // cells answer: b = LR right & NB wrong, c = LR wrong & NB right
+    // (concordant docs cancel). chi² = (b−c)²/(b+c) without continuity
+    // correction (the formula is pinned; NULL when b + c = 0). Shares
+    // lrNbPerDoc / lrNbOracleCtes with quality_kappa, so both readouts
+    // grade the identical classifier pair. All cells exact integers; one
+    // scalar IEEE close.
+    "quality_mcnemar" -> QueryDef(
+      fn = (s, d) => {
+        val aOk = col("a") === col("y")
+        val bOk = col("b") === col("y")
+        val cells = lrNbPerDoc(s, d)
+          .agg(count(lit(1)).as("n"),
+            sum(when(aOk && !bOk, 1L).otherwise(0L)).as("n_lr_right_nb_wrong"),
+            sum(when(!aOk && bOk, 1L).otherwise(0L)).as("n_nb_right_lr_wrong"),
+            sum(when(aOk && bOk, 1L).otherwise(0L)).as("n_both_right"),
+            sum(when(!aOk && !bOk, 1L).otherwise(0L)).as("n_both_wrong"))
+        val b = col("n_lr_right_nb_wrong")
+        val c = col("n_nb_right_lr_wrong")
+        cells.select(col("n").as("n_docs"),
+          col("n_both_right"), col("n_both_wrong"), b, c,
+          when(b + c > 0,
+            round(((b - c) * (b - c)).cast("double")
+              / (b + c).cast("double"), 6))
+            .otherwise(lit(null).cast("double")).as("chi2"))
+      },
+      oracle = Some(s"""
+        WITH $lrNbOracleCtes,
+        v AS (
+          SELECT CASE WHEN lr.a = lab.y THEN 1 ELSE 0 END AS aok,
+                 CASE WHEN nb.b = lab.y THEN 1 ELSE 0 END AS bok
+          FROM lr JOIN nb USING (doc_id) JOIN lab USING (doc_id)),
+        cells AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN aok = 1 AND bok = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN aok = 0 AND bok = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN aok = 1 AND bok = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS bothr,
+                 CAST(sum(CASE WHEN aok = 0 AND bok = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS bothw
+          FROM v)
+        SELECT n AS n_docs, bothr AS n_both_right, bothw AS n_both_wrong,
+               b AS n_lr_right_nb_wrong, c AS n_nb_right_lr_wrong,
+               CASE WHEN b + c > 0
+                    THEN round(CAST((b - c) * (b - c) AS DOUBLE)
+                               / CAST(b + c AS DOUBLE), 6) END AS chi2
         FROM cells""")),
 
     // Gopher-style rule-gate report (Rae et al., arXiv:2112.11446 Table A1
