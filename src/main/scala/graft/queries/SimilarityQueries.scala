@@ -572,6 +572,23 @@ object SimilarityQueries {
     // counting. 100 TB shape: recall is evaluated on a SAMPLE of queries
     // (here vec_id < 20) — the brute-force side is the product of that
     // small probe batch with the corpus, never corpus × corpus.
+    // The nprobe TUNING CURVE over the same index sim_ann_recall grades
+    // at one point: recall@3 at nprobe 1/2/4/8 from ONE trained
+    // quantizer, ONE candidate join at nprobe=8 with every candidate
+    // carrying its probe-cell rank (each vector lives in exactly one
+    // cell, so the rank is unique per (query, candidate)), each
+    // operating point a rank filter + per-query top-k over the shared
+    // relation. The curve is what picks the production operating point
+    // after every retrain — where recall plateaus, stop paying probes.
+    "sim_ann_nprobe_sweep" -> QueryDef(
+      fn = (s, d) => {
+        val emb = t(s, d, "embeddings")
+        graft.sim.Ivf.recallSweep(emb, emb.where(col("vec_id") < 20),
+          k = 3, nprobes = Seq(1, 2, 4, 8))
+      },
+      oracle = Some(graft.sim.Ivf.recallSweepOracleSql(
+        k = 3, nprobes = Seq(1, 2, 4, 8)))),
+
     "sim_ann_recall" -> QueryDef(
       fn = (s, d) => {
         val emb = t(s, d, "embeddings")

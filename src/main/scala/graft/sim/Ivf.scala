@@ -220,6 +220,128 @@ object Ivf {
         WHERE rn <= $nprobe)"""
   }
 
+  /** Recall@k TUNING CURVE — the nprobe sweep an index operator runs
+    * after every retrain to pick the operating point (recall rises with
+    * probed cells, so does cost; the curve says where it plateaus).
+    * Mechanics: ONE trained quantizer, ONE corpus index, ONE candidate
+    * join at the LARGEST nprobe with every candidate carrying its
+    * probe-cell RANK (each corpus vector lives in exactly one cell, so
+    * the rank is unique per (query, candidate)) — each sweep point is
+    * then a rank filter + per-query top-k over the shared candidate
+    * relation, never another join. The brute-force reference ranking is
+    * computed once (probe batch × corpus, the sim_ann_recall shape).
+    * Returns (nprobe, n_queries, hits, recall) per swept point. */
+  def recallSweep(
+      corpus: DataFrame, queries: DataFrame, k: Int, nprobes: Seq[Int],
+      numCells: Int = 16, iters: Int = 5): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1), s"bad nprobes $nprobes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val maxP = nprobes.max
+    val centroids = trainCentroids(corpus, numCells, iters)
+    val idx = index(corpus, centroids)
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val nq = q.count()
+    // ranked probe cells: probeCells' scoring and (score, cell) struct
+    // tie-break, with the slice position kept as the rank
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((VectorOps.dot(col("q_emb").cast("array<double>"), lit(c))
+        - lit(half)).as("s"), lit(i).as("c"))
+    }
+    val probes = q
+      .withColumn("ranked", sort_array(array(scored.toIndexedSeq: _*), asc = false))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(slice(col("ranked"), 1, maxP)))
+      .select(col("q_id"), col("q_emb"),
+        (col("pos") + 1).cast("long").as("prn"), col("col.c").as("probe"))
+    val cand = idx
+      .join(probes, col("cell") === col("probe") && col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("prn"),
+        VectorOps.cosineRounded(col("c_emb"), col("q_emb")).as("score"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    val bf = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .join(broadcast(q), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        VectorOps.cosineRounded(col("c_emb"), col("q_emb")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("q_id", "c_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rows = nprobes.sorted.map { np =>
+      val ivfK = cand.where(col("prn") <= np)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select("q_id", "c_id")
+      val hits = ivfK.join(bf, Seq("q_id", "c_id")).count()
+      (np.toLong, nq, hits,
+        BigDecimal(hits.toDouble / (k * nq))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    cand.unpersist(false)
+    bf.unpersist(false)
+    rows.toDF("nprobe", "n_queries", "hits", "recall").orderBy("nprobe")
+  }
+
+  /** DuckDB oracle replaying [[recallSweep]] end-to-end: the shared
+    * training/index chain from [[coarseCtes]], a rank-KEEPING probe CTE
+    * (coarseCtes' probes ranking with rn retained), the single candidate
+    * scoring, the brute-force reference, and one top-k + hit-count branch
+    * per swept nprobe. */
+  def recallSweepOracleSql(
+      k: Int, nprobes: Seq[Int], numCells: Int = 16, iters: Int = 5,
+      dim: Int = 64, queryPred: String = "id < 20"): String = {
+    val maxP = nprobes.max
+    val cos = VectorOps.cosineSql("eq.embedding", "ec.embedding")
+    val branches = nprobes.sorted.map { np =>
+      s"""SELECT $np AS nprobe,
+            (SELECT count(*) FROM v WHERE $queryPred) AS n_queries,
+            (SELECT count(*)
+             FROM (SELECT q_id, c_id FROM (
+                     SELECT q_id, c_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, c_id) AS rnk
+                     FROM cscored WHERE prn <= $np) WHERE rnk <= $k) i
+             JOIN bf USING (q_id, c_id)) AS hits"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH v AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      ${coarseCtes(numCells, maxP, iters, dim, queryPred)},
+      prnk AS (
+        SELECT q_id, cell AS probe, rn AS prn FROM (
+          SELECT q.id AS q_id, c.cell,
+                 row_number() OVER (PARTITION BY q.id
+                   ORDER BY list_dot_product(q.v, c.cv)
+                            - list_dot_product(c.cv, c.cv)/2.0 DESC,
+                            c.cell DESC) AS rn
+          FROM v q CROSS JOIN c$iters c WHERE q.$queryPred)
+        WHERE rn <= $maxP),
+      cscored AS (
+        SELECT p.q_id, i.c_id, p.prn,
+               round($cos, 6) AS score
+        FROM prnk p
+        JOIN idx i ON i.cell = p.probe AND i.c_id <> p.q_id
+        JOIN embeddings eq ON eq.vec_id = p.q_id
+        JOIN embeddings ec ON ec.vec_id = i.c_id),
+      bf AS (
+        SELECT q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(${VectorOps.cosineSql("e.embedding", "q.embedding")},
+                                  6) DESC, e.vec_id) AS rnk
+          FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+          WHERE q.vec_id < 20) WHERE rnk <= $k)
+      SELECT CAST(nprobe AS BIGINT) AS nprobe,
+             CAST(n_queries AS BIGINT) AS n_queries,
+             CAST(hits AS BIGINT) AS hits,
+             round(CAST(hits AS DOUBLE) / ($k * n_queries), 6) AS recall
+      FROM ($branches) ORDER BY nprobe"""
+  }
+
   /** DuckDB oracle mirroring [[topKApprox]] END-TO-END, training included:
     * the `iters` Lloyd rounds are unrolled as chained CTEs — same
     * hash-rank init, same `argmax(v·c − |c|²/2)` assignment with the same
