@@ -374,6 +374,50 @@ object Graph {
       else lit(null).cast("double")).as("modularity"))
   }
 
+  /** Degree assortativity (Newman, "Assortative mixing in networks",
+    * Phys. Rev. Lett. 2002 — public methodology): the Pearson correlation
+    * of endpoint degrees over the DIRECTED edge list (each undirected
+    * edge in both orientations),
+    *
+    *   r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²),  M = 2m
+    *
+    * positive = hubs attach to hubs (social cores), negative = hubs
+    * attach to leaves (star/broadcast topologies, the bot-fanout shape).
+    * Every moment is an exact integer sum — Σjk and Σj² go through
+    * DECIMAL(38,0), products of billion-scale degrees exceed BIGINT —
+    * down to ONE closing IEEE division, so the one-row readout
+    * hash-matches cross-engine; NULL when the graph is degree-regular
+    * (zero variance ⇒ r undefined).
+    *
+    * 100 TB posture: one degree aggregate + two node-keyed joins on the
+    * edge relation + one global aggregate — all shuffles on graph keys.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg"))
+    val da = deg.select(col("u").as("a"), col("dg").as("da"))
+    val db = deg.select(col("u").as("b"), col("dg").as("db"))
+    val dir = e.join(da, "a").join(db, "b")
+      .select(col("da").as("j"), col("db").as("k"))
+      .unionAll(e.join(da, "a").join(db, "b")
+        .select(col("db").as("j"), col("da").as("k")))
+    val agg = dir.agg(count(lit(1)).as("m2"),
+      coalesce(sum(col("j").cast(dec)), lit(0).cast(dec)).as("sj"),
+      coalesce(sum((col("j").cast(dec) * col("k"))), lit(0).cast(dec))
+        .as("sjk"),
+      coalesce(sum((col("j").cast(dec) * col("j"))), lit(0).cast(dec))
+        .as("sj2"))
+    val num = col("m2").cast(dec) * col("sjk") - col("sj") * col("sj")
+    val den = col("m2").cast(dec) * col("sj2") - col("sj") * col("sj")
+    agg.select(expr("m2 DIV 2").as("n_edges"),
+      when(den =!= lit(0).cast(dec),
+        round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
   /** Global triangle census over an undirected simple graph — the second
     * classic link-structure statistic next to PageRank: triangle count and
     * global clustering coefficient (3·triangles / wedges) measure local

@@ -2079,6 +2079,57 @@ object MiscQueries {
                END AS modularity
         FROM bc, mm, intra""")),
 
+    // Degree assortativity (Newman PRL'02) of the co-occurrence graph:
+    // Pearson correlation of endpoint degrees over the directed edge
+    // list — positive r = hubs attach to hubs (social core), negative =
+    // hubs attach to leaves (star/bot-fanout topology). All moments
+    // exact integers through DECIMAL(38,0) to one closing division.
+    // Completes the graph stats ladder: census (triangles), cohesion
+    // (kcore/ktruss), communities (lpa), quality (modularity), mixing
+    // (this).
+    "graph_assortativity" -> QueryDef(
+      fn = (s, d) =>
+        graft.operators.Graph.assortativity(coEdges(s, d)),
+      oracle = Some("""
+        WITH bk AS (
+          SELECT DISTINCT event_type,
+                 epoch_us(ts) // 60000000 AS mn, user_id
+          FROM events),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          FROM bk x JOIN bk y
+            ON x.event_type = y.event_type AND x.mn = y.mn
+               AND x.user_id < y.user_id),
+        deg AS MATERIALIZED (
+          SELECT u, CAST(count(*) AS BIGINT) AS dg
+          FROM (SELECT a AS u FROM e0 UNION ALL SELECT b FROM e0)
+          GROUP BY u),
+        dir AS (
+          SELECT da.dg AS j, db.dg AS k
+          FROM e0 JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b
+          UNION ALL
+          SELECT db.dg AS j, da.dg AS k
+          FROM e0 JOIN deg da ON da.u = e0.a JOIN deg db ON db.u = e0.b),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS m2,
+                 coalesce(sum(CAST(j AS DECIMAL(38,0))),
+                          CAST(0 AS DECIMAL(38,0))) AS sj,
+                 coalesce(sum(CAST(j AS DECIMAL(38,0)) * k),
+                          CAST(0 AS DECIMAL(38,0))) AS sjk,
+                 coalesce(sum(CAST(j AS DECIMAL(38,0)) * j),
+                          CAST(0 AS DECIMAL(38,0))) AS sj2
+          FROM dir)
+        SELECT m2 // 2 AS n_edges,
+               CASE WHEN CAST(m2 AS DECIMAL(38,0)) * sj2 - sj * sj
+                         <> CAST(0 AS DECIMAL(38,0))
+                    THEN round(
+                      CAST(CAST(m2 AS DECIMAL(38,0)) * sjk - sj * sj
+                           AS DOUBLE)
+                      / CAST(CAST(m2 AS DECIMAL(38,0)) * sj2 - sj * sj
+                             AS DOUBLE), 6)
+               END AS assortativity
+        FROM agg""")),
+
     // Triangle census + global clustering coefficient over the user
     // co-occurrence graph (users sharing an (event_type, minute) activity
     // bucket — minute granularity keeps bucket occupancy small, so the

@@ -552,6 +552,67 @@ object TextQueries {
                  + 0.0 AS gap
         FROM g ORDER BY bin""")),
 
+    // ROC AUC of the token-count heuristic vs the en label, computed
+    // EXACTLY via the Mann–Whitney rank-sum identity (Hanley & McNeil,
+    // Radiology 1982: AUC = P(score_pos > score_neg) + P(equal)/2) in
+    // the GROUPED form — group docs by their integer score, one ordered
+    // cumulative window over the score-group relation (bounded by
+    // distinct scores, never a global per-doc ranking — the events_gini
+    // block-rank-sum discipline), then
+    //   AUC = Σ_g pos_g · (2·cumneg_below + neg_g) / (2·P·N)
+    // with the ×2 scaling keeping the tie term integer. Everything is
+    // exact integer arithmetic until ONE closing division, so the number
+    // is bit-stable at any partitioning — the metric a gate's threshold
+    // sweep is summarized by.
+    "quality_roc_auc" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        val g = docs.select(
+            TextAnalysis.tokenCount(col("text")).as("sc"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+          .groupBy("sc")
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+          .select(col("sc"), col("pos"), (col("n") - col("pos")).as("neg"))
+        val w = Window.orderBy("sc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = g.select(col("sc"), col("pos"), col("neg"),
+          (sum(col("neg")).over(w) - col("neg")).as("negbelow"))
+        cum.agg(
+            sum(col("pos")).as("p"), sum(col("neg")).as("nn"),
+            sum(col("pos") * (lit(2) * col("negbelow") + col("neg")))
+              .as("num2"))
+          .select(col("p").as("n_pos"), col("nn").as("n_neg"),
+            when(col("p") > 0 && col("nn") > 0,
+              round(col("num2").cast("double")
+                / (lit(2.0) * col("p") * col("nn")), 6))
+              .otherwise(lit(null).cast("double")).as("auc"))
+      },
+      oracle = Some(s"""
+        WITH sc AS (
+          SELECT CAST($tokSql AS BIGINT) AS sc,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents),
+        g AS (
+          SELECT sc, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM sc GROUP BY sc),
+        cum AS (
+          SELECT sc, pos, n - pos AS neg,
+                 CAST(sum(n - pos) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (n - pos) AS BIGINT) AS negbelow
+          FROM g),
+        agg AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS p,
+                 CAST(sum(neg) AS BIGINT) AS nn,
+                 CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS num2
+          FROM cum)
+        SELECT p AS n_pos, nn AS n_neg,
+               CASE WHEN p > 0 AND nn > 0
+                    THEN round(CAST(num2 AS DOUBLE) / (2.0 * p * nn), 6)
+               END AS auc
+        FROM agg""")),
+
     // Brier score decomposition (Brier'50; Murphy, "A new vector
     // partition of the probability score", J. Appl. Meteor. 1973): the
     // one-row score card for the same heuristic forecast the isotonic
