@@ -236,6 +236,70 @@ object RelationalQueries {
         WHERE to_type IS NOT NULL
         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type""")),
 
+    // Wilson score intervals (Wilson, JASA 1927) for each cohort's
+    // conversion rate — the proportion CI that stays inside [0,1] and
+    // behaves at small n where the Wald interval collapses; the
+    // per-cohort uncertainty card beside events_ab_test's point z-test.
+    // Same md5-parity cohorts and conversion threshold as the z-test.
+    // Determinism: every term is the IDENTICAL IEEE expression on both
+    // engines (z² as the literal product 1.96*1.96, one sqrt of a
+    // rational of exact integers), closed by round 6; `+ 0.0` folds a
+    // potential −0.0 at a zero-rate lower bound.
+    "events_wilson_ci" -> QueryDef(
+      fn = (s, d) => {
+        val per = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+        val g = per.groupBy(
+            graft.operators.Experiment.cohort(col("user_id")).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("np") > 12, 1L).otherwise(0L)).as("conv"))
+        val z = lit(1.96)
+        val z2 = lit(1.96) * lit(1.96)
+        val nD = col("n").cast("double")
+        val r = col("conv").cast("double") / nD
+        val den = lit(1.0) + z2 / nD
+        val ctr = (r + z2 / (lit(2.0) * nD)) / den
+        val hf = z * sqrt(r * (lit(1.0) - r) / nD
+          + z2 / (lit(4.0) * nD * nD)) / den
+        g.select(col("grp"), col("n"), col("conv"),
+            round(r, 6).as("rate"),
+            (round(ctr - hf, 6) + lit(0.0)).as("ci_lo"),
+            round(ctr + hf, 6).as("ci_hi"))
+          .orderBy("grp")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS np
+          FROM events GROUP BY user_id),
+        g AS (
+          SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                      AS BIGINT) % 2 AS grp,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN np > 12 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS conv
+          FROM per GROUP BY 1)
+        SELECT grp, n, conv,
+               round(CAST(conv AS DOUBLE) / n, 6) AS rate,
+               round(((CAST(conv AS DOUBLE) / n)
+                      + (1.96 * 1.96) / (2.0 * n))
+                     / (1.0 + (1.96 * 1.96) / n)
+                     - 1.96 * sqrt((CAST(conv AS DOUBLE) / n)
+                                   * (1.0 - CAST(conv AS DOUBLE) / n) / n
+                                   + (1.96 * 1.96) / (4.0 * n * n))
+                       / (1.0 + (1.96 * 1.96) / n), 6) + 0.0 AS ci_lo,
+               round(((CAST(conv AS DOUBLE) / n)
+                      + (1.96 * 1.96) / (2.0 * n))
+                     / (1.0 + (1.96 * 1.96) / n)
+                     + 1.96 * sqrt((CAST(conv AS DOUBLE) / n)
+                                   * (1.0 - CAST(conv AS DOUBLE) / n) / n
+                                   + (1.96 * 1.96) / (4.0 * n * n))
+                       / (1.0 + (1.96 * 1.96) / n), 6) AS ci_hi
+        FROM g ORDER BY grp""")),
+
     // Stationary distribution of the event-type Markov chain (power
     // iteration on the row-normalized transition matrix — the PageRank
     // primitive applied to the BEHAVIORAL graph): where a user's session
