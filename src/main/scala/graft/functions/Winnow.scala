@@ -161,6 +161,12 @@ object Winnow {
           case x if x.foldable => x.eval().asInstanceOf[Number].intValue()
           case _ => throw new IllegalArgumentException(s"$name must be a literal")
         }
-        Winnow(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "w"))
+        val k = intLit(exprs(1), "k")
+        val w = intLit(exprs(2), "w")
+        // Mirrors HilbertXY's bits range check: a non-positive k/w literal
+        // would otherwise reach Winnow.compute and index byte arrays
+        // negatively, crashing executors mid-query.
+        require(k >= 1 && w >= 1, s"winnow(str, k, w): need k >= 1 and w >= 1, got k=$k w=$w")
+        Winnow(exprs.head, k, w)
       })
 }

@@ -14,11 +14,13 @@ final case class MediaFeatures(
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
-  * Real decoders (JPEG/audio/video) are NOT available in this environment,
-  * so the decode kernel is a clearly-marked deterministic STUB; everything
-  * around it — the binary schema, the per-partition batch iteration, the
-  * feature schema, the frame-sampling slice logic — is the real Spark
-  * shape a production decoder drops into.
+  * Two payload families exercise the kernels:
+  *  - `image/png`: REAL images — engine-generated deterministic PNGs
+  *    ([[ImagePhash]]); the kernels genuinely parse the container, decode
+  *    the raster, and hash the DCT spectrum. This is the production path.
+  *  - `fake/<lang>`: opaque non-image bytes (document text) — these hit the
+  *    clearly-marked deterministic STUB kernels, the fallback a production
+  *    deployment keeps for formats its decoder doesn't speak.
   *
   * Scale notes: the decode stage is `mapPartitions` over a typed Dataset,
   * i.e. one task per input split with sequential batch processing inside —
@@ -28,8 +30,9 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
-  /** Wrap an opaque-bytes column + metadata into the media schema. The test
-    * corpus has no real media, so bytes come from the documents table. */
+  /** Wrap an opaque-bytes column + metadata into the media schema — the
+    * NON-image corpus (document text as payload), exercising the fallback
+    * kernels. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -37,10 +40,27 @@ object Multimodal {
       concat(lit("fake/"), col("lang")).as("format"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decode kernel: a real implementation would decode the bytes
-    * (image pixels / audio samples) here. The fake is deterministic — a
-    * 16-bin byte histogram, L1-normalized — so tests can assert exact
-    * values while the pipeline shape stays production-real. */
+  /** REAL image corpus: one deterministic 32x32 grayscale PNG per doc id,
+    * encoded in a per-partition kernel (ImageIO init once per task — the
+    * encoder twin of the decode stage). Bytes are a genuine PNG container;
+    * everything downstream decodes them for real. */
+  def pngMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // per-task init of the PNG encoder happens here
+        ids.map { id =>
+          val png = ImagePhash.encodePng(ImagePhash.pixelGrid(id))
+          MediaRow(id, png, "image/png", png.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** STUB decode kernel — the fallback for NON-image formats (real path:
+    * [[ImagePhash.pixelFeatures]]). Deterministic — a 16-bin byte
+    * histogram, L1-normalized — so tests can assert exact values while the
+    * pipeline shape stays production-real. */
   private[mm] def decodeStub(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
@@ -52,14 +72,21 @@ object Multimodal {
   }
 
   /** Decode/feature-extract stage: per-partition batch iteration (the spot
-    * where a real decoder library is initialized once per task, not once
-    * per row). */
+    * where the decoder library is initialized once per task, not once per
+    * row). Dispatches on format: `image/png` payloads are REALLY decoded
+    * (container parse + raster read, [[ImagePhash.pixelFeatures]]); other
+    * formats fall back to the byte-histogram stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
-        // per-task init of the (stub) decoder happens here
-        rows.map(r => MediaFeatures(r.media_id, r.n_bytes, decodeStub(r.media)))
+        // per-task init of the decoder happens here
+        rows.map { r =>
+          val feats =
+            if (r.format == "image/png") ImagePhash.pixelFeatures(r.media)
+            else decodeStub(r.media)
+          MediaFeatures(r.media_id, r.n_bytes, feats)
+        }
       }
   }
 
@@ -90,11 +117,11 @@ object Multimodal {
     resized.toDF()
   }
 
-  /** STUB perceptual-hash kernel: a real implementation would decode the
-    * image and hash the low-frequency DCT coefficients (classic pHash).
+  /** STUB perceptual-hash kernel — the fallback for NON-image formats
+    * (real path: [[ImagePhash.phashImage]], a genuine decode + DCT pHash).
     * The deterministic stand-in is a 63-bin bigram histogram of the
     * payload bytes with bit i set iff bin i holds more than its uniform
-    * share — the same above-median-energy bit rule pHash uses, over a
+    * share — the same above-average-energy bit rule pHash uses, over a
     * content signal (byte bigrams) that is document-specific the way DCT
     * coefficients are image-specific. 63 bits so the hash stays a
     * positive BIGINT on every engine (1<<63 overflows signed 64-bit). */
@@ -114,8 +141,10 @@ object Multimodal {
   }
 
   /** Perceptual-hash stage: same per-partition kernel shape as
-    * [[extractFeatures]] (a real pHash needs the decoded pixels, so it
-    * lives in the kernel, not in a column expression). Output is one
+    * [[extractFeatures]] (pHash needs the decoded pixels, so it lives in
+    * the kernel, not in a column expression). `image/png` payloads take
+    * the REAL path — PNG decode + fixed-point DCT ([[ImagePhash]]); other
+    * formats fall back to the byte-bigram stub. Output is one
     * (media_id, phash) row per item — the narrow relation every
     * downstream hamming-LSH step works from; the payload never leaves
     * this stage. */
@@ -123,8 +152,13 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
-        // per-task init of the (stub) decoder+DCT happens here
-        rows.map(r => (r.media_id, phashStub(r.media)))
+        // per-task init of the decoder + DCT tables happens here
+        rows.map { r =>
+          val h =
+            if (r.format == "image/png") ImagePhash.phashImage(r.media)
+            else phashStub(r.media)
+          (r.media_id, h)
+        }
       }
       .toDF("media_id", "phash")
   }

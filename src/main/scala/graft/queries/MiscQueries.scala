@@ -114,35 +114,64 @@ object MiscQueries {
       WHERE rnk <= $k ORDER BY q_id, rnk"""
   }
 
-  /** Shared pHash pipeline CTEs ending in `ppairs(media_a, media_b,
-    * hamming)` — the stub decode kernel's bigram-bin hash, the LEFT-JOIN
-    * zero-hash default for sub-bigram docs, and the quadratic verify
-    * (oracle-side ground truth proving the banded engine path lossless).
-    * Shared by the pair query and the clustering so they cannot drift. */
-  private val phashPairCtes: String = """
-        grams AS (
-          SELECT doc_id,
-                 (unicode(substr(text, CAST(i AS INT), 1)) * 31 +
-                  unicode(substr(text, CAST(i + 1 AS INT), 1))) % 63 AS bin,
-                 length(text) - 1 AS n
-          FROM (SELECT doc_id, text,
-                       unnest(generate_series(1, length(text) - 1)) AS i
-                FROM documents)),
-        cnts AS (SELECT doc_id, bin, any_value(n) AS n, count(*) AS cnt
-                 FROM grams GROUP BY 1, 2),
-        ph AS (
-          SELECT d.doc_id, coalesce(p.phash, 0) AS phash
-          FROM documents d LEFT JOIN
-            (SELECT doc_id,
-                    CAST(sum(CASE WHEN cnt * 63 > n THEN (1::BIGINT << bin)
-                             ELSE 0 END) AS BIGINT) AS phash
-             FROM cnts GROUP BY 1) p
-          ON d.doc_id = p.doc_id),
-        ppairs AS (
-          SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+  /** The quantized DCT basis as a SQL literal table `(u, i, c)` — the SAME
+    * Scala-built constants the executor kernels use
+    * ([[graft.mm.ImagePhash.CosQ]]), so both engines run the identical
+    * fixed-point transform. 256 rows (8 frequencies x 32 positions). */
+  private lazy val cosqValues: String =
+    (for (u <- 0 until 8; i <- 0 until graft.mm.ImagePhash.Size)
+      yield s"($u,$i,${graft.mm.ImagePhash.CosQ(u)(i)})").mkString(",")
+
+  /** Shared REAL-image pHash pipeline CTEs ending in `pngpairs(media_a,
+    * media_b, hamming)`. The engine path generates deterministic 32x32
+    * grayscale PNGs, DECODES the actual PNG bytes on executors, and hashes
+    * the fixed-point DCT spectrum (graft.mm.ImagePhash); the oracle
+    * replays the identical integers from the pixel formula (grayscale PNG
+    * is lossless, so decode∘encode is the identity on the grid) + the
+    * injected cosine table, then checks ALL pairs quadratically — ground
+    * truth proving the banded hamming-LSH engine path lossless over real
+    * decoded pixels. Shared by the pair query and the clustering so they
+    * cannot drift. */
+  private val pngPixelCtes: String = s"""
+        pids AS (SELECT DISTINCT doc_id AS media_id FROM documents),
+        pxy AS (
+          SELECT p.media_id, x.x, y.y,
+                 CASE WHEN (p.media_id*1315423911 + x.x*2654435741
+                            + y.y*2246822519) % ${graft.mm.ImagePhash.PertMod} = 0
+                      THEN 254 - (((p.media_id % ${graft.mm.ImagePhash.Groups})*2654435761
+                                   + x.x*40503 + y.y*65027) % 255)
+                      ELSE ((p.media_id % ${graft.mm.ImagePhash.Groups})*2654435761
+                            + x.x*40503 + y.y*65027) % 255 END AS p
+          FROM pids p,
+               (SELECT unnest(generate_series(0, 31)) AS x) x,
+               (SELECT unnest(generate_series(0, 31)) AS y) y)"""
+
+  private def pngPhashCtes(maxHamming: Int): String = s"""
+        $pngPixelCtes,
+        cosq AS (SELECT * FROM (VALUES $cosqValues) AS t(u, i, c)),
+        gdct AS MATERIALIZED (
+          SELECT p.media_id, c.u, p.y, CAST(sum(p.p * c.c) AS BIGINT) AS gv
+          FROM pxy p JOIN cosq c ON c.i = p.x
+          GROUP BY 1, 2, 3),
+        cdct AS MATERIALIZED (
+          SELECT g.media_id, g.u, c.u AS v, CAST(sum(g.gv * c.c) AS BIGINT) AS cv
+          FROM gdct g JOIN cosq c ON c.i = g.y
+          GROUP BY 1, 2, 3),
+        pac AS (SELECT media_id, u, v, cv FROM cdct
+                WHERE NOT (u = 0 AND v = 0)),
+        pacs AS (SELECT media_id, CAST(sum(cv) AS BIGINT) AS s
+                 FROM pac GROUP BY 1),
+        pph AS MATERIALIZED (
+          SELECT a.media_id,
+                 CAST(sum(CASE WHEN 63*a.cv > s.s
+                          THEN (1::BIGINT << (a.u*8 + a.v - 1))
+                          ELSE 0 END) AS BIGINT) AS phash
+          FROM pac a JOIN pacs s USING (media_id) GROUP BY 1),
+        pngpairs AS (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
                  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.phash, b.phash)) <= 2)"""
+          FROM pph a JOIN pph b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming)"""
 
   /** DuckDB mirror of Ann.topKMips with its default planes
     * (hyperplanes(numPlanes, 65, seed=42)): the same max-norm scalar,
@@ -499,20 +528,23 @@ object MiscQueries {
                md5(r) AS content_hash
         FROM resized ORDER BY media_id""")),
 
-    // Perceptual-hash near-dup over the media table: pHash in the decode
-    // kernel, then bit-sampling hamming-LSH (3 bands of 21 bits for a
+    // Real-image perceptual-hash near-dup: engine-generated deterministic
+    // PNGs, REAL PNG decode on executors (container parse + raster read),
+    // fixed-point DCT pHash (classic 32x32 low-frequency recipe, integer-
+    // exact), then bit-sampling hamming-LSH (3 bands of 21 bits for a
     // hamming-2 budget) with exact verification on candidates only. The
-    // oracle recomputes the stub pHash from the ASCII payload and checks
-    // ALL pairs quadratically — proving the banded engine path loses
-    // nothing vs brute force.
+    // oracle replays pixels + integer DCT in SQL (PNG is lossless, the
+    // quantized cosine table is injected) and checks ALL pairs
+    // quadratically — proving the banded engine path loses nothing vs
+    // brute force over real decoded pixels.
     "mm_phash_dedup" -> QueryDef(
       fn = (s, d) =>
         Multimodal.phashNearDupPairs(
-            s, Multimodal.mediaTable(t(s, d, "documents")), maxHamming = 2)
+            s, Multimodal.pngMediaTable(s, t(s, d, "documents")), maxHamming = 2)
           .orderBy("media_a", "media_b"),
       oracle = Some(s"""
-        WITH $phashPairCtes
-        SELECT media_a, media_b, hamming FROM ppairs
+        WITH ${pngPhashCtes(2)}
+        SELECT media_a, media_b, hamming FROM pngpairs
         ORDER BY media_a, media_b""")),
 
     // Media duplicate clusters: the same connected-components step the
@@ -524,16 +556,16 @@ object MiscQueries {
       fn = (s, d) =>
         graft.dedup.Dedup.connectedComponents(
           Multimodal.phashNearDupPairs(
-              s, Multimodal.mediaTable(t(s, d, "documents")), maxHamming = 2)
+              s, Multimodal.pngMediaTable(s, t(s, d, "documents")), maxHamming = 2)
             .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
           .select(col("doc_id").as("media_id"), col("cluster_id"))
           .orderBy("media_id"),
       oracle = Some(s"""
-        WITH RECURSIVE $phashPairCtes,
+        WITH RECURSIVE ${pngPhashCtes(2)},
         edges AS (
-          SELECT media_a AS a, media_b AS b FROM ppairs
+          SELECT media_a AS a, media_b AS b FROM pngpairs
           UNION
-          SELECT media_b, media_a FROM ppairs),
+          SELECT media_b, media_a FROM pngpairs),
         reach(node, lbl) AS (
           SELECT a, a FROM edges
           UNION
@@ -542,14 +574,14 @@ object MiscQueries {
         FROM reach GROUP BY node
         ORDER BY media_id""")),
 
-    // Incremental pHash near-dup: only the delta half runs the decode
-    // kernel; the history contributes its standing hash table. The oracle
-    // runs the FULL quadratic pipeline and keeps pairs involving a delta
-    // doc — pinning the incremental path to "exactly the full result
-    // restricted to the batch".
+    // Incremental real-image pHash near-dup: only the delta half runs the
+    // PNG decode kernel; the history contributes its standing hash table.
+    // The oracle runs the FULL quadratic pixel+DCT pipeline and keeps
+    // pairs involving a delta doc — pinning the incremental path to
+    // "exactly the full result restricted to the batch".
     "mm_phash_incr" -> QueryDef(
       fn = (s, d) => {
-        val media = Multimodal.mediaTable(t(s, d, "documents"))
+        val media = Multimodal.pngMediaTable(s, t(s, d, "documents"))
         Multimodal.phashNearDupPairsIncremental(
             s,
             history = media.where(col("media_id") % 2 === 0),
@@ -557,31 +589,41 @@ object MiscQueries {
             maxHamming = 2)
           .orderBy("media_a", "media_b")
       },
-      oracle = Some("""
-        WITH grams AS (
-          SELECT doc_id,
-                 (unicode(substr(text, CAST(i AS INT), 1)) * 31 +
-                  unicode(substr(text, CAST(i + 1 AS INT), 1))) % 63 AS bin,
-                 length(text) - 1 AS n
-          FROM (SELECT doc_id, text,
-                       unnest(generate_series(1, length(text) - 1)) AS i
-                FROM documents)),
-        cnts AS (SELECT doc_id, bin, any_value(n) AS n, count(*) AS cnt
-                 FROM grams GROUP BY 1, 2),
-        ph AS (
-          SELECT d.doc_id, coalesce(p.phash, 0) AS phash
-          FROM documents d LEFT JOIN
-            (SELECT doc_id,
-                    CAST(sum(CASE WHEN cnt * 63 > n THEN (1::BIGINT << bin)
-                             ELSE 0 END) AS BIGINT) AS phash
-             FROM cnts GROUP BY 1) p
-          ON d.doc_id = p.doc_id)
-        SELECT a.doc_id AS media_a, b.doc_id AS media_b,
-               CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 2
-          AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)
+      oracle = Some(s"""
+        WITH ${pngPhashCtes(2)}
+        SELECT media_a, media_b, hamming FROM pngpairs
+        WHERE media_a % 2 = 1 OR media_b % 2 = 1
         ORDER BY media_a, media_b""")),
+
+    // Real-image feature extraction: the mapPartitions kernel decodes the
+    // actual PNG bytes and histograms the decoded PIXELS (16 bins over
+    // [0,255], L1-normalized float32). Counts are recovered exactly by
+    // round(f * 1024): 1024 = 2^10, so every quotient cnt/1024 is exact
+    // in float32. The oracle recomputes the histogram from the pixel
+    // formula (PNG losslessness again).
+    "mm_image_features" -> QueryDef(
+      fn = (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          s, Multimodal.pngMediaTable(s, t(s, d, "documents"))).toDF()
+        feats
+          .select(col("media_id"),
+            posexplode(expr("transform(features, f -> CAST(round(f * 1024) AS BIGINT))"))
+              .as(Seq("bin", "cnt")))
+          .select(col("media_id"), col("bin").cast("long").as("bin"), col("cnt"))
+          .orderBy("media_id", "bin")
+      },
+      oracle = Some(s"""
+        WITH $pngPixelCtes,
+        pxbins AS (
+          SELECT media_id, CAST(p // 16 AS BIGINT) AS bin, count(*) AS cnt
+          FROM pxy GROUP BY 1, 2),
+        bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+        SELECT pids.media_id AS media_id, bins.bin AS bin,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM pids CROSS JOIN bins
+        LEFT JOIN pxbins c
+          ON c.media_id = pids.media_id AND c.bin = bins.bin
+        ORDER BY pids.media_id, bins.bin""")),
 
     // JSON property extraction + aggregation over the events stream's
     // semi-structured props column.

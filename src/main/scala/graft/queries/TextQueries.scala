@@ -563,7 +563,10 @@ object TextQueries {
     // with the ×2 scaling keeping the tie term integer. Everything is
     // exact integer arithmetic until ONE closing division, so the number
     // is bit-stable at any partitioning — the metric a gate's threshold
-    // sweep is summarized by.
+    // sweep is summarized by. The numerator can reach 2·P·N ≈ 2·(n/2)²,
+    // past BIGINT at ~4.3e9 docs, so it accumulates through
+    // DECIMAL(38,0) on BOTH engines (the modularity/assortativity moment
+    // discipline) — exact to ~1e19 docs, far past any corpus.
     "quality_roc_auc" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
@@ -579,7 +582,8 @@ object TextQueries {
           (sum(col("neg")).over(w) - col("neg")).as("negbelow"))
         cum.agg(
             sum(col("pos")).as("p"), sum(col("neg")).as("nn"),
-            sum(col("pos") * (lit(2) * col("negbelow") + col("neg")))
+            sum(col("pos").cast(DecimalType(18, 0))
+                * (lit(2) * col("negbelow") + col("neg")).cast(DecimalType(19, 0)))
               .as("num2"))
           .select(col("p").as("n_pos"), col("nn").as("n_neg"),
             when(col("p") > 0 && col("nn") > 0,
@@ -605,7 +609,8 @@ object TextQueries {
         agg AS (
           SELECT CAST(sum(pos) AS BIGINT) AS p,
                  CAST(sum(neg) AS BIGINT) AS nn,
-                 CAST(sum(pos * (2 * negbelow + neg)) AS BIGINT) AS num2
+                 sum(CAST(pos AS DECIMAL(18,0))
+                     * CAST(2 * negbelow + neg AS DECIMAL(19,0))) AS num2
           FROM cum)
         SELECT p AS n_pos, nn AS n_neg,
                CASE WHEN p > 0 AND nn > 0

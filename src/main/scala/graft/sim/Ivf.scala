@@ -243,6 +243,9 @@ object Ivf {
     val idx = index(corpus, centroids)
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val nq = q.count()
+    // recall = hits/(k*nq): an empty probe batch would make that 0/0 and
+    // BigDecimal(NaN) throws — fail here with the real cause instead.
+    require(nq > 0, "recallSweep: empty probe batch (queries has no rows)")
     // ranked probe cells: probeCells' scoring and (score, cell) struct
     // tie-break, with the slice position kept as the rank
     val scored = centroids.zipWithIndex.map { case (c, i) =>
@@ -334,7 +337,7 @@ object Ivf {
                    ORDER BY round(${VectorOps.cosineSql("e.embedding", "q.embedding")},
                                   6) DESC, e.vec_id) AS rnk
           FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-          WHERE q.vec_id < 20) WHERE rnk <= $k)
+          WHERE q.vec_id IN (SELECT id FROM v WHERE $queryPred)) WHERE rnk <= $k)
       SELECT CAST(nprobe AS BIGINT) AS nprobe,
              CAST(n_queries AS BIGINT) AS n_queries,
              CAST(hits AS BIGINT) AS hits,

@@ -52,9 +52,11 @@ object Mmr {
   def select(emb: DataFrame, queryId: Long, n: Int, k: Int, lambda: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): Seq[Pick] = {
     require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
-    val q = emb.where(col(idCol) === queryId)
+    val qRows = emb.where(col(idCol) === queryId)
       .select(col(embCol).cast("array<double>"))
-      .head().getSeq[Double](0).toArray
+      .take(1)
+    require(qRows.nonEmpty, s"query id $queryId not found in $idCol")
+    val q = qRows.head.getSeq[Double](0).toArray
     val cand = emb.where(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("id"),
         VectorOps.cosineRounded(col(embCol), lit(q)).as("rel"),
@@ -63,11 +65,16 @@ object Mmr {
       .limit(n)
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    // A corpus holding only the query row has nothing to rank; and fewer
+    // than k candidates would exhaust the greedy loop's reduceLeft —
+    // select as many as exist (kEff), never throw mid-loop.
+    require(cand.nonEmpty, s"no candidates: corpus holds no rows besides query id $queryId")
+    val kEff = math.min(k, cand.length)
     // seed: pure-relevance argmax = the first candidate (already ordered)
     var picks = Vector(Pick(1, cand.head._1, cand.head._2, None))
     var selVecs = Vector(cand.head._3)
     var selIds = Set(cand.head._1)
-    for (step <- 2 to k) {
+    for (step <- 2 to kEff) {
       val best = cand.iterator
         .filterNot { case (id, _, _) => selIds(id) }
         .map { case (id, rel, v) =>

@@ -125,4 +125,24 @@ class AnnSpec extends AnyFunSuite {
     assert(followed > betrayed,
       s"MIPS tracked the cosine order ($betrayed probes) over the dot order ($followed)")
   }
+
+  test("MMR guards degenerate inputs: no candidates fails fast, short corpus caps k") {
+    import graft.sim.Mmr
+    // corpus that holds ONLY the query row: no candidates to rank
+    val solo = emb.where(col("vec_id") === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Mmr.select(solo, queryId = 0L, n = 5, k = 3, lambda = 0.7)
+    }
+    assert(e.getMessage.contains("no candidates"))
+    // absent query id fails with the cause, not a NoSuchElementException
+    val e2 = intercept[IllegalArgumentException] {
+      Mmr.select(emb.where(col("vec_id") < 5), queryId = 999L, n = 3, k = 2, lambda = 0.7)
+    }
+    assert(e2.getMessage.contains("not found"))
+    // 3 candidates but k = 5: selects all 3 instead of throwing mid-loop
+    val tiny = emb.where(col("vec_id") < 4)
+    val picks = Mmr.select(tiny, queryId = 0L, n = 5, k = 5, lambda = 0.7)
+    assert(picks.length == 3 && picks.map(_.step) == Seq(1, 2, 3))
+    assert(picks.map(_.id).toSet == Set(1L, 2L, 3L))
+  }
 }

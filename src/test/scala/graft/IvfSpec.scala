@@ -72,4 +72,21 @@ class IvfSpec extends AnyFunSuite {
     // must concentrate true neighbors above that floor.
     assert(recall > 0.45, s"recall@10 = $recall")
   }
+
+  test("recallSweep fails fast on an empty probe batch") {
+    // hits/(k*nq) would be 0/0 → BigDecimal(NaN) throws deep in the sweep;
+    // the guard names the real cause instead.
+    val e = intercept[IllegalArgumentException] {
+      Ivf.recallSweep(emb, emb.where(lit(false)), k = 5, nprobes = Seq(1, 2))
+    }
+    assert(e.getMessage.contains("empty probe batch"))
+  }
+
+  test("recallSweepOracleSql brute-force CTE tracks the queryPred parameter") {
+    val sql = Ivf.recallSweepOracleSql(k = 5, nprobes = Seq(1, 2),
+      queryPred = "id % 7 = 3")
+    assert(!sql.contains("q.vec_id < 20"),
+      "bf CTE still hardcodes the default probe predicate")
+    assert(sql.contains("WHERE q.vec_id IN (SELECT id FROM v WHERE id % 7 = 3)"))
+  }
 }

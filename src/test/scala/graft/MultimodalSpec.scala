@@ -102,6 +102,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaStored == expected)
   }
 
+  test("PNG roundtrip is lossless and the real decode kernel matches driver math") {
+    import graft.mm.ImagePhash
+    // losslessness is what lets the SQL oracle replay a REAL decoder
+    (0L until 50L).foreach { id =>
+      val grid = ImagePhash.pixelGrid(id)
+      assert(ImagePhash.decodeGray(ImagePhash.encodePng(grid)).sameElements(grid),
+        s"PNG roundtrip not exact for id $id")
+    }
+    // the engine pipeline (generate → binary column → decode → DCT) must
+    // equal the driver-side pure computation on the grid
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val png = Multimodal.pngMediaTable(spark, docs)
+    assert(png.select("format").distinct().as[String].collect().toSeq == Seq("image/png"))
+    // payloads are genuine PNG containers (magic bytes)
+    val magic = png.limit(5).select("media").as[Array[Byte]].collect()
+    magic.foreach(b => assert(
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G',
+      "payload is not a PNG container"))
+    val engine = Multimodal.perceptualHashes(spark, png)
+      .as[(Long, Long)].collect().toMap
+    engine.foreach { case (id, h) =>
+      assert(h == ImagePhash.phash(ImagePhash.pixelGrid(id)),
+        s"decoded-pixel phash diverges from grid phash for id $id")
+      assert(h >= 0L)
+    }
+  }
+
+  test("real-image banded LSH is lossless and features histogram the decoded pixels") {
+    import graft.mm.ImagePhash
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val png = Multimodal.pngMediaTable(spark, docs)
+    val banded = Multimodal.phashNearDupPairs(spark, png, maxHamming = 2)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val ph = Multimodal.perceptualHashes(spark, png).as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, pa) <- ph; (idb, pb) <- ph
+      if ida < idb && java.lang.Long.bitCount(pa ^ pb) <= 2
+    } yield (ida, idb)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty,
+      "planted same-family PNG renditions should yield near-dup pairs")
+    // features: decoded-pixel histogram, counts exactly recoverable
+    // (1024 = 2^10 so cnt/1024 is float32-exact)
+    val feats = Multimodal.extractFeatures(spark, png.limit(20)).collect()
+    feats.foreach { f =>
+      val expected = new Array[Long](16)
+      ImagePhash.pixelGrid(f.media_id).foreach(p => expected(p / 16) += 1L)
+      assert(f.features.map(x => math.round(x * 1024f).toLong).toSeq == expected.toSeq)
+    }
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
