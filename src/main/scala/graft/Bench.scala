@@ -60,8 +60,10 @@ object Bench {
 
   /** max/min ratio beyond which a query's passes are judged contention-
     * noisy: the shard is re-run once and, if still beyond the bar, the name
-    * is flagged in the stdout line. 2.5 is the round-9 judge's bar. */
-  private val SpreadBar = 2.5
+    * is flagged in the stdout line. 2.5 is the round-9 judge's bar; the env
+    * override exists so the retry path can be exercised deliberately. */
+  private val SpreadBar =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_BAR", "2.5").toDouble
 
   private def noisy(ts: Seq[Double]): Boolean =
     ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadBar
@@ -251,7 +253,12 @@ object Bench {
   }
 
   private def parentMain(): Unit = {
+    // dev-only subset filter (comma-separated names); the driver never sets
+    // it, so recorded rounds always measure the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val shardSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD_SIZE", "8").toInt
     val isolate = isolateQueries ++ previouslySlow()
     val (heavy, light) = names.partition(isolate)

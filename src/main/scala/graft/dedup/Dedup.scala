@@ -786,6 +786,39 @@ object Dedup {
           .as("dup_ratio"))
   }
 
+  /** Cross-SNAPSHOT exact-substring containment: for each document of the
+    * current snapshot, the spans whose `w`-gram content already existed
+    * ANYWHERE in the previous snapshot — "how much of today's crawl is
+    * yesterday's text", the between-crawl counterpart of the Lee et al.
+    * within-corpus machinery ([[duplicatedSpanStats]]) and of the
+    * cross-corpus decontamination ([[contaminatedSpanStats]]). Reports
+    * per-current-doc span count, carried-token count, and carried ratio.
+    *
+    * Differs from [[duplicatedSpanStatsIncremental]] semantically: there a
+    * delta gram is duplicated when history+delta TOTALS reach minCount
+    * (within-corpus duplication including the batch itself); here a span
+    * counts only if its grams exist in the PREVIOUS snapshot — same-batch
+    * repetition is invisible, exactly what a crawl-freshness metric wants.
+    *
+    * 100 TB posture: unlike decontamination, BOTH sides are corpus-scale,
+    * so the previous snapshot's gram set does NOT broadcast — the flagging
+    * is one shuffle semi-join keyed on the 32-byte gram hash. In
+    * production pass the standing gram table via `prevGrams` (the
+    * [[spanGramCounts]] relation the ingest path already maintains,
+    * bucketed by hash): only current-snapshot grams shuffle per run,
+    * O(current), never O(previous). */
+  def crossSnapshotSpanStats(
+      prev: DataFrame, curr: DataFrame, textCol: String = "text",
+      w: Int = SpanGramSize, prevGrams: Option[DataFrame] = None): DataFrame = {
+    val toks = tokenArrays(curr, textCol)
+    val prevGh = prevGrams.getOrElse(spanGramCounts(prev, textCol, w)).select("gh")
+    val spans = windowGrams(toks, w)
+      .join(prevGh, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("start"), (col("start") + (w - 1)).as("e"))
+    coverageStats(toks, mergeIslands(spans),
+      spansCol = "n_spans", tokensCol = "carried_tokens", ratioCol = "carried_ratio")
+  }
+
   /** The persisted index [[duplicatedSpanStatsIncremental]] consumes: one
     * (gh, hc) row per distinct history gram hash. An ingest path maintains
     * it additively — counts for a new batch are computed the same way and

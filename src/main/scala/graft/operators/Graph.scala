@@ -280,7 +280,15 @@ object Graph {
     * labels and nodes that switched label that round. A zero-changed round
     * means the propagation converged; the census makes that visible (the
     * same census-vs-result split as [[kCore]] vs [[kCoreFixpoint]]).
-    * Always emits exactly `rounds` rows — zeros on an empty graph. */
+    * Always emits exactly `rounds` rows — zeros on an empty graph.
+    *
+    * Scale note: this CENSUS form holds all `rounds + 1` checkpointed
+    * label states at once so each round's distinct+join census can read
+    * (round, round-1) pairs — fine at census scale (rounds is small and
+    * fixed, states are narrow node→label relations), but a production
+    * monitor over a huge graph should STREAM the pairs instead: keep only
+    * the previous round's state, emit that round's census row, release the
+    * state before iterating — O(1) live states rather than O(rounds). */
   def labelPropagationCensus(edges: DataFrame, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

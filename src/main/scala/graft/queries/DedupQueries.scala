@@ -1257,6 +1257,153 @@ object DedupQueries {
         WHERE b.doc_id % 2 = 1
         ORDER BY doc_id""")),
 
+    // Cross-SNAPSHOT exact-substring containment (even doc_ids play the
+    // previous crawl, odds the current one): per current doc, the spans
+    // whose 8-gram content existed anywhere in the previous snapshot —
+    // "how much of today's crawl is yesterday's text". Same-batch
+    // repetition is deliberately invisible (vs dedup_span_incr, which
+    // counts history+delta totals). Both sides are corpus-scale, so the
+    // engine flags via a shuffle semi-join on the 32-byte gram hash (or
+    // the standing gram table in production), never a broadcast.
+    "dedup_span_cross" -> QueryDef(
+      fn = (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.crossSnapshotSpanStats(
+          prev = docs.where(col("doc_id") % 2 === 0),
+          curr = docs.where(col("doc_id") % 2 === 1))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH $spanIslandCtes,
+        prevg AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 2 = 0),
+        cspans AS (
+          SELECT doc_id, start, start + ${Dedup.SpanGramSize - 1} AS e
+          FROM grams
+          WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM prevg)),
+        cflag AS (
+          SELECT doc_id, start, e,
+                 CASE WHEN start > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                      THEN 1 ELSE 0 END AS brk
+          FROM cspans),
+        cisl AS (
+          SELECT doc_id, start, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+          FROM cflag),
+        cagg AS (
+          SELECT doc_id, isl, min(start) AS s, max(e) AS e
+          FROM cisl GROUP BY doc_id, isl),
+        doc_agg AS (
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS carried_tokens
+          FROM cagg GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens,
+               coalesce(d.n_spans, 0) AS n_spans,
+               coalesce(d.carried_tokens, 0) AS carried_tokens,
+               round(coalesce(d.carried_tokens, 0) * 1.0 / b.n_tokens, 6)
+                 AS carried_ratio
+        FROM base b LEFT JOIN doc_agg d USING (doc_id)
+        WHERE b.doc_id % 2 = 1
+        ORDER BY doc_id""")),
+
+    // One-sided CUSUM monitor (Page'54) over the INGEST-ORDER duplicate
+    // rate — the drift alarm over the dedup rate itself (the by-source
+    // data card above says WHERE copies come from; this says WHEN the
+    // rate shifted). Docs are batched in ingest order (doc_id DIV 25,
+    // the tag analog); a doc is a duplicate when its 8-token-prefix
+    // fingerprint (the boilerplate-family notion — the fixture plants
+    // shared prefixes, not byte-identical copies) appeared at any
+    // earlier doc_id. S_i = max(0, S_{i-1} + (rate_i - k)) with
+    // reference k = the corpus-wide duplicate rate, via the prefix-min
+    // identity S_i = P_i - min(0, min_{j<=i} P_j) —
+    // window-expressible, no recursion.
+    // Per-batch rates and k round to 6dp into DECIMAL so the running
+    // sums are exact; the alarm is an exact decimal comparison vs 0.05.
+    // Shape: one fingerprint groupBy + one batch rollup; windows run
+    // over the batch relation (corpus/25 rows — the daily-aggregate
+    // boundedness class of events_cusum).
+    "dedup_rate_cusum" -> QueryDef(
+      fn = (s, d) => {
+        val dec = DecimalType(18, 6)
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(expr("concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), " +
+              "x -> x != ''), 1, 8))")).as("fp"))
+        val firsts = docs.groupBy("fp").agg(min(col("doc_id")).as("first_id"))
+        val batches = docs.join(firsts, Seq("fp"))
+          .select(expr("doc_id DIV 25").as("batch"),
+            when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L).as("is_dup"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.partitionBy()
+        val wRun = Window.orderBy("batch")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val k = round(sum(col("n_dups")).over(wAll).cast("double")
+          / sum(col("n_docs")).over(wAll).cast("double"), 6).cast(dec)
+        batches
+          .withColumn("rate",
+            round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+              .cast(dec))
+          .withColumn("p", sum(col("rate") - k).over(wRun))
+          // CASE, not least(): DuckDB's least() over mixed decimal widths
+          // resolves through DOUBLE and costs the low bits — keep every
+          // term in the summed decimal type on both engines.
+          .withColumn("runmin", min(col("p")).over(wRun))
+          .withColumn("cusum",
+            when(col("runmin") < 0, col("p") - col("runmin")).otherwise(col("p")))
+          .select(col("batch"), col("n_docs"), col("n_dups"),
+            col("rate").cast("double").as("dup_rate"),
+            col("cusum").cast("double").as("cusum"),
+            (col("cusum") > lit(0.05).cast(dec)).as("alarm"))
+          .orderBy("batch")
+      },
+      oracle = Some("""
+        WITH fps AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_slice(
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> ''), 1, 8), ' ')) AS fp
+          FROM documents),
+        firsts AS (SELECT fp, min(doc_id) AS first_id FROM fps GROUP BY fp),
+        flags AS (
+          SELECT f.doc_id // 25 AS batch,
+                 CASE WHEN f.doc_id <> r.first_id THEN 1 ELSE 0 END AS is_dup
+          FROM fps f JOIN firsts r USING (fp)),
+        batches AS (
+          SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(is_dup) AS BIGINT) AS n_dups
+          FROM flags GROUP BY batch),
+        rt AS (
+          SELECT batch, n_docs, n_dups,
+                 CAST(round(CAST(n_dups AS DOUBLE) / n_docs, 6)
+                   AS DECIMAL(18,6)) AS rate,
+                 CAST(round(CAST(sum(n_dups) OVER () AS DOUBLE)
+                            / CAST(sum(n_docs) OVER () AS DOUBLE), 6)
+                   AS DECIMAL(18,6)) AS k
+          FROM batches),
+        ps AS (
+          SELECT batch, n_docs, n_dups, rate,
+                 sum(rate - k) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          FROM rt),
+        rm AS (
+          SELECT batch, n_docs, n_dups, rate, p,
+                 min(p) OVER (ORDER BY batch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+          FROM ps),
+        cs AS (
+          SELECT batch, n_docs, n_dups, rate,
+                 CASE WHEN runmin < 0 THEN p - runmin ELSE p END AS cusum
+          FROM rm)
+        SELECT batch, n_docs, n_dups,
+               CAST(rate AS DOUBLE) AS dup_rate,
+               CAST(cusum AS DOUBLE) AS cusum,
+               cusum > CAST(0.05 AS DECIMAL(18,6)) AS alarm
+        FROM cs ORDER BY batch""")),
+
     // The removal pass the stats measure: reassemble each doc from tokens
     // NOT covered by a duplicated span (md5 of the cleaned text keeps the
     // result narrow; fully-duplicated docs survive as md5('')). Shares the

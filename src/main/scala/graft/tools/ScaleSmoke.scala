@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.GraftSession
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, MinHashIndex}
 import graft.sim.CosineLsh
 import graft.sources.Tables
 
@@ -109,22 +109,29 @@ object ScaleSmoke {
     val cN = time(s"cosine_lsh ${copies}x")(CosineLsh.nearDupPairs(embN, 0.45))
     println(s"[scale]   pairs=${cN.count()}"); cN.unpersist()
 
-    spanSection(spark, tmp, docs1, copies)
-    spanIncrSection(spark, tmp, copies)
-    noveltyIncrSection(spark, tmp, copies)
-    containmentIncrSection(spark, tmp, copies)
-    rangeJoinSection(spark, tmp, copies)
-    skylineSection(spark, copies)
-    ccSection(spark, copies)
-    embeddingIncrSection(spark, tmp, copies)
-    semanticSection(spark, tmp, copies)
-    pqSection(spark, tmp)
-    bloomSection(spark, copies)
-    phashSection(spark, copies)
-    topkSection(spark, tmp)
-    bpeSection(spark, tmp, copies)
-    triangleSection(spark)
-    mauSketchSection(spark, copies)
+    // optional 2nd arg: run only sections whose name contains it (dev loop)
+    val sectionFilter = args.drop(1).headOption
+    val sections: Seq[(String, () => Unit)] = Seq(
+      "minhashIndex" -> (() => minhashIndexSection(spark)),
+      "span" -> (() => spanSection(spark, tmp, docs1, copies)),
+      "spanIncr" -> (() => spanIncrSection(spark, tmp, copies)),
+      "noveltyIncr" -> (() => noveltyIncrSection(spark, tmp, copies)),
+      "containmentIncr" -> (() => containmentIncrSection(spark, tmp, copies)),
+      "rangeJoin" -> (() => rangeJoinSection(spark, tmp, copies)),
+      "skyline" -> (() => skylineSection(spark, copies)),
+      "cc" -> (() => ccSection(spark, copies)),
+      "embeddingIncr" -> (() => embeddingIncrSection(spark, tmp, copies)),
+      "semantic" -> (() => semanticSection(spark, tmp, copies)),
+      "pq" -> (() => pqSection(spark, tmp)),
+      "bloom" -> (() => bloomSection(spark, copies)),
+      "phash" -> (() => phashSection(spark, copies)),
+      "topk" -> (() => topkSection(spark, tmp)),
+      "bpe" -> (() => bpeSection(spark, tmp, copies)),
+      "triangle" -> (() => triangleSection(spark)),
+      "mauSketch" -> (() => mauSketchSection(spark, copies)))
+    sections
+      .filter { case (n, _) => sectionFilter.forall(f => n.toLowerCase.contains(f.toLowerCase)) }
+      .foreach { case (_, run) => run() }
 
     spark.stop()
     println("[scale] ALL ASSERTIONS PASSED")
@@ -345,6 +352,43 @@ object ScaleSmoke {
   /** Incremental containment: equality with the full pipeline restricted
     * to delta-touching pairs, and the standing-sig path beating a full
     * recompute — the same contract the span/embedding incr sections pin. */
+  /** The standing-MinHashIndex claim, measured (round-9 verdict item 5):
+    * the registry's `dedup_minhash_incr` re-derives history signatures and
+    * bands inline every run — correct for oracle replay, but the 100 TB
+    * ingest path is [[MinHashIndex]]: sign the corpus ONCE into bucketed
+    * standing tables, then each batch probes them exchange-free. This
+    * section pins that the index path (a) emits exactly the inline path's
+    * pairs and (b) is strictly cheaper per batch at sf0.1, with the
+    * build cost excluded — it amortizes across every future batch. */
+  private def minhashIndexSection(spark: SparkSession): Unit = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val delta = docs.where(col("doc_id") % 2 === 1)
+    val (db, name) = ("graft_scale", "docs_even")
+    time("minhash_index build (amortized)") {
+      MinHashIndex.build(spark, history, db, name)
+    }
+    Dedup.minHashLshPairs(docs.limit(300)).unpersist() // codegen warmup
+    def inlineRun() =
+      Dedup.minHashLshPairsIncremental(history, delta, threshold = 0.8)
+    def indexRun() =
+      MinHashIndex.queryPairs(spark, history, delta, db, name, threshold = 0.8)
+    val inline = inlineRun()
+    val viaIdx = indexRun()
+    require(viaIdx.exceptAll(inline).isEmpty && inline.exceptAll(viaIdx).isEmpty,
+      "standing-index minhash pairs diverge from the inline incremental pipeline")
+    inline.unpersist(); viaIdx.unpersist()
+    // both pipelines persist internally: clearCache per pass or the A/B
+    // measures leaked-cache luck (the containment_incr lesson)
+    val tInline = med3 { spark.catalog.clearCache(); inlineRun().count(); () }
+    val tIndex = med3 { spark.catalog.clearCache(); indexRun().count(); () }
+    println(f"[scale] minhash_incr: inline=${tInline}%.2f s standing-index=${tIndex}%.2f s " +
+      f"(ratio ${tIndex / tInline}%.2f)")
+    require(tIndex < tInline,
+      f"standing index (${tIndex}%.2f s) did not beat inline re-derivation (${tInline}%.2f s)")
+  }
+
   private def containmentIncrSection(spark: SparkSession, tmp: String, copies: Int): Unit = {
     val off = 910000000L
     val history = spark.read.parquet(s"$tmp/docs")
