@@ -65,8 +65,14 @@ object Bench {
   private val SpreadBar =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_BAR", "2.5").toDouble
 
+  /** Sub-second queries routinely show >2.5x max/min from JIT/IO warmth
+    * alone (r10: events_gini [0.215, 0.619]); that is not host contention
+    * and re-running it buys nothing — only spreads whose max is at least
+    * NoiseFloor seconds count as noisy. */
+  private val NoiseFloor = 1.0
+
   private def noisy(ts: Seq[Double]): Boolean =
-    ts.size >= 2 && ts.min > 0 && ts.max / ts.min > SpreadBar
+    ts.size >= 2 && ts.min > 0 && ts.max >= NoiseFloor && ts.max / ts.min > SpreadBar
 
   def main(args: Array[String]): Unit =
     if (args.length >= 2 && args(0) == "--worker") workerMain(args(1), args.drop(2))
