@@ -60,15 +60,15 @@ object ImagePhash {
     out
   }
 
-  /** Encode a 32x32 grayscale grid as real PNG bytes (JDK ImageIO). */
-  def encodePng(pixels: Array[Int]): Array[Byte] = {
-    require(pixels.length == Size * Size, s"grid must be ${Size}x$Size")
-    val img = new BufferedImage(Size, Size, BufferedImage.TYPE_BYTE_GRAY)
+  /** Encode a square grayscale grid as real PNG bytes (JDK ImageIO). */
+  def encodePng(pixels: Array[Int], size: Int = Size): Array[Byte] = {
+    require(pixels.length == size * size, s"grid must be ${size}x$size")
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
-    while (y < Size) {
+    while (y < size) {
       var x = 0
-      while (x < Size) { raster.setSample(x, y, 0, pixels(y * Size + x)); x += 1 }
+      while (x < size) { raster.setSample(x, y, 0, pixels(y * size + x)); x += 1 }
       y += 1
     }
     val bos = new ByteArrayOutputStream()
@@ -77,22 +77,62 @@ object ImagePhash {
     bos.toByteArray
   }
 
-  /** Decode PNG bytes back to the row-major grayscale grid — the REAL
-    * image-decode step (container parse + inflate + defilter), not a
+  /** Decode PNG bytes back to a row-major square grayscale grid — the
+    * REAL image-decode step (container parse + inflate + defilter), not a
     * stand-in. Grayscale PNG is lossless, so this inverts [[encodePng]]
-    * exactly. */
-  def decodeGray(bytes: Array[Byte]): Array[Int] = {
+    * exactly. Returns (pixels, size). */
+  def decodeGraySized(bytes: Array[Byte]): (Array[Int], Int) = {
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     require(img != null, "bytes are not a decodable image")
-    require(img.getWidth == Size && img.getHeight == Size,
-      s"expected ${Size}x$Size, got ${img.getWidth}x${img.getHeight}")
+    require(img.getWidth == img.getHeight, s"expected a square image, got ${img.getWidth}x${img.getHeight}")
+    val size = img.getWidth
     val raster = img.getRaster
-    val out = new Array[Int](Size * Size)
+    val out = new Array[Int](size * size)
     var y = 0
-    while (y < Size) {
+    while (y < size) {
       var x = 0
-      while (x < Size) { out(y * Size + x) = raster.getSample(x, y, 0); x += 1 }
+      while (x < size) { out(y * size + x) = raster.getSample(x, y, 0); x += 1 }
       y += 1
+    }
+    (out, size)
+  }
+
+  /** [[decodeGraySized]] pinned to the [[Size]]x[[Size]] corpus grids (the
+    * pHash/feature kernels assume the full-resolution grid). */
+  def decodeGray(bytes: Array[Byte]): Array[Int] = {
+    val (px, size) = decodeGraySized(bytes)
+    require(size == Size, s"expected ${Size}x$Size, got ${size}x$size")
+    px
+  }
+
+  /** Area-average downsample by an integer factor, in EXACT integer
+    * arithmetic: each factor x factor block becomes the truncating mean
+    * (sum DIV factor²) — the nearest-area-pooling resize a SQL oracle can
+    * replay bit-for-bit (all inputs non-negative, so Java's truncation
+    * toward zero equals floor division on both engines). */
+  def downsample(pixels: Array[Int], size: Int, factor: Int): Array[Int] = {
+    require(factor >= 1 && size % factor == 0,
+      s"factor $factor must divide the image size $size")
+    val out = new Array[Int](size / factor * (size / factor))
+    val n = size / factor
+    var yy = 0
+    while (yy < n) {
+      var xx = 0
+      while (xx < n) {
+        var s = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            s += pixels((yy * factor + dy) * size + (xx * factor + dx))
+            dx += 1
+          }
+          dy += 1
+        }
+        out(yy * n + xx) = s / (factor * factor)
+        xx += 1
+      }
+      yy += 1
     }
     out
   }

@@ -103,18 +103,44 @@ object Multimodal {
 
   /** Resize stage: same per-partition batch shape as [[extractFeatures]]
     * (kernel init once per task); payload in, payload out, metadata
-    * recomputed. */
+    * recomputed. `image/png` payloads take the REAL path — decode, exact
+    * integer area-average pooling by `factor`, re-encode to a genuine
+    * smaller PNG ([[ImagePhash.downsample]]); other formats fall back to
+    * the byte-keeping stub. */
   def resize(spark: SparkSession, media: DataFrame, factor: Int): DataFrame = {
     import spark.implicits._
     val resized = media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
-        // per-task init of the (stub) resize kernel happens here
+        // per-task init of the resize kernel happens here
         rows.map { r =>
-          val out = resizeStub(r.media, factor)
+          val out =
+            if (r.format == "image/png") {
+              val (px, size) = ImagePhash.decodeGraySized(r.media)
+              ImagePhash.encodePng(
+                ImagePhash.downsample(px, size, factor), size / factor)
+            } else resizeStub(r.media, factor)
           MediaRow(r.media_id, out, r.format, out.length.toLong)
         }
       }
     resized.toDF()
+  }
+
+  /** Decoded-image statistics kernel: re-decodes each payload (container
+    * parse + raster read) and reports exact integer stats of the ACTUAL
+    * pixels in the bytes — the end-to-end proof that a produced image
+    * (e.g. [[resize]]'s re-encoded output) holds exactly the intended
+    * raster. One narrow row per item; the payload never leaves the stage. */
+  def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (px, size) = ImagePhash.decodeGraySized(r.media)
+          (r.media_id, size.toLong, px.foldLeft(0L)(_ + _),
+            px.min.toLong, px.max.toLong)
+        }
+      }
+      .toDF("media_id", "side", "px_sum", "px_min", "px_max")
   }
 
   /** STUB perceptual-hash kernel — the fallback for NON-image formats

@@ -625,6 +625,30 @@ object MiscQueries {
           ON c.media_id = pids.media_id AND c.bin = bins.bin
         ORDER BY pids.media_id, bins.bin""")),
 
+    // Real-image resize end-to-end: decode the 32x32 PNG, EXACT integer
+    // 2x2 area-average pooling (sum DIV 4 — truncation equals floor on
+    // non-negative pixels, so SQL replays it), re-encode a genuine 16x16
+    // PNG, then a second decode kernel reports exact stats of the pixels
+    // ACTUALLY IN the produced bytes — proving the re-encoded container
+    // holds the intended raster, not just that the math was right.
+    "mm_image_resize" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.imageStats(s,
+            Multimodal.resize(s,
+              Multimodal.pngMediaTable(s, t(s, d, "documents")), factor = 2))
+          .orderBy("media_id"),
+      oracle = Some(s"""
+        WITH $pngPixelCtes,
+        pooled AS (
+          SELECT media_id, x // 2 AS xx, y // 2 AS yy,
+                 CAST(sum(p) // 4 AS BIGINT) AS p2
+          FROM pxy GROUP BY 1, 2, 3)
+        SELECT media_id, CAST(16 AS BIGINT) AS side,
+               CAST(sum(p2) AS BIGINT) AS px_sum,
+               CAST(min(p2) AS BIGINT) AS px_min,
+               CAST(max(p2) AS BIGINT) AS px_max
+        FROM pooled GROUP BY media_id ORDER BY media_id""")),
+
     // JSON property extraction + aggregation over the events stream's
     // semi-structured props column.
     "events_json_agg" -> QueryDef(

@@ -153,6 +153,45 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real resize pools exactly and the re-encoded 16x16 PNG holds the intended raster") {
+    import graft.mm.ImagePhash
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents").limit(30)
+    val resized = Multimodal.resize(
+      spark, Multimodal.pngMediaTable(spark, docs), factor = 2)
+    val stats = Multimodal.imageStats(spark, resized)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 30)
+    stats.foreach { case (id, side, s, mn, mx) =>
+      assert(side == 16L)
+      val pooled = ImagePhash.downsample(ImagePhash.pixelGrid(id), 32, 2)
+      assert(s == pooled.foldLeft(0L)(_ + _), s"pixel sum diverges for id $id")
+      assert(mn == pooled.min && mx == pooled.max)
+    }
+    // the resized payloads are genuine standalone PNG containers
+    val bytes = resized.limit(3).select("media").as[Array[Byte]].collect()
+    bytes.foreach(b => assert((b(0) & 0xff) == 0x89 && b(1) == 'P'))
+  }
+
+  test("kernels dispatch per row on a mixed-format media table") {
+    import graft.mm.ImagePhash
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents").limit(20)
+    val mixed = Multimodal.pngMediaTable(spark, docs.where($"doc_id" % 2 === 0))
+      .unionByName(Multimodal.mediaTable(docs.where($"doc_id" % 2 === 1)))
+    val ph = Multimodal.perceptualHashes(spark, mixed)
+      .as[(Long, Long)].collect().toMap
+    // fallback reference: the all-fake table routes every row to the stub
+    val stubRef = Multimodal.perceptualHashes(
+        spark, Multimodal.mediaTable(docs.where($"doc_id" % 2 === 1)))
+      .as[(Long, Long)].collect().toMap
+    ph.foreach { case (id, h) =>
+      if (id % 2 == 0)
+        assert(h == ImagePhash.phash(ImagePhash.pixelGrid(id)),
+          s"even id $id should take the real PNG path")
+      else
+        assert(h == stubRef(id), s"odd id $id should take the byte-stub fallback")
+    }
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
