@@ -801,8 +801,9 @@ object Dedup {
     * repetition is invisible, exactly what a crawl-freshness metric wants.
     *
     * 100 TB posture: unlike decontamination, BOTH sides are corpus-scale,
-    * so the previous snapshot's gram set does NOT broadcast — the flagging
-    * is one shuffle semi-join keyed on the 32-byte gram hash. In
+    * so the previous snapshot's gram set carries NO broadcast hint — the
+    * flagging is one hint-free semi-join keyed on the 32-byte gram hash
+    * (AQE may still broadcast at small SF; at corpus scale it shuffles). In
     * production pass the standing gram table via `prevGrams` (the
     * [[spanGramCounts]] relation the ingest path already maintains,
     * bucketed by hash): only current-snapshot grams shuffle per run,

@@ -1263,8 +1263,9 @@ object DedupQueries {
     // "how much of today's crawl is yesterday's text". Same-batch
     // repetition is deliberately invisible (vs dedup_span_incr, which
     // counts history+delta totals). Both sides are corpus-scale, so the
-    // engine flags via a shuffle semi-join on the 32-byte gram hash (or
-    // the standing gram table in production), never a broadcast.
+    // flagging semi-join on the 32-byte gram hash carries NO broadcast
+    // hint — AQE decides (shuffle at corpus scale) — or probes the
+    // standing gram table in production.
     "dedup_span_cross" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")

@@ -65,4 +65,33 @@ class DecontamSpec extends AnyFunSuite {
     assert(cleaned.toSeq == Seq((5L, 0L,
       "d41d8cd98f00b204e9800998ecf8427e"))) // md5("")
   }
+
+  test("cross-snapshot containment: carried spans only, same-batch repetition invisible") {
+    def cross(prev: Seq[(Long, String)], curr: Seq[(Long, String)]) =
+      Dedup.crossSnapshotSpanStats(
+          prev.toDF("doc_id", "text"), curr.toDF("doc_id", "text"), w = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_spans"), col("carried_tokens"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val prev = Seq((1L, "alpha beta gamma delta epsilon"))
+    // doc 10 carries prev's 3-gram content (tokens 3-7 cover two overlapping
+    // prev 3-grams -> one merged 5-token span); doc 11 shares nothing
+    val curr = Seq(
+      (10L, "fresh words alpha beta gamma delta epsilon trailing"),
+      (11L, "entirely new material with no earlier text"))
+    assert(cross(prev, curr) == Map(
+      10L -> ((8L, 1L, 5L)),
+      11L -> ((7L, 0L, 0L))))
+    // SAME-batch duplication is invisible: two current docs sharing a
+    // 3-gram with each other but not with prev carry nothing
+    val currDup = Seq(
+      (20L, "one two three four shared run here"),
+      (21L, "shared run here appears again today"))
+    assert(cross(prev, currDup).values.forall(v => v._2 == 0L && v._3 == 0L))
+    // empty previous snapshot: nothing can be carried, rows still emitted
+    val empty = Seq.empty[(Long, String)]
+    assert(cross(empty, curr) == Map(
+      10L -> ((8L, 0L, 0L)),
+      11L -> ((7L, 0L, 0L))))
+  }
 }
