@@ -534,6 +534,44 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE phash_sink CASCADE")
   }
 
+  test("phash admission works over REAL PNG payloads (decode kernel in the stream)") {
+    import spark.implicits._
+    import graft.mm.{ImagePhash, Multimodal}
+    // pick a planted near-dup pair (same family, hamming <= 2) and two
+    // far ids, from the deterministic generator — driver-side, no Spark
+    def h(id: Long) = ImagePhash.phash(ImagePhash.pixelGrid(id))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    val pair = (for {
+      a <- 0L until 100L; b <- a + 1 until 200L
+      if a % ImagePhash.Groups == b % ImagePhash.Groups && ham(a, b) <= 2
+    } yield (a, b)).head
+    val (near1, near2) = pair
+    val far = (0L until 200L)
+      .filter(c => c != near1 && c != near2 && ham(c, near1) > 2 && ham(c, near2) > 2)
+      .take(2)
+    def pngOf(ids: Seq[Long]) =
+      Multimodal.pngMediaTable(spark, ids.toDF("doc_id"))
+    val dir = Files.createTempDirectory("graft-stream-png").toString
+    val b1 = pngOf(Seq(near1, far(0)))
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS png_sink")
+    spark.sql("DROP TABLE IF EXISTS png_sink.media")
+    spark.sql("DROP TABLE IF EXISTS png_sink.media_phash")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toPhashDedupSink(stream, "png_sink", "media").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a same-family rendition of near1 (rejected by the REAL
+      // decode + DCT path) and a far image (admitted)
+      publishBatch(pngOf(Seq(near2, far(1))), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("png_sink.media")
+    assert(spark.table("png_sink.media").select("media_id")
+      .as[Long].collect().sorted.toSeq == Seq(near1, far(0), far(1)).sorted)
+    spark.sql("DROP DATABASE png_sink CASCADE")
+  }
+
   test("phash admission batches are idempotent under retry") {
     import spark.implicits._
     import graft.mm.Multimodal
