@@ -290,10 +290,13 @@ object Bench {
     }
     // Contention re-run: a max/min beyond SpreadBar inside one fresh JVM is
     // host noise, not query cost (clearCache makes every pass cold). Each
-    // noisy query gets ONE more fresh singleton JVM and the samples pool —
-    // min across the pool is then taken by report(). Bounded: one retry per
-    // query, so worst case adds ~runs extra passes per noisy query.
+    // noisy query gets ONE more fresh singleton JVM; the samples pool (min
+    // across the pool is the headline), but the STILL-NOISY verdict is
+    // judged on the retry samples alone — pooling would keep the original
+    // outlier in max forever and a clean re-measurement could never
+    // exonerate the query. Bounded: one retry per query.
     val retry = merged.collect { case (n, ts) if noisy(ts) => n }.toSeq
+    val stillNoisy = collection.mutable.Set[String]()
     if (retry.nonEmpty) {
       System.err.println(s"[bench] spread>${SpreadBar}x on ${retry.size} queries, re-running isolated: ${retry.mkString(", ")}")
       retry.zipWithIndex.foreach { case (n, i) =>
@@ -301,14 +304,18 @@ object Bench {
           if (fallback == null) fallback = newSession()
           measure(fallback, Seq(n)).toMap
         }
-        merged(n) = merged(n) ++ res.getOrElse(n, Seq.empty)
+        val retryTs = res.getOrElse(n, Seq.empty)
+        if (retryTs.isEmpty || noisy(retryTs)) stillNoisy += n
+        merged(n) = merged(n) ++ retryTs
       }
     }
     if (fallback != null) fallback.stop()
-    report(names.map(n => n -> merged.getOrElse(n, Seq.empty)))
+    report(names.map(n => n -> merged.getOrElse(n, Seq.empty)), stillNoisy.toSet,
+      subset = only.isDefined)
   }
 
-  private def report(results: Seq[(String, Seq[Double])]): Unit = {
+  private def report(results: Seq[(String, Seq[Double])],
+      stillNoisy: Set[String], subset: Boolean): Unit = {
     // Locale.ROOT: the JSON line must carry '.' decimals on any JVM locale.
     def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Headline per-query number: MIN across passes (every pass is cold —
@@ -329,11 +336,11 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    // Queries still spread-noisy AFTER the parent's re-run pass — bounded
+    // Queries whose RETRY run was itself still spread-noisy — bounded
     // list (cap 20) surfaced in the compact stdout line so the archived
     // record carries the noise evidence, not just target/bench.json.
-    val flagged = results.collect { case (k, ts) if noisy(ts) => k }
-    val spreadFlags = flagged.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreadFlags = stillNoisy.toSeq.sorted.take(20)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Explicit slow list for next run's self-calibration: keyed on the
     // recorded MIN so noise can't ratchet queries into singleton shards.
     val slow = results.collect { case (k, ts) if ts.nonEmpty && ts.min >= 2.0 => "\"" + k + "\"" }
@@ -346,7 +353,11 @@ object Bench {
       .sortBy(-_._2).take(topK)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // A SPARK_GRAFT_BENCH_ONLY subset run must NOT overwrite the full
+    // record: its subset-only `slow` list would wipe singleton isolation
+    // for every query outside the subset on the next full run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (subset) "target/bench-subset.json" else "target/bench.json")
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"runs":$runs,"failed":$failed,"spread_flags":$spreadFlags,"sf":"$sfDir","full":"$outPath"}"""
     val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cold":$cold,"failed":$failed,"spread_flags":$spreadFlags,"slow":$slow,"sf":"$sfDir"}"""
     try {

@@ -39,9 +39,19 @@ object ImagePhash {
   /** fixed-point scale for the quantized cosine table (2^14) */
   val CosScale = 16384L
 
+  /** Largest media id the pixel formula is defined for: beyond it,
+    * id * 1315423911 exceeds Long range — Java would WRAP silently (a
+    * negative base breaks the [0,254] pixel contract and with it the PNG
+    * losslessness the oracle scheme rests on) while DuckDB raises a
+    * BIGINT-overflow error, so the engines would neither agree nor fail
+    * alike. Guarded so both sides fail loudly at the same boundary. */
+  val MaxId: Long = Long.MaxValue / 1315423911L
+
   /** Deterministic grayscale value in [0, 254] for (id, x, y); the SQL
     * mirror lives in [[graft.queries.MiscQueries.pngPhashCtes]]. */
   def pixel(id: Long, x: Int, y: Int): Int = {
+    require(id >= 0 && id <= MaxId,
+      s"media id $id outside the pixel formula's exact domain [0, $MaxId]")
     val g = id % Groups
     val base = ((g * 2654435761L + x.toLong * 40503L + y.toLong * 65027L) % 255L).toInt
     val pert = (id * 1315423911L + x.toLong * 2654435741L + y.toLong * 2246822519L) % PertMod

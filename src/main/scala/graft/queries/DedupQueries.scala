@@ -1275,31 +1275,17 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       oracle = Some(s"""
-        WITH $spanIslandCtes,
+        WITH $spanGramCtes,
         prevg AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 2 = 0),
         cspans AS (
           SELECT doc_id, start, start + ${Dedup.SpanGramSize - 1} AS e
           FROM grams
           WHERE doc_id % 2 = 1 AND gh IN (SELECT gh FROM prevg)),
-        cflag AS (
-          SELECT doc_id, start, e,
-                 CASE WHEN start > coalesce(max(e) OVER (
-                        PARTITION BY doc_id ORDER BY start
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                      THEN 1 ELSE 0 END AS brk
-          FROM cspans),
-        cisl AS (
-          SELECT doc_id, start, e,
-                 sum(brk) OVER (PARTITION BY doc_id ORDER BY start
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-          FROM cflag),
-        cagg AS (
-          SELECT doc_id, isl, min(start) AS s, max(e) AS e
-          FROM cisl GROUP BY doc_id, isl),
+        ${islandChainSql("cspans")},
         doc_agg AS (
           SELECT doc_id, count(*) AS n_spans,
                  CAST(sum(e - s + 1) AS BIGINT) AS carried_tokens
-          FROM cagg GROUP BY doc_id)
+          FROM isl_agg GROUP BY doc_id)
         SELECT b.doc_id, b.n_tokens,
                coalesce(d.n_spans, 0) AS n_spans,
                coalesce(d.carried_tokens, 0) AS carried_tokens,
@@ -1614,6 +1600,27 @@ object DedupQueries {
         FROM c ORDER BY doc_id"""))
   )
 
+  /** Gaps-and-islands merge of a `(doc_id, start, e)` spans CTE named
+    * `src` into `isl_agg(doc_id, isl, s, e)` — THE island-merge rule,
+    * emitted from one place so no two span oracles can drift on the
+    * overlap-or-adjacent boundary. Mirrors Dedup.mergeIslands exactly. */
+  private def islandChainSql(src: String): String = s"""
+    flagged AS (
+      SELECT doc_id, start, e,
+             CASE WHEN start > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY start
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM $src),
+    islands AS (
+      SELECT doc_id, start, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM flagged),
+    isl_agg AS (
+      SELECT doc_id, isl, min(start) AS s, max(e) AS e
+      FROM islands GROUP BY doc_id, isl)"""
+
   // Cross-corpus decontamination pipeline as a CTE chain ending in
   // `isl_agg` (merged benchmark-covered spans over corpus docs) plus
   // `toks`/`base` — shared by the decontam stats and removal oracles.
@@ -1643,21 +1650,7 @@ object DedupQueries {
       SELECT doc_id, start, start + ${w - 1} AS e
       FROM cgrams
       WHERE doc_id % 10 <> 0 AND gh IN (SELECT gh FROM bgrams)),
-    flagged AS (
-      SELECT doc_id, start, e,
-             CASE WHEN start > coalesce(max(e) OVER (
-                    PARTITION BY doc_id ORDER BY start
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                  THEN 1 ELSE 0 END AS brk
-      FROM spans),
-    islands AS (
-      SELECT doc_id, start, e,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY start
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-      FROM flagged),
-    isl_agg AS (
-      SELECT doc_id, isl, min(start) AS s, max(e) AS e
-      FROM islands GROUP BY doc_id, isl)"""
+    ${islandChainSql("spans")}"""
   }
 
   // Exact-substring span pipeline as a CTE chain ending in `isl_agg
@@ -1666,7 +1659,10 @@ object DedupQueries {
   // oracles so the two can't drift. Mirrors Dedup.mergedSpans exactly:
   // md5 over the space-joined w-gram, >= 2 corpus-wide occurrences,
   // overlap-or-adjacent island merge.
-  private lazy val spanIslandCtes: String = s"""
+  /** Tokenize + gram-hash prefix shared by the within-corpus and
+    * cross-snapshot span oracles: `toks`, `base`, `grams(doc_id, start,
+    * gh)` over word-[[Dedup.SpanGramSize]]-grams. */
+  private lazy val spanGramCtes: String = s"""
     toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
@@ -1680,26 +1676,15 @@ object DedupQueries {
                               CAST(i + ${Dedup.SpanGramSize - 1} AS INT)), ' ')) AS gh
       FROM (SELECT doc_id, toks,
                    unnest(generate_series(1, len(toks) - ${Dedup.SpanGramSize - 1})) AS i
-            FROM toks WHERE len(toks) >= ${Dedup.SpanGramSize})),
+            FROM toks WHERE len(toks) >= ${Dedup.SpanGramSize}))"""
+
+  private lazy val spanIslandCtes: String = s"""
+    $spanGramCtes,
     dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
     spans AS (
       SELECT doc_id, start, start + ${Dedup.SpanGramSize - 1} AS e
       FROM grams WHERE gh IN (SELECT gh FROM dup)),
-    flagged AS (
-      SELECT doc_id, start, e,
-             CASE WHEN start > coalesce(max(e) OVER (
-                    PARTITION BY doc_id ORDER BY start
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                  THEN 1 ELSE 0 END AS brk
-      FROM spans),
-    islands AS (
-      SELECT doc_id, start, e,
-             sum(brk) OVER (PARTITION BY doc_id ORDER BY start
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-      FROM flagged),
-    isl_agg AS (
-      SELECT doc_id, isl, min(start) AS s, max(e) AS e
-      FROM islands GROUP BY doc_id, isl)"""
+    ${islandChainSql("spans")}"""
 
   // SimHash pipeline as a CTE chain ending in `spairs(doc_a, doc_b,
   // hamming)` — shared by the full and incremental oracles.
