@@ -2248,8 +2248,8 @@ object MiscQueries {
         agg AS (
           SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
                  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
-                 CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS BIGINT)
-                   AS n_wedges,
+                 CAST(coalesce((SELECT sum(dg * (dg - 1) // 2) FROM deg), 0)
+                      AS BIGINT) AS n_wedges,
                  (SELECT t3 FROM tri) AS n_triangles)
         SELECT n_nodes, n_edges, n_wedges, n_triangles,
                CASE WHEN n_wedges > 0
