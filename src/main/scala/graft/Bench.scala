@@ -244,6 +244,13 @@ object Bench {
       if (!java.nio.file.Files.exists(p)) Set.empty
       else {
         val txt = java.nio.file.Files.readString(p)
+        // a subset-marked record calibrates only its own queries — refuse
+        // it entirely (static isolate list still applies) rather than
+        // silently de-isolating everything outside the subset
+        if (txt.contains(""""subset":true""")) {
+          System.err.println(s"[bench] $p is a subset record; ignoring for self-calibration")
+          return Set.empty
+        }
         val slowList = """"slow":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
           .map(m => """"([^"]+)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
         slowList.getOrElse {
@@ -355,11 +362,20 @@ object Bench {
       .mkString("{", ",", "}")
     // A SPARK_GRAFT_BENCH_ONLY subset run must NOT overwrite the full
     // record: its subset-only `slow` list would wipe singleton isolation
-    // for every query outside the subset on the next full run.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (subset) "target/bench-subset.json" else "target/bench.json")
+    // for every query outside the subset on the next full run. The guard
+    // also covers an env OUT pointing at the calibration default (custom
+    // temp paths stay honored), and the record carries a `subset` marker
+    // so previouslySlow() can refuse a subset record wherever it lands.
+    val FullDefault = "target/bench.json"
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT") match {
+      case Some(p) if subset && p == FullDefault =>
+        System.err.println(s"[bench] subset run: redirecting $p -> target/bench-subset.json to protect the calibration record")
+        "target/bench-subset.json"
+      case Some(p) => p
+      case None => if (subset) "target/bench-subset.json" else FullDefault
+    }
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"runs":$runs,"failed":$failed,"spread_flags":$spreadFlags,"sf":"$sfDir","full":"$outPath"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cold":$cold,"failed":$failed,"spread_flags":$spreadFlags,"slow":$slow,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cold":$cold,"failed":$failed,"spread_flags":$spreadFlags,"slow":$slow,"subset":$subset,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get(outPath)
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

@@ -31,13 +31,7 @@ object Verify {
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         // Remove any stale dump from a previous run: a failure must show
         // up as MISSING downstream, never as yesterday's good output.
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          val walk = Files.walk(dir)
-          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          finally walk.close()
-        }
+        Fs.deleteRecursively(Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -39,13 +39,17 @@ object ImagePhash {
   /** fixed-point scale for the quantized cosine table (2^14) */
   val CosScale = 16384L
 
-  /** Largest media id the pixel formula is defined for: beyond it,
-    * id * 1315423911 exceeds Long range — Java would WRAP silently (a
-    * negative base breaks the [0,254] pixel contract and with it the PNG
+  /** Largest media id the pixel formula is defined for: beyond it, the
+    * pert polynomial id*1315423911 + x*2654435741 + y*2246822519 exceeds
+    * Long range at the largest (x, y) — Java would WRAP silently (a
+    * negative pert breaks the inversion rule and with it the PNG
     * losslessness the oracle scheme rests on) while DuckDB raises a
     * BIGINT-overflow error, so the engines would neither agree nor fail
-    * alike. Guarded so both sides fail loudly at the same boundary. */
-  val MaxId: Long = Long.MaxValue / 1315423911L
+    * alike. The bound subtracts the worst-case x/y addends BEFORE
+    * dividing, so every (id, x, y) in-domain is exact. Guarded so both
+    * sides fail loudly at the same boundary. */
+  val MaxId: Long =
+    (Long.MaxValue - 31L * 2654435741L - 31L * 2246822519L) / 1315423911L
 
   /** Deterministic grayscale value in [0, 254] for (id, x, y); the SQL
     * mirror lives in [[graft.queries.MiscQueries.pngPhashCtes]]. */

@@ -382,16 +382,9 @@ object ScaleSmoke {
     Seq(MinHashIndex.sigsTable(db, name), MinHashIndex.bandsTable(db, name))
       .foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = java.nio.file.Paths.get(
+        graft.Fs.deleteRecursively(java.nio.file.Paths.get(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-          s"$db.db", t.split('.').last)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(loc)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-          finally walk.close()
-        }
+          s"$db.db", t.split('.').last))
       }
     time("minhash_index build (amortized)") {
       MinHashIndex.build(spark, history, db, name)

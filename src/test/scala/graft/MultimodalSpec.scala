@@ -129,6 +129,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pixel formula domain: exact at MaxId's worst corner, rejected beyond") {
+    import graft.mm.ImagePhash
+    // the bound must cover the largest x/y addends too — the pert
+    // polynomial at (MaxId, 31, 31) stays in Long range (a wrap would
+    // make pert negative and silently drop inversions)
+    val corner = ImagePhash.MaxId * 1315423911L +
+      31L * 2654435741L + 31L * 2246822519L
+    assert(corner > 0, "pert polynomial overflowed inside the guarded domain")
+    val px = ImagePhash.pixel(ImagePhash.MaxId, 31, 31)
+    assert(px >= 0 && px <= 254)
+    val e = intercept[IllegalArgumentException] {
+      ImagePhash.pixel(ImagePhash.MaxId + 1, 0, 0)
+    }
+    assert(e.getMessage.contains("outside the pixel formula's exact domain"))
+  }
+
   test("real-image banded LSH is lossless and features histogram the decoded pixels") {
     import graft.mm.ImagePhash
     val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")

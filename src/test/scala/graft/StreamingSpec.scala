@@ -538,14 +538,15 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.mm.{ImagePhash, Multimodal}
     // pick a planted near-dup pair (same family, hamming <= 2) and two
-    // far ids, from the deterministic generator — driver-side, no Spark
-    def h(id: Long) = ImagePhash.phash(ImagePhash.pixelGrid(id))
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
-    val pair = (for {
-      a <- 0L until 100L; b <- a + 1 until 200L
+    // far ids, from the deterministic generator — driver-side, no Spark.
+    // Hashes computed once (each is a full grid + DCT) and the pair
+    // search is lazy, so the setup stays milliseconds.
+    val hashes = (0L until 200L).map(id => id -> ImagePhash.phash(ImagePhash.pixelGrid(id))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    val (near1, near2) = (for {
+      a <- (0L until 100L).view; b <- (a + 1 until 200L).view
       if a % ImagePhash.Groups == b % ImagePhash.Groups && ham(a, b) <= 2
     } yield (a, b)).head
-    val (near1, near2) = pair
     val far = (0L until 200L)
       .filter(c => c != near1 && c != near2 && ham(c, near1) > 2 && ham(c, near2) > 2)
       .take(2)
