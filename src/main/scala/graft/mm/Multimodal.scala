@@ -57,6 +57,23 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL audio corpus: one deterministic 10-frame int16 PCM clip per doc
+    * id, encoded to a genuine WAV container (RIFF header + LE PCM) in a
+    * per-partition kernel — the audio twin of [[pngMediaTable]]. Bytes are
+    * a real RIFF/WAVE file; everything downstream decodes them for real. */
+  def wavMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // per-task init of the WAV encoder happens here
+        ids.map { id =>
+          val wav = AudioFingerprint.encodeWav(AudioFingerprint.pcm(id))
+          MediaRow(id, wav, "audio/wav", wav.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
   /** STUB decode kernel — the fallback for NON-image formats (real path:
     * [[ImagePhash.pixelFeatures]]). Deterministic — a 16-bin byte
     * histogram, L1-normalized — so tests can assert exact values while the

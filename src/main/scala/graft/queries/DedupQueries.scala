@@ -1298,29 +1298,40 @@ object DedupQueries {
     // One-sided CUSUM monitor (Page'54) over the INGEST-ORDER duplicate
     // rate — the drift alarm over the dedup rate itself (the by-source
     // data card above says WHERE copies come from; this says WHEN the
-    // rate shifted). Docs are batched in ingest order (doc_id DIV 25,
-    // the tag analog); a doc is a duplicate when its 8-token-prefix
-    // fingerprint (the boilerplate-family notion — the fixture plants
-    // shared prefixes, not byte-identical copies) appeared at any
-    // earlier doc_id. S_i = max(0, S_{i-1} + (rate_i - k)) with
-    // reference k = the corpus-wide duplicate rate, via the prefix-min
-    // identity S_i = P_i - min(0, min_{j<=i} P_j) —
-    // window-expressible, no recursion.
-    // Per-batch rates and k round to 6dp into DECIMAL so the running
-    // sums are exact; the alarm is an exact decimal comparison vs 0.05.
-    // Shape: one fingerprint groupBy + one batch rollup; windows run
-    // over the batch relation (corpus/25 rows — the daily-aggregate
-    // boundedness class of events_cusum).
+    // rate shifted). Docs are batched in ingest order with a
+    // CORPUS-DERIVED width: width = ceil(n / 200), so the batch
+    // relation is a constant ~200 rows at ANY corpus size — the same
+    // bounded-relation discipline as events_cusum (day-bounded) and
+    // quality_ks_drift (1001 bins). The width comes from one pulled
+    // count(*) (the watermark-pull pattern); the oracle recomputes the
+    // identical width from the same count, so both engines batch
+    // identically without sharing driver state. A doc is a duplicate
+    // when its 8-token-prefix fingerprint (the boilerplate-family
+    // notion — the fixture plants shared prefixes, not byte-identical
+    // copies) appeared at any earlier doc_id.
+    // S_i = max(0, S_{i-1} + (rate_i - k)) with reference k = the
+    // corpus-wide duplicate rate, via the prefix-min identity
+    // S_i = P_i - min(0, min_{j<=i} P_j) — window-expressible, no
+    // recursion. Per-batch rates and k round to 6dp into DECIMAL so
+    // the running sums are exact; the alarm is an exact decimal
+    // comparison vs 0.05. Shape: one fingerprint groupBy + one batch
+    // rollup; the unpartitioned running-sum windows see <= ~201 rows
+    // regardless of scale.
     "dedup_rate_cusum" -> QueryDef(
       fn = (s, d) => {
         val dec = DecimalType(18, 6)
+        // One pulled count sizes the batches: ceil(n/200) keeps the
+        // windowed relation at ~200 rows whether n is 5e3 or 4e9. The
+        // oracle recomputes the same width from the same count(*).
+        val nDocs = t(s, d, "documents").count()
+        val width = math.max(1L, (nDocs + 199L) / 200L)
         val docs = t(s, d, "documents")
           .select(col("doc_id"),
             md5(expr("concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), " +
               "x -> x != ''), 1, 8))")).as("fp"))
         val firsts = docs.groupBy("fp").agg(min(col("doc_id")).as("first_id"))
         val batches = docs.join(firsts, Seq("fp"))
-          .select(expr("doc_id DIV 25").as("batch"),
+          .select(expr(s"doc_id DIV ${width}L").as("batch"),
             when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L).as("is_dup"))
           .groupBy("batch")
           .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
@@ -1348,7 +1359,10 @@ object DedupQueries {
           .orderBy("batch")
       },
       oracle = Some("""
-        WITH fps AS (
+        WITH w AS (
+          SELECT greatest(1, (count(*) + 199) // 200) AS width
+          FROM documents),
+        fps AS (
           SELECT doc_id,
                  md5(array_to_string(list_slice(
                    list_filter(string_split_regex(lower(text), '\s+'),
@@ -1356,7 +1370,7 @@ object DedupQueries {
           FROM documents),
         firsts AS (SELECT fp, min(doc_id) AS first_id FROM fps GROUP BY fp),
         flags AS (
-          SELECT f.doc_id // 25 AS batch,
+          SELECT f.doc_id // (SELECT width FROM w) AS batch,
                  CASE WHEN f.doc_id <> r.first_id THEN 1 ELSE 0 END AS is_dup
           FROM fps f JOIN firsts r USING (fp)),
         batches AS (

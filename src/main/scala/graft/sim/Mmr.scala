@@ -48,7 +48,13 @@ object Mmr {
 
   /** Run MMR for the query vector stored at `queryId`: top-`n` candidates
     * by rounded cosine (id tie-break), then k greedy rounds at trade-off
-    * `lambda`. Returns the picks in selection order. */
+    * `lambda`. Returns the picks in selection order.
+    *
+    * Contract note: when the corpus holds FEWER than `k` candidates
+    * besides the query row, the result has `min(k, candidates)` picks —
+    * not exactly `k`. Callers that sized downstream logic on `k` must
+    * check `result.size`; the shortfall is also logged to stderr so a
+    * silent under-fill is visible in run output. */
   def select(emb: DataFrame, queryId: Long, n: Int, k: Int, lambda: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): Seq[Pick] = {
     require(n >= k && k >= 1, s"need n >= k >= 1, got n=$n k=$k")
@@ -70,6 +76,8 @@ object Mmr {
     // select as many as exist (kEff), never throw mid-loop.
     require(cand.nonEmpty, s"no candidates: corpus holds no rows besides query id $queryId")
     val kEff = math.min(k, cand.length)
+    if (kEff < k)
+      System.err.println(s"[mmr] corpus has only ${cand.length} candidates; returning $kEff picks instead of the requested $k")
     // seed: pure-relevance argmax = the first candidate (already ordered)
     var picks = Vector(Pick(1, cand.head._1, cand.head._2, None))
     var selVecs = Vector(cand.head._3)
