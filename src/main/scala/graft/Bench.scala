@@ -228,7 +228,10 @@ object Bench {
     // round-9 additions measured multi-second isolated (BenchSome):
     // lpa 5.0s, modularity 3.6s, winnow pairs 2.2s (+ its incr twin)
     "graph_lpa", "graph_modularity",
-    "dedup_winnow_pairs", "dedup_winnow_incr")
+    "dedup_winnow_pairs", "dedup_winnow_incr",
+    // round-11 additions: triangle_incr runs two triangle censuses,
+    // audio dedup/incr run the WAV decode + fingerprint kernel per side
+    "graph_triangle_incr", "mm_audio_dedup", "mm_audio_incr")
 
   /** Self-calibration on top of the static list: any query recorded slow
     * in the PREVIOUS bench record (target/bench.json survives across

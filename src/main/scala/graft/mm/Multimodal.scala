@@ -14,11 +14,15 @@ final case class MediaFeatures(
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
-  * Two payload families exercise the kernels:
+  * Three payload families exercise the kernels:
   *  - `image/png`: REAL images — engine-generated deterministic PNGs
   *    ([[ImagePhash]]); the kernels genuinely parse the container, decode
   *    the raster, and hash the DCT spectrum. This is the production path.
-  *  - `fake/<lang>`: opaque non-image bytes (document text) — these hit the
+  *  - `audio/wav`: REAL audio — engine-generated deterministic PCM WAV
+  *    containers ([[AudioFingerprint]]); the kernels genuinely parse the
+  *    RIFF container, decode the PCM stream, and fingerprint the
+  *    short-time spectrum (Haitsma–Kalker sign-of-difference bits).
+  *  - `fake/<lang>`: opaque non-media bytes (document text) — these hit the
   *    clearly-marked deterministic STUB kernels, the fallback a production
   *    deployment keeps for formats its decoder doesn't speak.
   *
@@ -91,8 +95,10 @@ object Multimodal {
   /** Decode/feature-extract stage: per-partition batch iteration (the spot
     * where the decoder library is initialized once per task, not once per
     * row). Dispatches on format: `image/png` payloads are REALLY decoded
-    * (container parse + raster read, [[ImagePhash.pixelFeatures]]); other
-    * formats fall back to the byte-histogram stub. */
+    * (container parse + raster read, [[ImagePhash.pixelFeatures]]);
+    * `audio/wav` payloads are REALLY decoded (RIFF parse + PCM read,
+    * [[AudioFingerprint.sampleFeatures]]); other formats fall back to the
+    * byte-histogram stub. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
@@ -101,6 +107,7 @@ object Multimodal {
         rows.map { r =>
           val feats =
             if (r.format == "image/png") ImagePhash.pixelFeatures(r.media)
+            else if (r.format == "audio/wav") AudioFingerprint.sampleFeatures(r.media)
             else decodeStub(r.media)
           MediaFeatures(r.media_id, r.n_bytes, feats)
         }
@@ -186,7 +193,10 @@ object Multimodal {
   /** Perceptual-hash stage: same per-partition kernel shape as
     * [[extractFeatures]] (pHash needs the decoded pixels, so it lives in
     * the kernel, not in a column expression). `image/png` payloads take
-    * the REAL path — PNG decode + fixed-point DCT ([[ImagePhash]]); other
+    * the REAL path — PNG decode + fixed-point DCT ([[ImagePhash]]);
+    * `audio/wav` payloads take the REAL audio path — WAV decode +
+    * fixed-point short-time spectrum ([[AudioFingerprint]], also 63 bits,
+    * so the whole banded hamming-LSH machinery below is shared); other
     * formats fall back to the byte-bigram stub. Output is one
     * (media_id, phash) row per item — the narrow relation every
     * downstream hamming-LSH step works from; the payload never leaves
@@ -199,6 +209,7 @@ object Multimodal {
         rows.map { r =>
           val h =
             if (r.format == "image/png") ImagePhash.phashImage(r.media)
+            else if (r.format == "audio/wav") AudioFingerprint.fingerprintWav(r.media)
             else phashStub(r.media)
           (r.media_id, h)
         }

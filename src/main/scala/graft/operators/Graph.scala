@@ -272,8 +272,14 @@ object Graph {
     * @param rounds fixed synchronous update count (oracle-replayable)
     * @return (node: long, label: long) after `rounds` updates
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
-    lpaIterate(edges, rounds).last
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val dir = lpaDirected(edges)
+    var labels = lpaStart(dir)
+    for (_ <- 0 until rounds) labels = lpaStep(dir, labels)
+    dir.unpersist(false)
+    labels
+  }
 
   /** [[labelPropagation]] with a per-round convergence census instead of
     * the final labels: (round, n_labels, n_changed) — distinct surviving
@@ -282,58 +288,93 @@ object Graph {
     * same census-vs-result split as [[kCore]] vs [[kCoreFixpoint]]).
     * Always emits exactly `rounds` rows — zeros on an empty graph.
     *
-    * Scale note: this CENSUS form holds all `rounds + 1` checkpointed
-    * label states at once so each round's distinct+join census can read
-    * (round, round-1) pairs — fine at census scale (rounds is small and
-    * fixed, states are narrow node→label relations), but a production
-    * monitor over a huge graph should STREAM the pairs instead: keep only
-    * the previous round's state, emit that round's census row, release the
-    * state before iterating — O(1) live states rather than O(rounds). */
+    * STREAMING form: the loop holds only the previous and current label
+    * states (each a narrow checkpointed node→label relation), emits the
+    * round's census row, and releases the previous state before iterating
+    * — O(1) live states at any round count, the production monitor shape
+    * for a huge graph. */
   def labelPropagationCensus(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     val spark = edges.sparkSession
     import spark.implicits._
-    val states = lpaIterate(edges, rounds)
+    val dir = lpaDirected(edges)
+    var labels = lpaStart(dir)
     val rows = (1 to rounds).map { r =>
-      val prev = states(r - 1).select(col("node"), col("label").as("pl"))
-      val cur = states(r)
-      val nLabels = cur.select(col("label")).distinct().count()
-      val nChanged = cur.join(prev, "node")
+      val prev = labels.select(col("node"), col("label").as("pl"))
+      labels = lpaStep(dir, labels)
+      val nLabels = labels.select(col("label")).distinct().count()
+      val nChanged = labels.join(prev, "node")
         .where(col("label") =!= col("pl")).count()
+      // prev's checkpoint blocks are released here — only (prev, cur)
+      // were ever live together
       (r, nLabels, nChanged)
     }
+    dir.unpersist(false)
     rows.toDF("round", "n_labels", "n_changed")
   }
 
-  /** The shared synchronous-LPA loop: element i of the returned seq is the
-    * label relation after i rounds (element 0 = the node-id start), each
-    * `localCheckpoint`ed so the plan stays one round deep. */
-  private def lpaIterate(edges: DataFrame, rounds: Int): Seq[DataFrame] = {
-    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
-    // both directions: u's neighborhood is every v sharing an edge
-    val dir = e.select(col("a").as("u"), col("b").as("v"))
-      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = dir.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
-    val states = collection.mutable.Buffer(labels)
-    for (_ <- 0 until rounds) {
-      val cnt = dir.join(labels, dir("v") === labels("node"))
-        .groupBy(dir("u").as("u"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val mx = cnt.groupBy("u").agg(max(col("cnt")).as("mx"))
-      labels = cnt.join(mx, "u")
-        .where(col("cnt") === col("mx"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true) // truncate: plan stays one round deep
-      cnt.unpersist(false)
-      states += labels
+  /** [[labelPropagation]] run to convergence instead of a fixed round
+    * count: propagates until a round changes zero labels (the LPA
+    * fixpoint) or `maxRounds` is hit, and returns the final labels — the
+    * production form (the census form exists because a fixed round count
+    * is what a SQL oracle can replay), the [[kCoreFixpoint]] analog. Like
+    * the census it holds only two label states at a time; each round is
+    * checkpoint-truncated, so the plan stays one round deep at any depth.
+    * Note LPA has no monotone progress measure, so unlike k-core peeling
+    * termination is NOT guaranteed (two-colorable components can
+    * oscillate under synchronous updates — Raghavan et al. §IV) —
+    * `maxRounds` is the backstop, and callers that need the round count
+    * can read it from the census form. */
+  def labelPropagationFixpoint(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val dir = lpaDirected(edges)
+    var labels = lpaStart(dir)
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val prev = labels.select(col("node"), col("label").as("pl"))
+      val next = lpaStep(dir, labels)
+      val nChanged = next.join(prev, "node")
+        .where(col("label") =!= col("pl")).count()
+      if (nChanged == 0L) converged = true else labels = next
+      r += 1
     }
     dir.unpersist(false)
-    states.toSeq
+    labels
+  }
+
+  /** Directed (both-orientation) neighborhood relation, persisted once —
+    * the relation every LPA round joins. */
+  private def lpaDirected(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+    // both directions: u's neighborhood is every v sharing an edge
+    e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Round-0 labels: every node labeled with its own id. */
+  private def lpaStart(dir: DataFrame): DataFrame =
+    dir.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+
+  /** One synchronous LPA round: every node adopts the label most frequent
+    * among its neighbors, ties broken by minimum label; the result is
+    * `localCheckpoint`ed so the plan stays one round deep. */
+  private def lpaStep(dir: DataFrame, labels: DataFrame): DataFrame = {
+    val cnt = dir.join(labels, dir("v") === labels("node"))
+      .groupBy(dir("u").as("u"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mx = cnt.groupBy("u").agg(max(col("cnt")).as("mx"))
+    val next = cnt.join(mx, "u")
+      .where(col("cnt") === col("mx"))
+      .groupBy(col("u").as("node"))
+      .agg(min(col("label")).as("label"))
+      .localCheckpoint(true) // truncate: plan stays one round deep
+    cnt.unpersist(false)
+    next
   }
 
   /** Newman modularity of a labeling over an undirected simple graph
@@ -424,6 +465,97 @@ object Graph {
       when(den =!= lit(0).cast(dec),
         round(num.cast("double") / den.cast("double"), 6))
         .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
+  /** Maintain a standing degree table under edge INSERTS — the base case
+    * of incremental graph maintenance (every dedup family here has a
+    * delta-vs-standing form; this gives the graph suite its first).
+    * `delta` is first deduplicated and anti-joined against the standing
+    * edge set, so the update is IDEMPOTENT (re-applying a delta whose
+    * edges already landed adds nothing) as well as ADDITIVE (applying a
+    * delta in chunks composes to the one-shot result) — the two
+    * properties that make a standing table safe under retries and
+    * out-of-order batches.
+    *
+    * 100 TB posture: O(|delta|) new-edge work (one anti-join on the edge
+    * key against the standing edge set — at scale a key-bucketed standing
+    * table makes that a co-located join) + a degree merge keyed on node;
+    * the standing history is never re-aggregated edge-by-edge — it
+    * contributes its existing (node, degree) rows.
+    *
+    * @param standingDegrees (u: long, dg: long) — degrees of the standing graph
+    * @param standingEdges   (a: long, b: long) with a < b — the standing edge set
+    * @param delta           (a: long, b: long) with a < b — edges to insert
+    * @return (u: long, dg: long) — degrees of standing ∪ delta
+    */
+  def degreeMaintain(
+      standingDegrees: DataFrame, standingEdges: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val fresh = delta.select(col("a").cast("long"), col("b").cast("long"))
+      .distinct()
+      .join(standingEdges.select(col("a").cast("long"), col("b").cast("long")),
+        Seq("a", "b"), "left_anti")
+    standingDegrees.select(col("u").cast("long"), col("dg").cast("long"))
+      .unionAll(fresh.select(explode(array(col("a"), col("b"))).as("u"),
+        lit(1L).as("dg")))
+      .groupBy("u").agg(sum(col("dg")).as("dg"))
+  }
+
+  /** Triangle census under edge INSERTS: triangles of history ∪ delta
+    * WITHOUT re-enumerating the history's triangles. Every triangle that
+    * touches at least one delta edge is charged to its lexicographically
+    * LARGEST delta edge (canonical (a, b) order), so each is counted
+    * exactly once: for delta edge e = (a, b), count common neighbors w
+    * whose two closing edges are each either history edges or delta edges
+    * strictly smaller than e. Work is O(|delta| × avg-degree) — the delta
+    * joins the standing adjacency, the history never self-joins — the
+    * same delta-vs-standing bound as the dedup `_incr` family (a tighter
+    * O(|delta|·√m) needs the degree-ordered orientation maintained as
+    * standing state; the adjacency join is the maintenance-free form).
+    *
+    * @param history (a: long, b: long) with a < b, distinct; its triangle
+    *                count arrives as `standingTriangles` — in production a
+    *                stored scalar maintained by this very operator
+    * @param delta   (a: long, b: long) with a < b, distinct, DISJOINT
+    *                from history (insert-only; route retries through the
+    *                [[degreeMaintain]]-style anti-join first)
+    * @return one row: n_tri_history, n_tri_delta, n_tri_total
+    */
+  def triangleInsert(
+      history: DataFrame, delta: DataFrame, standingTriangles: Long): DataFrame = {
+    val spark = history.sparkSession
+    val h = history.select(col("a").cast("long"), col("b").cast("long"))
+    val d = delta.select(col("a").cast("long"), col("b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // adjacency of history ∪ delta in both directions, carrying the
+    // canonical edge key + the delta flag the order filter needs
+    def directed(e: DataFrame, isD: Boolean) = {
+      val base = e.select(col("a"), col("b"), lit(isD).as("isd"),
+        col("a").as("ka"), col("b").as("kb"))
+      base.select(col("a").as("u"), col("b").as("w"), col("isd"),
+          col("ka"), col("kb"))
+        .unionAll(base.select(col("b").as("u"), col("a").as("w"), col("isd"),
+          col("ka"), col("kb")))
+    }
+    val adj = directed(h, isD = false).unionAll(directed(d, isD = true))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // closing edge admissible for delta edge (a, b): from history, or a
+    // strictly smaller delta edge — the exactly-once charging rule
+    def admissible(side: String) =
+      !col(s"$side.isd") ||
+        col(s"$side.ka") < col("d.a") ||
+        (col(s"$side.ka") === col("d.a") && col(s"$side.kb") < col("d.b"))
+    val nNew = d.as("d")
+      .join(adj.as("x"), col("x.u") === col("d.a") && admissible("x"))
+      .join(adj.as("y"),
+        col("y.u") === col("d.b") && col("y.w") === col("x.w") &&
+          admissible("y"))
+      .count()
+    d.unpersist(false); adj.unpersist(false)
+    spark.range(1).select(
+      lit(standingTriangles).as("n_tri_history"),
+      lit(nNew).as("n_tri_delta"),
+      lit(standingTriangles + nNew).as("n_tri_total"))
   }
 
   /** Global triangle census over an undirected simple graph — the second

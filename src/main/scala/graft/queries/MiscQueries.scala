@@ -146,6 +146,68 @@ object MiscQueries {
                (SELECT unnest(generate_series(0, 31)) AS x) x,
                (SELECT unnest(generate_series(0, 31)) AS y) y)"""
 
+  /** The quantized short-time DCT basis as a SQL literal table `(u, x, c)`
+    * — the SAME Scala-built constants the executor kernels use
+    * ([[graft.mm.AudioFingerprint.ACosQ]]), so both engines run the
+    * identical fixed-point transform. 1024 rows (8 bands x 128 frame
+    * positions). */
+  private lazy val acosqValues: String =
+    (for (u <- 0 until graft.mm.AudioFingerprint.Bands;
+          x <- 0 until graft.mm.AudioFingerprint.FrameLen)
+      yield s"($u,$x,${graft.mm.AudioFingerprint.ACosQ(u)(x)})").mkString(",")
+
+  /** Shared REAL-audio fingerprint pipeline CTEs ending in `wavpairs
+    * (media_a, media_b, hamming)`. The engine path generates deterministic
+    * 1280-sample int16 PCM WAV containers, DECODES the actual RIFF/WAVE
+    * bytes on executors, and fingerprints the fixed-point short-time
+    * spectrum (graft.mm.AudioFingerprint — Haitsma–Kalker sign-of-
+    * difference bits over per-frame DCT band coefficients); the oracle
+    * replays the identical integers from the sample formula (16-bit PCM
+    * WAV is lossless, so decode∘encode is the identity on the samples) +
+    * the injected cosine table, then checks ALL pairs quadratically —
+    * ground truth proving the banded hamming-LSH engine path lossless
+    * over real decoded audio. */
+  private val wavSampleCtes: String = s"""
+        aids AS (SELECT DISTINCT doc_id AS media_id FROM documents),
+        smp AS (
+          SELECT a.media_id, i.i,
+                 CASE WHEN (a.media_id*1315423911 + i.i*2654435741)
+                           % ${graft.mm.AudioFingerprint.PertMod} = 0
+                      THEN xor(((a.media_id % ${graft.mm.AudioFingerprint.Groups})*2654435761
+                                + i.i*40503) % 65536 - 32768, 4095)
+                      ELSE ((a.media_id % ${graft.mm.AudioFingerprint.Groups})*2654435761
+                            + i.i*40503) % 65536 - 32768 END AS s
+          FROM aids a,
+               (SELECT unnest(generate_series(0, ${graft.mm.AudioFingerprint.Samples - 1})) AS i) i)"""
+
+  private def wavFpCtes(maxHamming: Int): String = s"""
+        $wavSampleCtes,
+        acosq AS (SELECT * FROM (VALUES $acosqValues) AS t(u, x, c)),
+        coef AS MATERIALIZED (
+          SELECT p.media_id, p.i // ${graft.mm.AudioFingerprint.FrameLen} AS n,
+                 c.u, CAST(sum(p.s * c.c) AS BIGINT) AS cv
+          FROM smp p JOIN acosq c ON c.x = p.i % ${graft.mm.AudioFingerprint.FrameLen}
+          GROUP BY 1, 2, 3),
+        bdiff AS (
+          SELECT a.media_id, a.n, a.u AS m, a.cv - b.cv AS d
+          FROM coef a JOIN coef b
+            ON b.media_id = a.media_id AND b.n = a.n AND b.u = a.u + 1
+          WHERE a.u < ${graft.mm.AudioFingerprint.Bands - 1}),
+        afp AS MATERIALIZED (
+          SELECT cur.media_id,
+                 CAST(sum(CASE WHEN cur.d - prev.d > 0
+                          THEN (1::BIGINT << ((cur.n - 1)*${graft.mm.AudioFingerprint.Bands - 1} + cur.m))
+                          ELSE 0 END) AS BIGINT) AS fp
+          FROM bdiff cur JOIN bdiff prev
+            ON prev.media_id = cur.media_id AND prev.n = cur.n - 1
+               AND prev.m = cur.m
+          GROUP BY 1),
+        wavpairs AS (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM afp a JOIN afp b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming)"""
+
   private def pngPhashCtes(maxHamming: Int): String = s"""
         $pngPixelCtes,
         cosq AS (SELECT * FROM (VALUES $cosqValues) AS t(u, i, c)),
@@ -648,6 +710,82 @@ object MiscQueries {
                CAST(min(p2) AS BIGINT) AS px_min,
                CAST(max(p2) AS BIGINT) AS px_max
         FROM pooled GROUP BY media_id ORDER BY media_id""")),
+
+    // Real-audio feature extraction: the mapPartitions kernel decodes the
+    // actual WAV bytes (RIFF container parse + PCM read) and histograms
+    // the decoded SAMPLES (16 bins over the int16 range, L1-normalized
+    // float32). Counts are recovered exactly by round(f * 1280): the
+    // float32 quotient cnt/1280 has absolute error <= 1280 * 2^-24 <<
+    // 0.5. The oracle recomputes the histogram from the sample formula
+    // (16-bit PCM WAV losslessness) — end-to-end proof the executor
+    // really decoded the produced container.
+    "mm_audio_features" -> QueryDef(
+      fn = (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          s, Multimodal.wavMediaTable(s, t(s, d, "documents"))).toDF()
+        feats
+          .select(col("media_id"),
+            posexplode(expr(
+              s"transform(features, f -> CAST(round(f * ${graft.mm.AudioFingerprint.Samples}) AS BIGINT))"))
+              .as(Seq("bin", "cnt")))
+          .select(col("media_id"), col("bin").cast("long").as("bin"), col("cnt"))
+          .orderBy("media_id", "bin")
+      },
+      oracle = Some(s"""
+        WITH $wavSampleCtes,
+        sbins AS (
+          SELECT media_id, CAST((s + 32768) // 4096 AS BIGINT) AS bin,
+                 count(*) AS cnt
+          FROM smp GROUP BY 1, 2),
+        bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+        SELECT aids.media_id AS media_id, bins.bin AS bin,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM aids CROSS JOIN bins
+        LEFT JOIN sbins c
+          ON c.media_id = aids.media_id AND c.bin = bins.bin
+        ORDER BY aids.media_id, bins.bin""")),
+
+    // Real-audio near-dup: engine-generated deterministic WAV containers,
+    // REAL WAV decode on executors (RIFF parse + PCM read), fixed-point
+    // short-time spectral fingerprint (Haitsma–Kalker ISMIR'02 sign-of-
+    // difference bits over quantized-DCT band coefficients, integer-
+    // exact), then the SAME bit-sampling hamming-LSH machinery as the
+    // image path (3 bands of 21 bits for a hamming-2 budget) with exact
+    // verification on candidates only. The oracle replays samples +
+    // integer short-time DCT in SQL (PCM WAV is lossless, the quantized
+    // cosine table is injected) and checks ALL pairs quadratically —
+    // proving the banded engine path loses nothing vs brute force over
+    // real decoded audio.
+    "mm_audio_dedup" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.phashNearDupPairs(
+            s, Multimodal.wavMediaTable(s, t(s, d, "documents")), maxHamming = 2)
+          .orderBy("media_a", "media_b"),
+      oracle = Some(s"""
+        WITH ${wavFpCtes(2)}
+        SELECT media_a, media_b, hamming FROM wavpairs
+        ORDER BY media_a, media_b""")),
+
+    // Incremental real-audio near-dup: only the delta half runs the WAV
+    // decode kernel; the history contributes its standing fingerprint
+    // table. The oracle runs the FULL quadratic sample+DCT pipeline and
+    // keeps pairs involving a delta doc — pinning the incremental path to
+    // "exactly the full result restricted to the batch".
+    "mm_audio_incr" -> QueryDef(
+      fn = (s, d) => {
+        val media = Multimodal.wavMediaTable(s, t(s, d, "documents"))
+        Multimodal.phashNearDupPairsIncremental(
+            s,
+            history = media.where(col("media_id") % 2 === 0),
+            delta = media.where(col("media_id") % 2 === 1),
+            maxHamming = 2)
+          .orderBy("media_a", "media_b")
+      },
+      oracle = Some(s"""
+        WITH ${wavFpCtes(2)}
+        SELECT media_a, media_b, hamming FROM wavpairs
+        WHERE media_a % 2 = 1 OR media_b % 2 = 1
+        ORDER BY media_a, media_b""")),
 
     // JSON property extraction + aggregation over the events stream's
     // semi-structured props column.
@@ -2206,6 +2344,117 @@ object MiscQueries {
     // and caps forward out-degree at O(√m) — the hub-safe plan a naive
     // wedge join lacks. All counts exact integers; one IEEE division
     // closes the coefficient.
+    // Incremental degree maintenance — the base case of delta-vs-standing
+    // graph upkeep (Graph.degreeMaintain): the standing degree table
+    // absorbs an insert batch without re-aggregating history. The fed
+    // delta is deliberately DIRTY — each edge twice (a retried batch) plus
+    // a slice of edges already standing — so the oracle equality (degrees
+    // of the FULL graph, histogrammed) proves the distinct + anti-join
+    // guard made the update idempotent, not just additive. A sentinel
+    // total row (dg = -1) is always present, so the query returns rows
+    // even when the sf0.001 graph is empty (the RegistrySpec contract).
+    "graph_degree_incr" -> QueryDef(
+      fn = (s, d) => {
+        val edges = coEdges(s, d).localCheckpoint(true)
+        val delta = edges.where((col("a") + col("b")) % 5 === 0)
+        val history = edges.where((col("a") + col("b")) % 5 =!= 0)
+        val standing = history
+          .select(explode(array(col("a"), col("b"))).as("u"))
+          .groupBy("u").agg(count(lit(1)).as("dg"))
+        // dirty batch: every delta edge twice + already-standing edges
+        val dirty = delta.unionAll(delta)
+          .unionAll(history.where((col("a") + col("b")) % 3 === 0))
+        val maintained = graft.operators.Graph
+          .degreeMaintain(standing, history, dirty)
+          .localCheckpoint(true) // two readers below
+        maintained
+          .groupBy("dg").agg(count(lit(1)).as("n_nodes"))
+          .unionAll(maintained.agg(
+            lit(-1L).as("dg"), count(lit(1)).as("n_nodes")))
+          .orderBy("dg")
+      },
+      oracle = Some("""
+        WITH bk AS (
+          SELECT DISTINCT event_type,
+                 epoch_us(ts) // 60000000 AS mn, user_id
+          FROM events),
+        e AS (
+          SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          FROM bk x JOIN bk y
+            ON x.event_type = y.event_type AND x.mn = y.mn
+               AND x.user_id < y.user_id),
+        deg AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS dg
+          FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+          GROUP BY u)
+        SELECT dg, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY dg
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT) FROM deg
+        ORDER BY dg""")),
+
+    // Incremental triangle census under edge inserts
+    // (Graph.triangleInsert): the history's triangle count is a standing
+    // scalar; only the delta joins the adjacency — each new triangle
+    // charged to its lexicographically largest delta edge, so
+    // O(delta x degree) work, never a history re-enumeration. The oracle
+    // computes history and full-graph censuses independently and takes
+    // the difference — equality of n_tri_total pins the incremental
+    // decomposition exact.
+    "graph_triangle_incr" -> QueryDef(
+      fn = (s, d) => {
+        val edges = coEdges(s, d).localCheckpoint(true)
+        val delta = edges.where((col("a") + col("b")) % 5 === 0)
+        val history = edges.where((col("a") + col("b")) % 5 =!= 0)
+        // the standing scalar a production pipeline stores (maintained by
+        // this very operator); here derived once from the history census
+        val standingTri = graft.operators.Graph.triangleStats(history)
+          .head().getLong(3)
+        graft.operators.Graph.triangleInsert(history, delta, standingTri)
+      },
+      oracle = Some("""
+        WITH bk AS (
+          SELECT DISTINCT event_type,
+                 epoch_us(ts) // 60000000 AS mn, user_id
+          FROM events),
+        e AS (
+          SELECT DISTINCT x.user_id AS a, y.user_id AS b
+          FROM bk x JOIN bk y
+            ON x.event_type = y.event_type AND x.mn = y.mn
+               AND x.user_id < y.user_id),
+        eh AS (SELECT a, b FROM e WHERE (a + b) % 5 <> 0),
+        degh AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS dg
+          FROM (SELECT a AS u FROM eh UNION ALL SELECT b AS u FROM eh)
+          GROUP BY u),
+        fh AS (
+          SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS s,
+                 CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS t
+          FROM eh e JOIN degh da ON da.u = e.a JOIN degh db ON db.u = e.b),
+        trih AS (
+          SELECT CAST(count(*) AS BIGINT) AS t3
+          FROM fh e1 JOIN fh e2 ON e2.s = e1.t
+                     JOIN fh e3 ON e3.s = e1.s AND e3.t = e2.t),
+        deg AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS dg
+          FROM (SELECT a AS u FROM e UNION ALL SELECT b AS u FROM e)
+          GROUP BY u),
+        f AS (
+          SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS s,
+                 CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS t
+          FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS t3
+          FROM f e1 JOIN f e2 ON e2.s = e1.t
+                    JOIN f e3 ON e3.s = e1.s AND e3.t = e2.t)
+        SELECT (SELECT t3 FROM trih) AS n_tri_history,
+               (SELECT t3 FROM tri) - (SELECT t3 FROM trih) AS n_tri_delta,
+               (SELECT t3 FROM tri) AS n_tri_total""")),
+
     "graph_triangles" -> QueryDef(
       fn = (s, d) => {
         val b = t(s, d, "events")

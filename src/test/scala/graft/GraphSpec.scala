@@ -159,6 +159,88 @@ class GraphSpec extends AnyFunSuite {
     assert(empty == Seq((1, 0L, 0L), (2, 0L, 0L)))
   }
 
+  test("labelPropagationFixpoint converges to the stable labeling; census agrees round-by-round") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    // hand-rolled above: stable from round 3 onward ({1,1,1,3,3,3})
+    val fixed = Graph.labelPropagationFixpoint(g.toDF("a", "b"), maxRounds = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // the O(1)-live-states census (streaming form) must equal a census
+    // recomputed from independent fixed-round propagations — same rule,
+    // different state management
+    val census = Graph.labelPropagationCensus(g.toDF("a", "b"), rounds = 4)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val recomputed = (1 to 4).map { r =>
+      val prev = Graph.labelPropagation(g.toDF("a", "b"), rounds = r - 1)
+        .as[(Long, Long)].collect().toMap
+      val cur = Graph.labelPropagation(g.toDF("a", "b"), rounds = r)
+        .as[(Long, Long)].collect().toMap
+      (r, cur.values.toSet.size.toLong,
+        cur.count { case (n, l) => prev(n) != l }.toLong)
+    }
+    assert(census == recomputed)
+  }
+
+  test("degreeMaintain: additive across chunks, idempotent under retries and overlap") {
+    val history = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val delta = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    def degrees(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (u, xs) => u -> xs.size.toLong }
+    val standing = degrees(history).toSeq.toDF("u", "dg")
+    val hDf = history.toDF("a", "b")
+    def run(d: Seq[(Long, Long)]) =
+      Graph.degreeMaintain(standing, hDf, d.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+    val expect = degrees(history ++ delta)
+    // one-shot == ground truth
+    assert(run(delta) == expect)
+    // additive: chunked application composes to the one-shot result
+    val afterChunk1 = Graph.degreeMaintain(standing, hDf,
+      delta.take(1).toDF("a", "b"))
+    val chunked = Graph.degreeMaintain(afterChunk1,
+        hDf.unionAll(delta.take(1).toDF("a", "b")),
+        delta.drop(1).toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunked == expect)
+    // idempotent: a retried batch (duplicated rows) and already-standing
+    // edges contribute nothing
+    assert(run(delta ++ delta ++ history.take(2)) == expect)
+    // empty delta is the identity
+    assert(run(Seq.empty) == degrees(history))
+  }
+
+  test("triangleInsert counts exactly the full-graph census delta, once per triangle") {
+    // history: one triangle {1,2,3} + path to 4; delta closes TWO new
+    // triangles sharing delta edges — (2,4) closes {2,3,4}; (1,4) closes
+    // {1,2,4} via delta (2,4) AND {1,3,4} via delta... check by census.
+    val history = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val delta = Seq((2L, 4L), (1L, 4L))
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleStats(edges.toDF("a", "b")).head().getLong(3)
+    val hTri = tri(history)
+    val got = Graph.triangleInsert(history.toDF("a", "b"),
+        delta.toDF("a", "b"), hTri)
+      .as[(Long, Long, Long)].collect().head
+    val full = tri(history ++ delta)
+    assert(got._1 == hTri)
+    assert(got._3 == full, "incremental total must equal the from-scratch census")
+    assert(got._2 == full - hTri)
+    // delta-only triangles (all three edges new) still count exactly once
+    val d3 = Seq((7L, 8L), (7L, 9L), (8L, 9L))
+    val got3 = Graph.triangleInsert(history.toDF("a", "b"),
+        d3.toDF("a", "b"), hTri)
+      .as[(Long, Long, Long)].collect().head
+    assert(got3._2 == 1L && got3._3 == hTri + 1L)
+    // empty delta adds nothing
+    val got0 = Graph.triangleInsert(history.toDF("a", "b"),
+        Seq.empty[(Long, Long)].toDF("a", "b"), hTri)
+      .as[(Long, Long, Long)].collect().head
+    assert(got0._2 == 0L && got0._3 == hTri)
+  }
+
   test("modularity: exact rational on the two-community split; 0 for one community") {
     // m=7, intra=6 (bridge crosses), d_c = 7 each, sum d_c^2 = 98:
     // Q = (4*7*6 - 98) / (4*49) = 70/196 = 0.357143 (6dp).

@@ -208,6 +208,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV roundtrip is lossless and the real decode kernel matches driver math") {
+    import graft.mm.AudioFingerprint
+    // losslessness is what lets the SQL oracle replay a REAL audio decoder
+    (0L until 50L).foreach { id =>
+      val s = AudioFingerprint.pcm(id)
+      assert(AudioFingerprint.decodePcm(AudioFingerprint.encodeWav(s)).sameElements(s),
+        s"WAV roundtrip not exact for id $id")
+    }
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val wav = Multimodal.wavMediaTable(spark, docs)
+    assert(wav.select("format").distinct().as[String].collect().toSeq == Seq("audio/wav"))
+    // payloads are genuine RIFF/WAVE containers (magic bytes)
+    val magic = wav.limit(5).select("media").as[Array[Byte]].collect()
+    magic.foreach { b =>
+      assert(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F',
+        "payload is not a RIFF container")
+      assert(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E',
+        "RIFF payload is not WAVE")
+    }
+    // the engine pipeline (generate → binary column → decode → fingerprint)
+    // must equal the driver-side pure computation on the samples
+    val engine = Multimodal.perceptualHashes(spark, wav)
+      .as[(Long, Long)].collect().toMap
+    engine.foreach { case (id, h) =>
+      assert(h == AudioFingerprint.fingerprint(AudioFingerprint.pcm(id)),
+        s"decoded-sample fingerprint diverges from pcm fingerprint for id $id")
+      assert(h >= 0L, "fingerprint must stay a positive BIGINT")
+    }
+  }
+
+  test("audio banded LSH is lossless and features histogram the decoded samples") {
+    import graft.mm.AudioFingerprint
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val wav = Multimodal.wavMediaTable(spark, docs)
+    val banded = Multimodal.phashNearDupPairs(spark, wav, maxHamming = 2)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val fp = Multimodal.perceptualHashes(spark, wav).as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, pa) <- fp; (idb, pb) <- fp
+      if ida < idb && java.lang.Long.bitCount(pa ^ pb) <= 2
+    } yield (ida, idb)).toSet
+    assert(banded == brute, "bit-sampling LSH must be lossless at its hamming budget")
+    assert(brute.nonEmpty,
+      "planted same-family WAV renditions should yield near-dup pairs")
+    // features: decoded-sample histogram, counts exactly recoverable via
+    // round(f * 1280) (float32 error 1280*2^-24 << 0.5)
+    val feats = Multimodal.extractFeatures(spark, wav.limit(20)).collect()
+    feats.foreach { f =>
+      val expected = new Array[Long](16)
+      AudioFingerprint.pcm(f.media_id).foreach(s => expected((s + 32768) / 4096) += 1L)
+      assert(f.features.map(x =>
+        math.round(x * AudioFingerprint.Samples.toFloat).toLong).toSeq == expected.toSeq)
+    }
+  }
+
+  test("sample formula domain: exact at MaxId's worst corner, rejected beyond") {
+    import graft.mm.AudioFingerprint
+    val corner = AudioFingerprint.MaxId * 1315423911L +
+      (AudioFingerprint.Samples - 1).toLong * 2654435741L
+    assert(corner > 0, "pert polynomial overflowed inside the guarded domain")
+    val s = AudioFingerprint.sample(AudioFingerprint.MaxId, AudioFingerprint.Samples - 1)
+    assert(s >= -32768 && s <= 32767, "sample left the int16 range")
+    val e = intercept[IllegalArgumentException] {
+      AudioFingerprint.sample(AudioFingerprint.MaxId + 1, 0)
+    }
+    assert(e.getMessage.contains("outside the sample formula's exact domain"))
+    // the xor-0xFFF perturbation is closed over int16 at the extremes
+    assert((-32768L ^ 0xFFFL) >= -32768L && (-32768L ^ 0xFFFL) <= 32767L)
+    assert((32767L ^ 0xFFFL) >= -32768L && (32767L ^ 0xFFFL) <= 32767L)
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
