@@ -230,8 +230,9 @@ object Bench {
     "graph_lpa", "graph_modularity",
     "dedup_winnow_pairs", "dedup_winnow_incr",
     // round-11 additions: triangle_incr runs two triangle censuses,
-    // audio dedup/incr run the WAV decode + fingerprint kernel per side
-    "graph_triangle_incr", "mm_audio_dedup", "mm_audio_incr")
+    // audio/video dedup run the media decode + fingerprint kernel per side
+    "graph_triangle_incr", "mm_audio_dedup", "mm_audio_incr",
+    "mm_video_dedup")
 
   /** Self-calibration on top of the static list: any query recorded slow
     * in the PREVIOUS bench record (target/bench.json survives across

@@ -14,7 +14,7 @@ final case class MediaFeatures(
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
-  * Three payload families exercise the kernels:
+  * Four payload families exercise the kernels:
   *  - `image/png`: REAL images — engine-generated deterministic PNGs
   *    ([[ImagePhash]]); the kernels genuinely parse the container, decode
   *    the raster, and hash the DCT spectrum. This is the production path.
@@ -22,6 +22,10 @@ final case class MediaFeatures(
   *    containers ([[AudioFingerprint]]); the kernels genuinely parse the
   *    RIFF container, decode the PCM stream, and fingerprint the
   *    short-time spectrum (Haitsma–Kalker sign-of-difference bits).
+  *  - `video/gif`: REAL video — engine-generated deterministic multi-frame
+  *    animated GIFs ([[VideoFingerprint]]); the kernels genuinely parse
+  *    the GIF container, LZW-decode every frame, and fingerprint the
+  *    frame-to-frame spectral motion.
   *  - `fake/<lang>`: opaque non-media bytes (document text) — these hit the
   *    clearly-marked deterministic STUB kernels, the fallback a production
   *    deployment keeps for formats its decoder doesn't speak.
@@ -78,6 +82,43 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL video corpus: one deterministic 10-frame 16x16 grayscale clip
+    * per doc id, encoded to a genuine multi-frame animated GIF (GIF89a
+    * container, per-frame LZW) in a per-partition kernel — the video twin
+    * of [[pngMediaTable]]/[[wavMediaTable]]. Bytes are a real GIF file;
+    * everything downstream decodes every frame for real. */
+  def gifMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        // per-task init of the GIF encoder happens here
+        ids.map { id =>
+          val gif = VideoFingerprint.encodeGif(VideoFingerprint.clip(id))
+          MediaRow(id, gif, "video/gif", gif.length.toLong)
+        }
+      }
+      .toDF()
+  }
+
+  /** Decoded-frame statistics kernel: re-decodes each clip (GIF container
+    * parse + per-frame LZW decode) and reports exact integer stats of the
+    * ACTUAL pixels in each frame — one narrow row per (clip, frame), the
+    * real frame-extraction operation (the brief's frame-sample over a
+    * real container rather than a byte slice). The payload never leaves
+    * the stage. */
+  def videoFrameStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("media_id", "media", "format", "n_bytes").as[MediaRow]
+      .flatMap { r =>
+        VideoFingerprint.decodeFrames(r.media).iterator.zipWithIndex.map {
+          case (px, f) =>
+            (r.media_id, f.toLong, px.foldLeft(0L)(_ + _),
+              px.min.toLong, px.max.toLong)
+        }
+      }
+      .toDF("media_id", "frame", "px_sum", "px_min", "px_max")
+  }
+
   /** STUB decode kernel — the fallback for NON-image formats (real path:
     * [[ImagePhash.pixelFeatures]]). Deterministic — a 16-bin byte
     * histogram, L1-normalized — so tests can assert exact values while the
@@ -108,6 +149,7 @@ object Multimodal {
           val feats =
             if (r.format == "image/png") ImagePhash.pixelFeatures(r.media)
             else if (r.format == "audio/wav") AudioFingerprint.sampleFeatures(r.media)
+            else if (r.format == "video/gif") VideoFingerprint.frameFeatures(r.media)
             else decodeStub(r.media)
           MediaFeatures(r.media_id, r.n_bytes, feats)
         }
@@ -210,6 +252,7 @@ object Multimodal {
           val h =
             if (r.format == "image/png") ImagePhash.phashImage(r.media)
             else if (r.format == "audio/wav") AudioFingerprint.fingerprintWav(r.media)
+            else if (r.format == "video/gif") VideoFingerprint.fingerprintGif(r.media)
             else phashStub(r.media)
           (r.media_id, h)
         }

@@ -208,6 +208,73 @@ object MiscQueries {
           FROM afp a JOIN afp b ON a.media_id < b.media_id
           WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming)"""
 
+  /** The quantized column-profile DCT basis as a SQL literal table
+    * `(u, x, c)` — the SAME Scala-built constants the executor kernels use
+    * ([[graft.mm.VideoFingerprint.VCosQ]]). 128 rows (8 bands x 16
+    * columns). */
+  private lazy val vcosqValues: String =
+    (for (u <- 0 until graft.mm.VideoFingerprint.Bands;
+          x <- 0 until graft.mm.VideoFingerprint.Side)
+      yield s"($u,$x,${graft.mm.VideoFingerprint.VCosQ(u)(x)})").mkString(",")
+
+  /** Shared REAL-video pixel CTE: the deterministic per-(id, frame, x, y)
+    * grayscale formula the engine encodes into multi-frame animated GIFs
+    * (graft.mm.VideoFingerprint — palette GIF over an identity gray ramp
+    * is lossless, so decode∘encode is the identity on the frames and the
+    * oracle can replay decoded-pixel math from the formula). */
+  private val gifPixelCtes: String = s"""
+        vids AS (SELECT DISTINCT doc_id AS media_id FROM documents),
+        vpx AS (
+          SELECT v.media_id, f.f, x.x, y.y,
+                 CASE WHEN (v.media_id*1315423911 + f.f*97003
+                            + x.x*2654435741 + y.y*2246822519)
+                           % ${graft.mm.VideoFingerprint.PertMod} = 0
+                      THEN 254 - (((v.media_id % ${graft.mm.VideoFingerprint.Groups})*2654435761
+                                   + (x.x + 3*f.f)*(101 + 6*(v.media_id % ${graft.mm.VideoFingerprint.Groups}))
+                                   + y.y*65027) % 255)
+                      ELSE ((v.media_id % ${graft.mm.VideoFingerprint.Groups})*2654435761
+                            + (x.x + 3*f.f)*(101 + 6*(v.media_id % ${graft.mm.VideoFingerprint.Groups}))
+                            + y.y*65027) % 255 END AS p
+          FROM vids v,
+               (SELECT unnest(generate_series(0, ${graft.mm.VideoFingerprint.Frames - 1})) AS f) f,
+               (SELECT unnest(generate_series(0, ${graft.mm.VideoFingerprint.Side - 1})) AS x) x,
+               (SELECT unnest(generate_series(0, ${graft.mm.VideoFingerprint.Side - 1})) AS y) y)"""
+
+  /** Shared REAL-video fingerprint CTEs ending in `gifpairs(media_a,
+    * media_b, hamming)`: column sums → fixed-point band coefficients →
+    * the audio path's sign-of-difference bit rule over FRAME deltas →
+    * quadratic all-pairs ground truth proving the banded engine path
+    * lossless over real decoded frames. */
+  private def gifFpCtes(maxHamming: Int): String = s"""
+        $gifPixelCtes,
+        vcosq AS (SELECT * FROM (VALUES $vcosqValues) AS t(u, x, c)),
+        vcol AS (
+          SELECT media_id, f, x, CAST(sum(p) AS BIGINT) AS cs
+          FROM vpx GROUP BY 1, 2, 3),
+        vcoef AS MATERIALIZED (
+          SELECT l.media_id, l.f, c.u, CAST(sum(l.cs * c.c) AS BIGINT) AS cv
+          FROM vcol l JOIN vcosq c ON c.x = l.x
+          GROUP BY 1, 2, 3),
+        vbd AS (
+          SELECT a.media_id, a.f, a.u AS m, a.cv - b.cv AS d
+          FROM vcoef a JOIN vcoef b
+            ON b.media_id = a.media_id AND b.f = a.f AND b.u = a.u + 1
+          WHERE a.u < ${graft.mm.VideoFingerprint.Bands - 1}),
+        vfp AS MATERIALIZED (
+          SELECT cur.media_id,
+                 CAST(sum(CASE WHEN cur.d - prev.d > 0
+                          THEN (1::BIGINT << ((cur.f - 1)*${graft.mm.VideoFingerprint.Bands - 1} + cur.m))
+                          ELSE 0 END) AS BIGINT) AS fp
+          FROM vbd cur JOIN vbd prev
+            ON prev.media_id = cur.media_id AND prev.f = cur.f - 1
+               AND prev.m = cur.m
+          GROUP BY 1),
+        gifpairs AS (
+          SELECT a.media_id AS media_a, b.media_id AS media_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM vfp a JOIN vfp b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming)"""
+
   private def pngPhashCtes(maxHamming: Int): String = s"""
         $pngPixelCtes,
         cosq AS (SELECT * FROM (VALUES $cosqValues) AS t(u, i, c)),
@@ -785,6 +852,75 @@ object MiscQueries {
         WITH ${wavFpCtes(2)}
         SELECT media_a, media_b, hamming FROM wavpairs
         WHERE media_a % 2 = 1 OR media_b % 2 = 1
+        ORDER BY media_a, media_b""")),
+
+    // Real-video frame extraction: the kernel decodes the actual GIF
+    // bytes (container parse + per-frame LZW decode) and reports exact
+    // integer stats of each decoded FRAME — the brief's frame-sample over
+    // a real video container rather than a byte slice. The oracle replays
+    // the per-frame pixel math from the formula (palette-GIF
+    // losslessness) — end-to-end proof the executor really decoded every
+    // frame of the produced container.
+    "mm_video_frames" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.videoFrameStats(
+            s, Multimodal.gifMediaTable(s, t(s, d, "documents")))
+          .orderBy("media_id", "frame"),
+      oracle = Some(s"""
+        WITH $gifPixelCtes
+        SELECT media_id, CAST(f AS BIGINT) AS frame,
+               CAST(sum(p) AS BIGINT) AS px_sum,
+               CAST(min(p) AS BIGINT) AS px_min,
+               CAST(max(p) AS BIGINT) AS px_max
+        FROM vpx GROUP BY media_id, f
+        ORDER BY media_id, frame""")),
+
+    // Real-video feature extraction: decoded-PIXEL histograms across all
+    // frames (16 bins, L1-normalized float32; counts recovered exactly by
+    // round(f * 2560) — float32 error 2560 * 2^-24 << 0.5).
+    "mm_video_features" -> QueryDef(
+      fn = (s, d) => {
+        val nPx = graft.mm.VideoFingerprint.Frames *
+          graft.mm.VideoFingerprint.Side * graft.mm.VideoFingerprint.Side
+        val feats = Multimodal.extractFeatures(
+          s, Multimodal.gifMediaTable(s, t(s, d, "documents"))).toDF()
+        feats
+          .select(col("media_id"),
+            posexplode(expr(
+              s"transform(features, f -> CAST(round(f * $nPx) AS BIGINT))"))
+              .as(Seq("bin", "cnt")))
+          .select(col("media_id"), col("bin").cast("long").as("bin"), col("cnt"))
+          .orderBy("media_id", "bin")
+      },
+      oracle = Some(s"""
+        WITH $gifPixelCtes,
+        vbins AS (
+          SELECT media_id, CAST(p // 16 AS BIGINT) AS bin, count(*) AS cnt
+          FROM vpx GROUP BY 1, 2),
+        bins AS (SELECT unnest(generate_series(0, 15)) AS bin)
+        SELECT vids.media_id AS media_id, bins.bin AS bin,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM vids CROSS JOIN bins
+        LEFT JOIN vbins c
+          ON c.media_id = vids.media_id AND c.bin = bins.bin
+        ORDER BY vids.media_id, bins.bin""")),
+
+    // Real-video near-dup: engine-generated deterministic animated GIFs,
+    // REAL per-frame decode on executors, temporal sign-of-difference
+    // fingerprint (the audio bit rule over frame-to-frame band-coefficient
+    // motion — integer-exact), then the SAME banded hamming-LSH machinery
+    // as the image and audio paths. The oracle replays frames + integer
+    // band math in SQL and checks ALL pairs quadratically — proving the
+    // banded engine path loses nothing vs brute force over real decoded
+    // video.
+    "mm_video_dedup" -> QueryDef(
+      fn = (s, d) =>
+        Multimodal.phashNearDupPairs(
+            s, Multimodal.gifMediaTable(s, t(s, d, "documents")), maxHamming = 2)
+          .orderBy("media_a", "media_b"),
+      oracle = Some(s"""
+        WITH ${gifFpCtes(2)}
+        SELECT media_a, media_b, hamming FROM gifpairs
         ORDER BY media_a, media_b""")),
 
     // JSON property extraction + aggregation over the events stream's

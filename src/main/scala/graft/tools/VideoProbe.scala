@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.mm.VideoFingerprint._
+
+/** Manual probe: hamming-distance distribution of the planted GIF corpus
+  * (same-family renditions vs cross-family), through the REAL
+  * encode→decode→fingerprint path, plus the losslessness check the oracle
+  * scheme rests on. Run with `sbt "runMain graft.tools.VideoProbe"`. */
+object VideoProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 500
+    val fps = (0L until n.toLong)
+      .map(id => id -> fingerprintGif(encodeGif(clip(id)))).toMap
+    (0L until math.min(20L, n.toLong)).foreach { id =>
+      val c = clip(id)
+      val back = decodeFrames(encodeGif(c))
+      assert(back.length == Frames, s"frame count lost for id $id")
+      assert(c.zip(back).forall { case (a, b) => a.sameElements(b) },
+        s"GIF roundtrip not lossless for id $id")
+      assert(fingerprint(c) == fps(id))
+      assert(fps(id) >= 0L)
+    }
+    val gif = encodeGif(clip(0L))
+    println(s"gif bytes=${gif.length} magic=${new String(gif.take(6))}")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val within = for {
+      a <- 0L until n.toLong; b <- a + 1 until n.toLong
+      if a % Groups == b % Groups
+    } yield ham(fps(a), fps(b))
+    val across = for {
+      a <- 0L until n.toLong; b <- a + 1 until n.toLong
+      if a % Groups != b % Groups
+    } yield ham(fps(a), fps(b))
+    def hist(xs: Seq[Int], name: String): Unit = {
+      val s = xs.sorted
+      println(s"$name n=${xs.size} min=${s.head} p10=${s(xs.size / 10)} " +
+        s"med=${s(xs.size / 2)} p90=${s(xs.size * 9 / 10)} max=${s.last}")
+      println("  counts<=12: " + (0 to 12).map(k => s"$k:${xs.count(_ == k)}").mkString(" "))
+    }
+    hist(within, "within-group")
+    hist(across, "across-group")
+  }
+}

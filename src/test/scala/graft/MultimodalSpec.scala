@@ -279,6 +279,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert((32767L ^ 0xFFFL) >= -32768L && (32767L ^ 0xFFFL) <= 32767L)
   }
 
+  test("GIF roundtrip is lossless per frame and the real decode kernel matches driver math") {
+    import graft.mm.VideoFingerprint
+    // palette-GIF losslessness (identity gray ramp + color-value readback)
+    // is what lets the SQL oracle replay a REAL multi-frame decoder
+    (0L until 50L).foreach { id =>
+      val c = VideoFingerprint.clip(id)
+      val back = VideoFingerprint.decodeFrames(VideoFingerprint.encodeGif(c))
+      assert(back.length == VideoFingerprint.Frames,
+        s"frame count lost for id $id")
+      assert(c.zip(back).forall { case (a, b) => a.sameElements(b) },
+        s"GIF roundtrip not lossless for id $id")
+    }
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val gif = Multimodal.gifMediaTable(spark, docs)
+    assert(gif.select("format").distinct().as[String].collect().toSeq == Seq("video/gif"))
+    // payloads are genuine GIF containers (magic bytes)
+    val magic = gif.limit(5).select("media").as[Array[Byte]].collect()
+    magic.foreach(b => assert(new String(b.take(6), "US-ASCII").startsWith("GIF8"),
+      "payload is not a GIF container"))
+    // engine pipeline (generate → binary column → decode → fingerprint)
+    // equals the driver-side pure computation on the frames
+    val engine = Multimodal.perceptualHashes(spark, gif)
+      .as[(Long, Long)].collect().toMap
+    engine.foreach { case (id, h) =>
+      assert(h == VideoFingerprint.fingerprint(VideoFingerprint.clip(id)),
+        s"decoded-frame fingerprint diverges from clip fingerprint for id $id")
+      assert(h >= 0L, "fingerprint must stay a positive BIGINT")
+    }
+  }
+
+  test("video banded LSH is lossless; frame stats and features read the decoded frames") {
+    import graft.mm.VideoFingerprint
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val gif = Multimodal.gifMediaTable(spark, docs)
+    val banded = Multimodal.phashNearDupPairs(spark, gif, maxHamming = 2)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val fp = Multimodal.perceptualHashes(spark, gif).as[(Long, Long)].collect()
+    val brute = (for {
+      (ida, pa) <- fp; (idb, pb) <- fp
+      if ida < idb && java.lang.Long.bitCount(pa ^ pb) <= 2
+    } yield (ida, idb)).toSet
+    assert(banded == brute, "bit-sampling LSH must be lossless at its hamming budget")
+    assert(brute.nonEmpty,
+      "planted same-family GIF renditions should yield near-dup pairs")
+    // frame extraction: one row per decoded frame with exact pixel stats
+    val stats = Multimodal.videoFrameStats(spark, gif.limit(10))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 10 * VideoFingerprint.Frames)
+    stats.foreach { case (id, f, s, mn, mx) =>
+      val grid = VideoFingerprint.frameGrid(id, f.toInt)
+      assert(s == grid.foldLeft(0L)(_ + _), s"frame sum diverges for ($id, $f)")
+      assert(mn == grid.min && mx == grid.max)
+    }
+    // features: all-frame pixel histogram, counts exactly recoverable
+    val nPx = VideoFingerprint.Frames * VideoFingerprint.Side * VideoFingerprint.Side
+    val feats = Multimodal.extractFeatures(spark, gif.limit(10)).collect()
+    feats.foreach { ft =>
+      val expected = new Array[Long](16)
+      (0 until VideoFingerprint.Frames).foreach(f =>
+        VideoFingerprint.frameGrid(ft.media_id, f).foreach(p => expected(p / 16) += 1L))
+      assert(ft.features.map(x => math.round(x * nPx).toLong).toSeq == expected.toSeq)
+    }
+  }
+
   test("frame sampling: n frames per item, within payload bounds") {
     val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 16)
     val counts = frames.groupBy("media_id").count().select("count").distinct()
