@@ -229,10 +229,13 @@ object Bench {
     // lpa 5.0s, modularity 3.6s, winnow pairs 2.2s (+ its incr twin)
     "graph_lpa", "graph_modularity",
     "dedup_winnow_pairs", "dedup_winnow_incr",
-    // round-11 additions: triangle_incr runs two triangle censuses,
-    // audio/video dedup run the media decode + fingerprint kernel per side
-    "graph_triangle_incr", "mm_audio_dedup", "mm_audio_incr",
-    "mm_video_dedup")
+    // round-11 addition: triangle_incr runs two triangle censuses
+    // (2.5 s isolated). The mm_audio/mm_video queries were briefly listed
+    // here too, but after the codec fixes (per-thread WAV/PNG/GIF
+    // providers, spread encode stage) they all measure 0.5-2.2 s isolated
+    // — cheap enough for a shared shard, and each singleton costs a
+    // fresh-JVM spin-up of bench wall-time.
+    "graph_triangle_incr")
 
   /** Self-calibration on top of the static list: any query recorded slow
     * in the PREVIOUS bench record (target/bench.json survives across

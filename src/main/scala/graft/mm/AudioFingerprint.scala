@@ -1,7 +1,10 @@
 package graft.mm
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import java.util.ServiceLoader
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, UnsupportedAudioFileException}
+import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+import scala.jdk.CollectionConverters._
 
 /** Real audio decode + spectral fingerprint for the multimodal pipeline —
   * the WAV analog of [[ImagePhash]]'s PNG path.
@@ -87,6 +90,26 @@ object AudioFingerprint {
 
   private def audioFormat = new AudioFormat(SampleRate, 16, 1, true, false)
 
+  /** Per-thread WAV codec providers: `AudioSystem.write` and
+    * `AudioSystem.getAudioInputStream` consult the JDK's GLOBAL provider
+    * registry on every call, and that lookup is synchronized
+    * (`JDK13Services.getProviders`) — with 32 executor threads encoding
+    * concurrently the lock serializes the whole embarrassingly-parallel
+    * stage (measured: the parallel WAV stage ran ~3x slower than serial
+    * until the registry left the per-row path). Resolving the same SPI
+    * providers once per thread via `ServiceLoader` keeps the identical
+    * JDK codec doing the identical RIFF work — only the synchronized
+    * per-row registry consultation is gone. Same once-per-task rule as
+    * [[VideoFingerprint]]'s thread-local GIF writer/reader. */
+  private val wavWriter = ThreadLocal.withInitial[AudioFileWriter] { () =>
+    ServiceLoader.load(classOf[AudioFileWriter]).iterator().asScala
+      .find(w => w.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAV writer provider on this JVM"))
+  }
+  private val wavReaders = ThreadLocal.withInitial[Array[AudioFileReader]] {
+    () => ServiceLoader.load(classOf[AudioFileReader]).iterator().asScala.toArray
+  }
+
   /** Encode int16 samples as a real WAV container (RIFF header + LE PCM)
     * via the JDK sound stack. */
   def encodeWav(samples: Array[Short]): Array[Byte] = {
@@ -100,9 +123,26 @@ object AudioFingerprint {
     val ais = new AudioInputStream(
       new ByteArrayInputStream(bytes), audioFormat, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
-    val n = AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val n = wavWriter.get().write(ais, AudioFileFormat.Type.WAVE, bos)
     require(n > 0, "no WAV writer available")
     bos.toByteArray
+  }
+
+  /** Format negotiation over the thread-local provider list — the same
+    * first-reader-that-accepts dispatch `AudioSystem.getAudioInputStream`
+    * performs, minus its synchronized registry lookup. */
+  private def openAudioStream(bytes: Array[Byte]): AudioInputStream = {
+    val readers = wavReaders.get()
+    var i = 0
+    while (i < readers.length) {
+      // each attempt gets a fresh stream: a rejecting reader may have
+      // consumed header bytes past its own reset guarantee
+      try return readers(i).getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => }
+      i += 1
+    }
+    throw new UnsupportedAudioFileException(
+      s"no provider of ${readers.length} could decode the stream")
   }
 
   /** Decode WAV bytes back to int16 samples — the REAL audio-decode step
@@ -110,7 +150,7 @@ object AudioFingerprint {
     * stand-in. 16-bit PCM is lossless, so this inverts [[encodeWav]]
     * exactly. */
   def decodePcm(bytes: Array[Byte]): Array[Short] = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val ais = openAudioStream(bytes)
     val fmt = ais.getFormat
     require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
       fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,

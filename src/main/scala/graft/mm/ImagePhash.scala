@@ -74,6 +74,20 @@ object ImagePhash {
     out
   }
 
+  /** Per-thread PNG writer/reader + in-memory streams: `ImageIO.write`
+    * and `ImageIO.read` scan the global plugin registry AND spin up a
+    * DISK-backed stream cache (a temp file) on every call — per-row costs
+    * that serialize/thrash a 32-thread encode or decode stage. Same
+    * once-per-task rule as [[VideoFingerprint]]'s GIF codec and
+    * [[AudioFingerprint]]'s WAV providers; the codec plugin doing the
+    * actual PNG deflate/inflate work is unchanged. */
+  private val pngWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter] {
+    () => ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val pngReader = ThreadLocal.withInitial[javax.imageio.ImageReader] {
+    () => ImageIO.getImageReadersByFormatName("png").next()
+  }
+
   /** Encode a square grayscale grid as real PNG bytes (JDK ImageIO). */
   def encodePng(pixels: Array[Int], size: Int = Size): Array[Byte] = {
     require(pixels.length == size * size, s"grid must be ${size}x$size")
@@ -86,8 +100,16 @@ object ImagePhash {
       y += 1
     }
     val bos = new ByteArrayOutputStream()
-    val ok = ImageIO.write(img, "png", bos)
-    require(ok, "no PNG writer available")
+    val writer = pngWriter.get()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+      ios.flush()
+    } finally {
+      writer.setOutput(null) // keep the thread-local writer reusable
+      ios.close()
+    }
     bos.toByteArray
   }
 
@@ -96,7 +118,17 @@ object ImagePhash {
     * stand-in. Grayscale PNG is lossless, so this inverts [[encodePng]]
     * exactly. Returns (pixels, size). */
   def decodeGraySized(bytes: Array[Byte]): (Array[Int], Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val reader = pngReader.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    val img = try {
+      reader.setInput(iis)
+      try reader.read(0)
+      catch { case _: javax.imageio.IIOException => null }
+    } finally {
+      reader.setInput(null) // keep the thread-local reader reusable
+      iis.close()
+    }
     require(img != null, "bytes are not a decodable image")
     require(img.getWidth == img.getHeight, s"expected a square image, got ${img.getWidth}x${img.getHeight}")
     val size = img.getWidth

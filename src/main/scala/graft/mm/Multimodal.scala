@@ -38,6 +38,30 @@ final case class MediaFeatures(
   */
 object Multimodal {
 
+  /** Spread the id stream across the cluster before an encode kernel.
+    * The synthetic corpora derive from a narrow `doc_id` scan, and a
+    * small-SF parquet file arrives as ONE split — which would run the
+    * whole embarrassingly-parallel encode serially on one core (measured:
+    * the GIF encoder costs ~1.5 ms/clip, so 5k clips on one thread is
+    * ~8 s of avoidable wall). A round-robin exchange of bare longs is
+    * cheap and gives the kernel full parallelism; at production scale
+    * (media read from a real table, not generated) the scan's own splits
+    * make this unnecessary — it guards the generator path only.
+    *
+    * Applied per modality by MEASURED kernel cost, not uniformly: the
+    * exchange + extra 32-task stage costs a fixed ~0.6 s at local bench
+    * scale, so it must buy more serial time than that. GIF encode is
+    * ~1.5 ms/clip (spread: 8.0 s -> 0.7 s) and PNG encode+DCT is a few
+    * hundred us/clip (2.0 s -> 1.1 s) — both clear wins. WAV encode is
+    * tens of us/clip, so the serial stage was already ~0.1 s and the
+    * spread is a pure loss there (0.64 s -> 1.25 s measured) — the WAV
+    * builder stays on the scan's own splits. */
+  private def spreadIds(spark: SparkSession, docs: DataFrame): Dataset[Long] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   /** Wrap an opaque-bytes column + metadata into the media schema — the
     * NON-image corpus (document text as payload), exercising the fallback
     * kernels. */
@@ -54,7 +78,7 @@ object Multimodal {
     * everything downstream decodes them for real. */
   def pngMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spreadIds(spark, docs)
       .mapPartitions { ids =>
         // per-task init of the PNG encoder happens here
         ids.map { id =>
@@ -71,6 +95,8 @@ object Multimodal {
     * a real RIFF/WAVE file; everything downstream decodes them for real. */
   def wavMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // no spreadIds: the WAV encode kernel is too cheap to amortize the
+    // exchange (see spreadIds' scaladoc for the measured per-modality A/B)
     docs.select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // per-task init of the WAV encoder happens here
@@ -89,7 +115,7 @@ object Multimodal {
     * everything downstream decodes every frame for real. */
   def gifMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    spreadIds(spark, docs)
       .mapPartitions { ids =>
         // per-task init of the GIF encoder happens here
         ids.map { id =>

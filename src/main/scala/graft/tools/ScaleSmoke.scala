@@ -128,6 +128,7 @@ object ScaleSmoke {
       "topk" -> (() => topkSection(spark, tmp)),
       "bpe" -> (() => bpeSection(spark, tmp, copies)),
       "triangle" -> (() => triangleSection(spark)),
+      "triangleIncr" -> (() => triangleIncrSection(spark)),
       "mauSketch" -> (() => mauSketchSection(spark, copies)))
     sections
       .filter { case (n, _) => sectionFilter.forall(f => n.toLowerCase.contains(f.toLowerCase)) }
@@ -266,6 +267,52 @@ object ScaleSmoke {
       s"forward out-degree $maxFwd exceeds the sqrt(2m)=$cap Schank-Wagner cap")
     require(orientedWork < naiveWork,
       "orientation did not reduce wedge-path work")
+  }
+
+  /** Incremental triangle maintenance at scale: on the sf0.1 co-occurrence
+    * graph split 19:1 (standing : insert batch), Graph.triangleInsert with
+    * a precomputed standing count — the production shape, where the scalar
+    * is stored state — must (a) equal the from-scratch census exactly and
+    * (b) beat the full recompute on wall clock. Equality is the hard
+    * claim; the wall-clock direction gets the 10% noise margin (the
+    * minhashIndex lesson — ordinary host noise must not fail the smoke
+    * when the structural claim already holds). */
+  def triangleIncrSection(spark: SparkSession,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+    val b = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), Tables.eventMinute.as("mn"), col("user_id"))
+      .distinct()
+    val e = b.as("x").join(b.as("y"),
+        col("x.event_type") === col("y.event_type") &&
+          col("x.mn") === col("y.mn") &&
+          col("x.user_id") < col("y.user_id"))
+      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val delta = e.where((col("a") + col("b")) % 20 === 0).localCheckpoint(true)
+    val history = e.where((col("a") + col("b")) % 20 =!= 0).localCheckpoint(true)
+    val standingTri = graft.operators.Graph.triangleStats(history)
+      .head().getLong(3)
+    val fullTri = graft.operators.Graph.triangleStats(e).head().getLong(3)
+    val viaIncr = graft.operators.Graph
+      .triangleInsert(history, delta, standingTri)
+      .head().getLong(2)
+    require(viaIncr == fullTri,
+      s"incremental triangle total $viaIncr != from-scratch census $fullTri")
+    def fullRun() = { graft.operators.Graph.triangleStats(e).head(); () }
+    def incrRun() = {
+      graft.operators.Graph.triangleInsert(history, delta, standingTri).head()
+      ()
+    }
+    fullRun(); incrRun() // codegen warmup
+    val tFull = med3 { spark.catalog.clearCache(); fullRun() }
+    val tIncr = med3 { spark.catalog.clearCache(); incrRun() }
+    println(f"[scale] triangle_incr: full=${tFull}%.2f s delta-vs-standing=${tIncr}%.2f s " +
+      f"(ratio ${tIncr / tFull}%.2f, delta=${delta.count()} of ${e.count()} edges)")
+    require(tIncr < tFull * 1.1,
+      f"delta triangle pass (${tIncr}%.2f s) did not beat the full recompute (${tFull}%.2f s) even with a 10%% noise margin")
+    if (tIncr >= tFull)
+      println(f"[scale] WARN triangle_incr: delta pass ${tIncr}%.2f s >= full ${tFull}%.2f s (within the 10%% noise margin; equality claim already pinned)")
   }
 
   /** Bloom join pruning at scale: the bit table self-sizes with the keyset
