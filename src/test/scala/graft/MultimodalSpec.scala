@@ -353,4 +353,64 @@ class MultimodalSpec extends AnyFunSuite {
       .where($"flen" <= 0 || $"flen" > 16)
     assert(bad.count() == 0)
   }
+
+  test("encode-stage parallelism matches the measured per-modality decision") {
+    // The generator corpora come from a one-split parquet scan; the GIF
+    // and PNG encode kernels are expensive enough that Multimodal spreads
+    // the ids across defaultParallelism first, while the cheap WAV
+    // encoder stays on the scan's own splits (the exchange costs more
+    // than it saves — measured A/B in spreadIds' scaladoc). Pin the plan
+    // shape so a refactor can't silently serialize the expensive kernels
+    // or re-tax the cheap one.
+    val docs = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val par = spark.sparkContext.defaultParallelism
+    assert(Multimodal.gifMediaTable(spark, docs).rdd.getNumPartitions == par,
+      "GIF encode stage must run at full parallelism")
+    assert(Multimodal.pngMediaTable(spark, docs).rdd.getNumPartitions == par,
+      "PNG encode stage must run at full parallelism")
+    val wavPlan = Multimodal.wavMediaTable(spark, docs)
+      .queryExecution.executedPlan.toString
+    assert(!wavPlan.contains("Exchange"),
+      s"WAV encode stage must stay exchange-free (scan splits only):\n$wavPlan")
+  }
+
+  test("thread-local codec state is safe under concurrent encode/decode") {
+    // The codecs reuse per-thread writers/readers/scratch buffers
+    // (registry lookups and allocations once per task, not once per row).
+    // Prove reuse can't bleed state across rows or threads: many threads
+    // encoding+decoding DIFFERENT ids concurrently, repeatedly, must
+    // reproduce the serial results bit-for-bit for all three modalities.
+    import graft.mm.{AudioFingerprint, ImagePhash, VideoFingerprint}
+    val ids = (0L until 64L).toVector
+    val serialPng = ids.map(id => ImagePhash.phashImage(
+      ImagePhash.encodePng(ImagePhash.pixelGrid(id))))
+    val serialWav = ids.map(id => AudioFingerprint.fingerprintWav(
+      AudioFingerprint.encodeWav(AudioFingerprint.pcm(id))))
+    val serialGif = ids.map(id => VideoFingerprint.fingerprintGif(
+      VideoFingerprint.encodeGif(VideoFingerprint.clip(id))))
+    val firstFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    (1 to 3).foreach { _ =>
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          // a thread assertion would otherwise die silently — capture it
+          try {
+            // each thread walks the ids at a different offset so distinct
+            // threads hit distinct ids at the same instant
+            ids.indices.foreach { i =>
+              val id = ids((i + t * 7) % ids.size)
+              assert(ImagePhash.phashImage(ImagePhash.encodePng(
+                ImagePhash.pixelGrid(id))) == serialPng(id.toInt))
+              assert(AudioFingerprint.fingerprintWav(AudioFingerprint.encodeWav(
+                AudioFingerprint.pcm(id))) == serialWav(id.toInt))
+              assert(VideoFingerprint.fingerprintGif(VideoFingerprint.encodeGif(
+                VideoFingerprint.clip(id))) == serialGif(id.toInt))
+            }
+          } catch { case e: Throwable => firstFailure.compareAndSet(null, e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      if (firstFailure.get() != null) throw firstFailure.get()
+    }
+  }
 }
