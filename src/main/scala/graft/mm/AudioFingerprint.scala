@@ -36,7 +36,8 @@ import scala.jdk.CollectionConverters._
   *
   * Waveform design mirrors the image corpus: ids fall in [[Groups]]
   * families (id % Groups shares a base waveform) and each id perturbs
-  * ~1/[[PertMod]] of its samples by bitwise NOT (the int16-safe
+  * ~1/[[PertMod]] of its samples by a low-12-bit flip (xor 0xFFF — see
+  * the sample formula's doc for why that, not a full bitwise NOT, is the
   * "inversion") — same-family renditions land a small hamming apart (the
   * re-encoded/transcoded-asset situation audio dedup exists for), while
   * cross-family fingerprints are far.

@@ -470,12 +470,16 @@ object Graph {
   /** Maintain a standing degree table under edge INSERTS — the base case
     * of incremental graph maintenance (every dedup family here has a
     * delta-vs-standing form; this gives the graph suite its first).
-    * `delta` is first deduplicated and anti-joined against the standing
-    * edge set, so the update is IDEMPOTENT (re-applying a delta whose
-    * edges already landed adds nothing) as well as ADDITIVE (applying a
+    * `delta` is canonicalized to (min, max) orientation, deduplicated,
+    * and anti-joined against the (likewise canonicalized) standing edge
+    * set, so the update is IDEMPOTENT (re-applying a delta whose edges
+    * already landed adds nothing — even when a retry delivers the SAME
+    * edge in the opposite orientation) as well as ADDITIVE (applying a
     * delta in chunks composes to the one-shot result) — the two
     * properties that make a standing table safe under retries and
-    * out-of-order batches.
+    * out-of-order batches. Without the canonicalization, idempotence
+    * would be a doc-only precondition a reversed-orientation producer
+    * silently violates, permanently inflating both endpoints' degrees.
     *
     * 100 TB posture: O(|delta|) new-edge work (one anti-join on the edge
     * key against the standing edge set — at scale a key-bucketed standing
@@ -484,17 +488,19 @@ object Graph {
     * contributes its existing (node, degree) rows.
     *
     * @param standingDegrees (u: long, dg: long) — degrees of the standing graph
-    * @param standingEdges   (a: long, b: long) with a < b — the standing edge set
-    * @param delta           (a: long, b: long) with a < b — edges to insert
+    * @param standingEdges   (a: long, b: long), any orientation — the standing edge set
+    * @param delta           (a: long, b: long), any orientation — edges to insert
     * @return (u: long, dg: long) — degrees of standing ∪ delta
     */
   def degreeMaintain(
       standingDegrees: DataFrame, standingEdges: DataFrame,
       delta: DataFrame): DataFrame = {
-    val fresh = delta.select(col("a").cast("long"), col("b").cast("long"))
+    def canon(e: DataFrame) = e.select(
+      least(col("a"), col("b")).cast("long").as("a"),
+      greatest(col("a"), col("b")).cast("long").as("b"))
+    val fresh = canon(delta)
       .distinct()
-      .join(standingEdges.select(col("a").cast("long"), col("b").cast("long")),
-        Seq("a", "b"), "left_anti")
+      .join(canon(standingEdges), Seq("a", "b"), "left_anti")
     standingDegrees.select(col("u").cast("long"), col("dg").cast("long"))
       .unionAll(fresh.select(explode(array(col("a"), col("b"))).as("u"),
         lit(1L).as("dg")))

@@ -24,8 +24,11 @@ object MiscQueries {
   /** The user co-occurrence graph every graph_* query peels: users sharing
     * an (event_type, minute) activity bucket, canonical a < b, distinct.
     * Minute buckets keep occupancy small so the pair explode is bounded
-    * (see graph_triangles' comment for the hour-bucket density artifact). */
-  private def coEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    * (see graph_triangles' comment for the hour-bucket density artifact).
+    * `private[graft]` so ScaleSmoke's graph sections measure THIS graph —
+    * a re-derived copy could silently drift from the registry queries it
+    * is supposed to validate. */
+  private[graft] def coEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val b = t(s, d, "events")
       .select(col("event_type"),
         graft.sources.Tables.eventMinute.as("mn"),

@@ -20,22 +20,6 @@ object AudioProbe {
     val wav = encodeWav(pcm(0L))
     println(s"wav bytes=${wav.length} magic=${new String(wav.take(4))}/" +
       new String(wav.slice(8, 12)))
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    val within = for {
-      a <- 0L until n.toLong; b <- a + 1 until n.toLong
-      if a % Groups == b % Groups
-    } yield ham(fps(a), fps(b))
-    val across = for {
-      a <- 0L until n.toLong; b <- a + 1 until n.toLong
-      if a % Groups != b % Groups
-    } yield ham(fps(a), fps(b))
-    def hist(xs: Seq[Int], name: String): Unit = {
-      val s = xs.sorted
-      println(s"$name n=${xs.size} min=${s.head} p10=${s(xs.size / 10)} " +
-        s"med=${s(xs.size / 2)} p90=${s(xs.size * 9 / 10)} max=${s.last}")
-      println("  counts<=12: " + (0 to 12).map(k => s"$k:${xs.count(_ == k)}").mkString(" "))
-    }
-    hist(within, "within-group")
-    hist(across, "across-group")
+    ProbeReport.report(fps, n.toLong, Groups)
   }
 }

@@ -16,22 +16,6 @@ object PhashProbe {
         s"PNG roundtrip not lossless for id $id")
       assert(phash(pixelGrid(id)) == hashes(id))
     }
-    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
-    val within = for {
-      a <- 0L until n.toLong; b <- a + 1 until n.toLong
-      if a % Groups == b % Groups
-    } yield ham(hashes(a), hashes(b))
-    val across = for {
-      a <- 0L until n.toLong; b <- a + 1 until n.toLong
-      if a % Groups != b % Groups
-    } yield ham(hashes(a), hashes(b))
-    def hist(xs: Seq[Int], name: String): Unit = {
-      val s = xs.sorted
-      println(s"$name n=${xs.size} min=${s.head} p10=${s(xs.size / 10)} " +
-        s"med=${s(xs.size / 2)} p90=${s(xs.size * 9 / 10)} max=${s.last}")
-      println("  counts<=12: " + (0 to 12).map(k => s"$k:${xs.count(_ == k)}").mkString(" "))
-    }
-    hist(within, "within-group")
-    hist(across, "across-group")
+    ProbeReport.report(hashes, n.toLong, Groups)
   }
 }

@@ -233,15 +233,9 @@ object ScaleSmoke {
     * wedge work. */
   def triangleSection(spark: SparkSession,
       sfDir: String = "/root/testdata/sf0.1"): Unit = {
-    val b = Tables.load(spark, sfDir, "events")
-      .select(col("event_type"), Tables.eventMinute.as("mn"), col("user_id"))
-      .distinct()
-    val e = b.as("x").join(b.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.mn") === col("y.mn") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .distinct()
+    // the SAME co-occurrence graph the registry's graph_* queries peel —
+    // shared derivation, so the smoke can't drift from what it validates
+    val e = graft.queries.MiscQueries.coEdges(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = e.count()
     val deg = e.select(explode(array(col("a"), col("b"))).as("u"))
@@ -279,15 +273,8 @@ object ScaleSmoke {
     * when the structural claim already holds). */
   def triangleIncrSection(spark: SparkSession,
       sfDir: String = "/root/testdata/sf0.1"): Unit = {
-    val b = Tables.load(spark, sfDir, "events")
-      .select(col("event_type"), Tables.eventMinute.as("mn"), col("user_id"))
-      .distinct()
-    val e = b.as("x").join(b.as("y"),
-        col("x.event_type") === col("y.event_type") &&
-          col("x.mn") === col("y.mn") &&
-          col("x.user_id") < col("y.user_id"))
-      .select(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .distinct()
+    // same shared derivation as triangleSection (one source of truth)
+    val e = graft.queries.MiscQueries.coEdges(spark, sfDir)
       .localCheckpoint(true)
     val delta = e.where((col("a") + col("b")) % 20 === 0).localCheckpoint(true)
     val history = e.where((col("a") + col("b")) % 20 =!= 0).localCheckpoint(true)

@@ -208,6 +208,11 @@ class GraphSpec extends AnyFunSuite {
     // idempotent: a retried batch (duplicated rows) and already-standing
     // edges contribute nothing
     assert(run(delta ++ delta ++ history.take(2)) == expect)
+    // ...even when the retry delivers the SAME edges reversed — the
+    // operator canonicalizes orientation before the anti-join, so
+    // (b, a) duplicates of delta or standing edges are still no-ops
+    assert(run(delta ++ delta.map(_.swap) ++ history.take(2).map(_.swap))
+      == expect)
     // empty delta is the identity
     assert(run(Seq.empty) == degrees(history))
   }
