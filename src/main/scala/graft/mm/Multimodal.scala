@@ -55,7 +55,13 @@ object Multimodal {
     * hundred us/clip (2.0 s -> 1.1 s) — both clear wins. WAV encode is
     * tens of us/clip, so the serial stage was already ~0.1 s and the
     * spread is a pure loss there (0.64 s -> 1.25 s measured) — the WAV
-    * builder stays on the scan's own splits. */
+    * builder stays on the scan's own splits. The tradeoff is
+    * corpus-sized, not universal: serial encode grows linearly while the
+    * exchange cost is fixed, so the no-spread choice inverts around
+    * ~30k generated clips (the driver's scales top out at 5k; a real
+    * deployment reads media from a scan that is already split). If the
+    * generator is ever pointed at a much larger corpus, flip
+    * wavMediaTable to spreadIds too. */
   private def spreadIds(spark: SparkSession, docs: DataFrame): Dataset[Long] = {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
