@@ -926,6 +926,28 @@ object MiscQueries {
         SELECT media_a, media_b, hamming FROM gifpairs
         ORDER BY media_a, media_b""")),
 
+    // Incremental real-video near-dup — the _incr form every other media
+    // family already has: only the delta half runs the GIF decode kernel;
+    // the history contributes its standing fingerprint table. The oracle
+    // runs the FULL quadratic frame+DCT pipeline and keeps pairs involving
+    // a delta doc — pinning the incremental path to "exactly the full
+    // result restricted to the batch".
+    "mm_video_incr" -> QueryDef(
+      fn = (s, d) => {
+        val media = Multimodal.gifMediaTable(s, t(s, d, "documents"))
+        Multimodal.phashNearDupPairsIncremental(
+            s,
+            history = media.where(col("media_id") % 2 === 0),
+            delta = media.where(col("media_id") % 2 === 1),
+            maxHamming = 2)
+          .orderBy("media_a", "media_b")
+      },
+      oracle = Some(s"""
+        WITH ${gifFpCtes(2)}
+        SELECT media_a, media_b, hamming FROM gifpairs
+        WHERE media_a % 2 = 1 OR media_b % 2 = 1
+        ORDER BY media_a, media_b""")),
+
     // JSON property extraction + aggregation over the events stream's
     // semi-structured props column.
     "events_json_agg" -> QueryDef(
