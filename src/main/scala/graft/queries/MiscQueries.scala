@@ -706,18 +706,24 @@ object MiscQueries {
         FROM reach GROUP BY node
         ORDER BY media_id""")),
 
-    // Incremental real-image pHash near-dup: only the delta half runs the
-    // PNG decode kernel; the history contributes its standing hash table.
-    // The oracle runs the FULL quadratic pixel+DCT pipeline and keeps
-    // pairs involving a delta doc — pinning the incremental path to
-    // "exactly the full result restricted to the batch".
+    // Incremental real-image pHash near-dup: the docs are split BEFORE
+    // the media builder, so each half's encode+decode kernel processes
+    // only its own ids (a media_id filter above the builder cannot push
+    // below the opaque mapPartitions kernel — it would encode the full
+    // corpus per branch and discard half). The history half is hashed
+    // once into its standing table (ingest maintains that table in
+    // production and passes it via historyHashes); the incremental join
+    // itself touches history only through those hashes. The oracle runs
+    // the FULL quadratic pixel+DCT pipeline and keeps pairs involving a
+    // delta doc — pinning the incremental path to "exactly the full
+    // result restricted to the batch".
     "mm_phash_incr" -> QueryDef(
       fn = (s, d) => {
-        val media = Multimodal.pngMediaTable(s, t(s, d, "documents"))
+        val docs = t(s, d, "documents")
         Multimodal.phashNearDupPairsIncremental(
             s,
-            history = media.where(col("media_id") % 2 === 0),
-            delta = media.where(col("media_id") % 2 === 1),
+            history = Multimodal.pngMediaTable(s, docs.where(col("doc_id") % 2 === 0)),
+            delta = Multimodal.pngMediaTable(s, docs.where(col("doc_id") % 2 === 1)),
             maxHamming = 2)
           .orderBy("media_a", "media_b")
       },
@@ -836,18 +842,20 @@ object MiscQueries {
         SELECT media_a, media_b, hamming FROM wavpairs
         ORDER BY media_a, media_b""")),
 
-    // Incremental real-audio near-dup: only the delta half runs the WAV
-    // decode kernel; the history contributes its standing fingerprint
-    // table. The oracle runs the FULL quadratic sample+DCT pipeline and
-    // keeps pairs involving a delta doc — pinning the incremental path to
-    // "exactly the full result restricted to the batch".
+    // Incremental real-audio near-dup: docs split BEFORE the WAV builder
+    // (see mm_phash_incr — each half's kernel processes only its own
+    // ids); the history half is fingerprinted once into its standing
+    // table, which is all the incremental join reads. The oracle runs
+    // the FULL quadratic sample+DCT pipeline and keeps pairs involving a
+    // delta doc — pinning the incremental path to "exactly the full
+    // result restricted to the batch".
     "mm_audio_incr" -> QueryDef(
       fn = (s, d) => {
-        val media = Multimodal.wavMediaTable(s, t(s, d, "documents"))
+        val docs = t(s, d, "documents")
         Multimodal.phashNearDupPairsIncremental(
             s,
-            history = media.where(col("media_id") % 2 === 0),
-            delta = media.where(col("media_id") % 2 === 1),
+            history = Multimodal.wavMediaTable(s, docs.where(col("doc_id") % 2 === 0)),
+            delta = Multimodal.wavMediaTable(s, docs.where(col("doc_id") % 2 === 1)),
             maxHamming = 2)
           .orderBy("media_a", "media_b")
       },
@@ -927,18 +935,21 @@ object MiscQueries {
         ORDER BY media_a, media_b""")),
 
     // Incremental real-video near-dup — the _incr form every other media
-    // family already has: only the delta half runs the GIF decode kernel;
-    // the history contributes its standing fingerprint table. The oracle
-    // runs the FULL quadratic frame+DCT pipeline and keeps pairs involving
-    // a delta doc — pinning the incremental path to "exactly the full
-    // result restricted to the batch".
+    // family already has: docs split BEFORE the GIF builder (see
+    // mm_phash_incr — the GIF encode is the costliest media kernel at
+    // ~1.5 ms/clip, so a post-builder filter would double exactly the
+    // stage that matters most); the history half is fingerprinted once
+    // into its standing table, which is all the incremental join reads.
+    // The oracle runs the FULL quadratic frame+DCT pipeline and keeps
+    // pairs involving a delta doc — pinning the incremental path to
+    // "exactly the full result restricted to the batch".
     "mm_video_incr" -> QueryDef(
       fn = (s, d) => {
-        val media = Multimodal.gifMediaTable(s, t(s, d, "documents"))
+        val docs = t(s, d, "documents")
         Multimodal.phashNearDupPairsIncremental(
             s,
-            history = media.where(col("media_id") % 2 === 0),
-            delta = media.where(col("media_id") % 2 === 1),
+            history = Multimodal.gifMediaTable(s, docs.where(col("doc_id") % 2 === 0)),
+            delta = Multimodal.gifMediaTable(s, docs.where(col("doc_id") % 2 === 1)),
             maxHamming = 2)
           .orderBy("media_a", "media_b")
       },

@@ -374,6 +374,32 @@ class MultimodalSpec extends AnyFunSuite {
       s"WAV encode stage must stay exchange-free (scan splits only):\n$wavPlan")
   }
 
+  test("_incr media splits filter ids below the encode kernel") {
+    // The _incr registry queries split the corpus into history/delta by
+    // filtering doc_ids BEFORE the media builders. A media_id filter
+    // placed ABOVE the builder cannot push below the opaque mapPartitions
+    // kernel, so each branch would encode the FULL corpus and discard
+    // half — doubling exactly the most expensive stage (GIF ~1.5 ms/clip).
+    // Pin the shape: no Filter node may sit above a MapPartitions kernel.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, MapPartitions => LMapPartitions}
+    def filterAboveKernel(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case f: LFilter if f.find(_.isInstanceOf[LMapPartitions]).isDefined => f
+      }.nonEmpty
+    val real = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+    val builders = Seq[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame](
+      Multimodal.pngMediaTable _, Multimodal.wavMediaTable _, Multimodal.gifMediaTable _)
+    builders.foreach { build =>
+      val half = build(spark, real.where($"doc_id" % 2 === 0))
+      assert(!filterAboveKernel(half),
+        "pre-builder doc_id split must keep the encode kernel half-sized")
+      assert(half.where($"media_id" % 2 =!= 0).count() == 0)
+    }
+    // the detector detects the bad shape it guards against
+    assert(filterAboveKernel(
+      Multimodal.gifMediaTable(spark, real).where($"media_id" % 2 === 0)))
+  }
+
   test("thread-local codec state is safe under concurrent encode/decode") {
     // The codecs reuse per-thread writers/readers/scratch buffers
     // (registry lookups and allocations once per task, not once per row).

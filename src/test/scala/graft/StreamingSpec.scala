@@ -573,6 +573,45 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP DATABASE png_sink CASCADE")
   }
 
+  test("phash admission works over REAL GIF payloads (modality-generic dispatch)") {
+    import spark.implicits._
+    import graft.mm.{Multimodal, VideoFingerprint}
+    // same shape as the PNG test, over the costliest codec: the admission
+    // sink never special-cases a modality — perceptualHashes dispatches on
+    // the format column, so the identical pipeline decodes GIF frames.
+    val hashes = (0L until 200L)
+      .map(id => id -> VideoFingerprint.fingerprint(VideoFingerprint.clip(id))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    val (near1, near2) = (for {
+      a <- (0L until 100L).view; b <- (a + 1 until 200L).view
+      if a % VideoFingerprint.Groups == b % VideoFingerprint.Groups && ham(a, b) <= 2
+    } yield (a, b)).head
+    val far = (0L until 200L)
+      .filter(c => c != near1 && c != near2 && ham(c, near1) > 2 && ham(c, near2) > 2)
+      .take(2)
+    def gifOf(ids: Seq[Long]) =
+      Multimodal.gifMediaTable(spark, ids.toDF("doc_id"))
+    val dir = Files.createTempDirectory("graft-stream-gif").toString
+    val b1 = gifOf(Seq(near1, far(0)))
+    b1.write.mode("overwrite").parquet(dir + "/b1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS gif_sink")
+    spark.sql("DROP TABLE IF EXISTS gif_sink.media")
+    spark.sql("DROP TABLE IF EXISTS gif_sink.media_phash")
+    val stream = spark.readStream.schema(b1.schema).parquet(dir + "/*")
+    val q = StreamingIngest.toPhashDedupSink(stream, "gif_sink", "media").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a same-family rendition of near1 (rejected by the REAL
+      // frame-decode + DCT path) and a far clip (admitted)
+      publishBatch(gifOf(Seq(near2, far(1))), dir + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.refreshTable("gif_sink.media")
+    assert(spark.table("gif_sink.media").select("media_id")
+      .as[Long].collect().sorted.toSeq == Seq(near1, far(0), far(1)).sorted)
+    spark.sql("DROP DATABASE gif_sink CASCADE")
+  }
+
   test("phash admission batches are idempotent under retry") {
     import spark.implicits._
     import graft.mm.Multimodal
