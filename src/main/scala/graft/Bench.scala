@@ -93,10 +93,31 @@ object Bench {
     spark
   }
 
+  /** The media codecs' hot loops (GIF LZW encode/decode, PNG filters,
+    * RIFF PCM pack) reach steady state only after ~600 clips of JIT
+    * warm-up (measured: 200-clip batches run 0.79 → 0.25 s by batch 3);
+    * the sf0.001 warm pass runs ~50 clips, so the first timed pass at
+    * sf0.1 put 32 interpreter threads on the kernel — mm_video_incr read
+    * cold 9.6 s vs steady 3.5 s, a DETERMINISTIC 2.7x "spread" in every
+    * fresh JVM that the contention detector cannot distinguish from host
+    * noise (it survives retries and ends up spread-flagged). Compile the
+    * kernels once per shard JVM, driver-side: local-mode executor threads
+    * share the JVM, so the compiled methods serve every task. ~1 s,
+    * untimed, only for shards that carry an mm_ query. */
+  private def warmMediaCodecs(): Unit = {
+    import graft.mm.{AudioFingerprint => A, ImagePhash => I, VideoFingerprint => V}
+    (0L until 700L).foreach { id =>
+      I.phashImage(I.encodePng(I.pixelGrid(id)))
+      A.fingerprintWav(A.encodeWav(A.pcm(id)))
+      V.fingerprintGif(V.encodeGif(V.clip(id)))
+    }
+  }
+
   /** Warm (codegen at sf0.001) then time `names` in this JVM; returns
     * name -> chronological pass times (empty = every pass failed). */
   private def measure(spark: SparkSession, names: Seq[String]): Seq[(String, Seq[Double])] = {
     val qs = SparkEntry.queries
+    if (names.exists(_.startsWith("mm_"))) warmMediaCodecs()
     names.foreach { n =>
       try qs(n)(spark, WarmDir).count()
       catch { case _: Throwable => () }
