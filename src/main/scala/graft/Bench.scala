@@ -103,21 +103,38 @@ object Bench {
     * noise (it survives retries and ends up spread-flagged). Compile the
     * kernels once per shard JVM, driver-side: local-mode executor threads
     * share the JVM, so the compiled methods serve every task. ~1 s,
-    * untimed, only for shards that carry an mm_ query. */
-  private def warmMediaCodecs(): Unit = {
+    * untimed, once per JVM, only for shards that carry a codec-backed
+    * query (the byte-fallback mm_ kernels never touch the codecs).
+    * Contained like the per-query warm pass: a codec failure here must
+    * surface as that query's own failed[] entry when it is timed, not
+    * abort the shard. */
+  @volatile private var codecsWarmed = false
+  private def warmMediaCodecs(): Unit = if (!codecsWarmed) {
+    codecsWarmed = true
     import graft.mm.{AudioFingerprint => A, ImagePhash => I, VideoFingerprint => V}
-    (0L until 700L).foreach { id =>
-      I.phashImage(I.encodePng(I.pixelGrid(id)))
-      A.fingerprintWav(A.encodeWav(A.pcm(id)))
-      V.fingerprintGif(V.encodeGif(V.clip(id)))
+    try {
+      (0L until 700L).foreach { id =>
+        I.phashImage(I.encodePng(I.pixelGrid(id)))
+        A.fingerprintWav(A.encodeWav(A.pcm(id)))
+        V.fingerprintGif(V.encodeGif(V.clip(id)))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] codec warm-up failed (continuing): ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
   }
+
+  /** The mm_ queries whose kernels run the real JDK codecs (vs the
+    * byte-fallback kernels over opaque payloads, which never do). */
+  private def codecBacked(name: String): Boolean =
+    name.startsWith("mm_phash") || name.startsWith("mm_image") ||
+      name.startsWith("mm_audio") || name.startsWith("mm_video")
 
   /** Warm (codegen at sf0.001) then time `names` in this JVM; returns
     * name -> chronological pass times (empty = every pass failed). */
   private def measure(spark: SparkSession, names: Seq[String]): Seq[(String, Seq[Double])] = {
     val qs = SparkEntry.queries
-    if (names.exists(_.startsWith("mm_"))) warmMediaCodecs()
+    if (names.exists(codecBacked)) warmMediaCodecs()
     names.foreach { n =>
       try qs(n)(spark, WarmDir).count()
       catch { case _: Throwable => () }
@@ -430,3 +447,4 @@ object Bench {
     println(line)
   }
 }
+

@@ -310,6 +310,25 @@ object MiscQueries {
     * augmented corpus bucket bits (the 65th plane coordinate multiplies
     * sqrt(M² − |x|²)), plain query bits, Hamming<=1 probes, and
     * rounded-inner-product ranking. */
+  /** The one history/delta split all three media _incr queries share:
+    * docs are split BEFORE `builder` so each half's encode kernel
+    * processes only its own ids — a media_id filter above the builder
+    * cannot push below the opaque mapPartitions kernel and would encode
+    * the full corpus per branch (plan-shape pinned in MultimodalSpec
+    * against the registry queries themselves). The history half is
+    * fingerprinted once into its standing table, which is all the
+    * incremental join reads (ingest maintains that table in production
+    * and passes it via historyHashes). */
+  private def mediaIncrPairs(
+      s: org.apache.spark.sql.SparkSession, docs: org.apache.spark.sql.DataFrame,
+      builder: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Multimodal.phashNearDupPairsIncremental(
+        s,
+        history = builder(s, docs.where(col("doc_id") % 2 === 0)),
+        delta = builder(s, docs.where(col("doc_id") % 2 === 1)),
+        maxHamming = 2)
+      .orderBy("media_a", "media_b")
+
   private def mipsLshOracle(numPlanes: Int, k: Int): String = {
     val planes = Ann.hyperplanes(numPlanes, 65)
     def lits(p: Array[Double]) =
@@ -706,27 +725,15 @@ object MiscQueries {
         FROM reach GROUP BY node
         ORDER BY media_id""")),
 
-    // Incremental real-image pHash near-dup: the docs are split BEFORE
-    // the media builder, so each half's encode+decode kernel processes
-    // only its own ids (a media_id filter above the builder cannot push
-    // below the opaque mapPartitions kernel — it would encode the full
-    // corpus per branch and discard half). The history half is hashed
-    // once into its standing table (ingest maintains that table in
-    // production and passes it via historyHashes); the incremental join
-    // itself touches history only through those hashes. The oracle runs
-    // the FULL quadratic pixel+DCT pipeline and keeps pairs involving a
-    // delta doc — pinning the incremental path to "exactly the full
-    // result restricted to the batch".
+    // Incremental real-image pHash near-dup over the mediaIncrPairs
+    // split (see that helper: pre-builder split, history read only
+    // through its standing hash table). The oracle runs the FULL
+    // quadratic pixel+DCT pipeline and keeps pairs involving a delta
+    // doc — pinning the incremental path to "exactly the full result
+    // restricted to the batch".
     "mm_phash_incr" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        Multimodal.phashNearDupPairsIncremental(
-            s,
-            history = Multimodal.pngMediaTable(s, docs.where(col("doc_id") % 2 === 0)),
-            delta = Multimodal.pngMediaTable(s, docs.where(col("doc_id") % 2 === 1)),
-            maxHamming = 2)
-          .orderBy("media_a", "media_b")
-      },
+      fn = (s, d) =>
+        mediaIncrPairs(s, t(s, d, "documents"), Multimodal.pngMediaTable),
       oracle = Some(s"""
         WITH ${pngPhashCtes(2)}
         SELECT media_a, media_b, hamming FROM pngpairs
@@ -842,23 +849,13 @@ object MiscQueries {
         SELECT media_a, media_b, hamming FROM wavpairs
         ORDER BY media_a, media_b""")),
 
-    // Incremental real-audio near-dup: docs split BEFORE the WAV builder
-    // (see mm_phash_incr — each half's kernel processes only its own
-    // ids); the history half is fingerprinted once into its standing
-    // table, which is all the incremental join reads. The oracle runs
-    // the FULL quadratic sample+DCT pipeline and keeps pairs involving a
-    // delta doc — pinning the incremental path to "exactly the full
-    // result restricted to the batch".
+    // Incremental real-audio near-dup over the same mediaIncrPairs
+    // split. The oracle runs the FULL quadratic sample+DCT pipeline and
+    // keeps pairs involving a delta doc — pinning the incremental path
+    // to "exactly the full result restricted to the batch".
     "mm_audio_incr" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        Multimodal.phashNearDupPairsIncremental(
-            s,
-            history = Multimodal.wavMediaTable(s, docs.where(col("doc_id") % 2 === 0)),
-            delta = Multimodal.wavMediaTable(s, docs.where(col("doc_id") % 2 === 1)),
-            maxHamming = 2)
-          .orderBy("media_a", "media_b")
-      },
+      fn = (s, d) =>
+        mediaIncrPairs(s, t(s, d, "documents"), Multimodal.wavMediaTable),
       oracle = Some(s"""
         WITH ${wavFpCtes(2)}
         SELECT media_a, media_b, hamming FROM wavpairs
@@ -935,24 +932,16 @@ object MiscQueries {
         ORDER BY media_a, media_b""")),
 
     // Incremental real-video near-dup — the _incr form every other media
-    // family already has: docs split BEFORE the GIF builder (see
-    // mm_phash_incr — the GIF encode is the costliest media kernel at
-    // ~1.5 ms/clip, so a post-builder filter would double exactly the
-    // stage that matters most); the history half is fingerprinted once
-    // into its standing table, which is all the incremental join reads.
-    // The oracle runs the FULL quadratic frame+DCT pipeline and keeps
-    // pairs involving a delta doc — pinning the incremental path to
-    // "exactly the full result restricted to the batch".
+    // family already has, over the same mediaIncrPairs split (the
+    // pre-builder split matters most here: GIF encode is the costliest
+    // media kernel at ~1.5 ms/clip, so a post-builder filter would
+    // double exactly the stage that matters most). The oracle runs the
+    // FULL quadratic frame+DCT pipeline and keeps pairs involving a
+    // delta doc — pinning the incremental path to "exactly the full
+    // result restricted to the batch".
     "mm_video_incr" -> QueryDef(
-      fn = (s, d) => {
-        val docs = t(s, d, "documents")
-        Multimodal.phashNearDupPairsIncremental(
-            s,
-            history = Multimodal.gifMediaTable(s, docs.where(col("doc_id") % 2 === 0)),
-            delta = Multimodal.gifMediaTable(s, docs.where(col("doc_id") % 2 === 1)),
-            maxHamming = 2)
-          .orderBy("media_a", "media_b")
-      },
+      fn = (s, d) =>
+        mediaIncrPairs(s, t(s, d, "documents"), Multimodal.gifMediaTable),
       oracle = Some(s"""
         WITH ${gifFpCtes(2)}
         SELECT media_a, media_b, hamming FROM gifpairs
@@ -2805,3 +2794,5 @@ object MiscQueries {
       SELECT node, rank FROM it$PagerankIters ORDER BY node"""
   }
 }
+
+

@@ -380,24 +380,52 @@ class MultimodalSpec extends AnyFunSuite {
     // placed ABOVE the builder cannot push below the opaque mapPartitions
     // kernel, so each branch would encode the FULL corpus and discard
     // half — doubling exactly the most expensive stage (GIF ~1.5 ms/clip).
-    // Pin the shape: no Filter node may sit above a MapPartitions kernel.
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, MapPartitions => LMapPartitions}
+    // Pin the shape ON THE REGISTRY QUERIES THEMSELVES: no Filter node may
+    // sit above a MapPartitions kernel anywhere in their plans, including
+    // inside the incremental pipeline's persisted (cached) subplans —
+    // which is exactly where a reverted post-builder filter would hide.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, MapPartitions => LMapPartitions}
+    import org.apache.spark.sql.execution.{FilterExec, MapPartitionsExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    def badPhysical(p: SparkPlan): Boolean =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => badPhysical(a.inputPlan)
+        case s: InMemoryTableScanExec => badPhysical(s.relation.cachedPlan)
+        case f: FilterExec if f.find(_.isInstanceOf[MapPartitionsExec]).isDefined => true
+      }.contains(true)
+    def badLogical(p: LogicalPlan): Boolean =
+      p.collect {
+        case f: LFilter if f.find(_.isInstanceOf[LMapPartitions]).isDefined => true
+        case imr: InMemoryRelation => badPhysical(imr.cachedPlan)
+      }.contains(true)
     def filterAboveKernel(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.optimizedPlan.collect {
-        case f: LFilter if f.find(_.isInstanceOf[LMapPartitions]).isDefined => f
-      }.nonEmpty
-    val real = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
-    val builders = Seq[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame](
-      Multimodal.pngMediaTable _, Multimodal.wavMediaTable _, Multimodal.gifMediaTable _)
-    builders.foreach { build =>
-      val half = build(spark, real.where($"doc_id" % 2 === 0))
-      assert(!filterAboveKernel(half),
-        "pre-builder doc_id split must keep the encode kernel half-sized")
-      assert(half.where($"media_id" % 2 =!= 0).count() == 0)
-    }
-    // the detector detects the bad shape it guards against
-    assert(filterAboveKernel(
-      Multimodal.gifMediaTable(spark, real).where($"media_id" % 2 === 0)))
+      badLogical(df.queryExecution.optimizedPlan)
+    try {
+      Seq("mm_phash_incr", "mm_audio_incr", "mm_video_incr").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, TestSpark.sf("sf0.001"))
+        assert(!filterAboveKernel(df),
+          s"$q must split the corpus before the encode kernel")
+      }
+      val real = Tables.load(spark, TestSpark.sf("sf0.001"), "documents")
+      // builder halves stay clean and correctly restricted
+      val builders = Seq[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame](
+        Multimodal.pngMediaTable _, Multimodal.wavMediaTable _, Multimodal.gifMediaTable _)
+      builders.foreach { build =>
+        val half = build(spark, real.where($"doc_id" % 2 === 0))
+        assert(!filterAboveKernel(half),
+          "pre-builder doc_id split must keep the encode kernel half-sized")
+        assert(half.where($"media_id" % 2 =!= 0).count() == 0)
+      }
+      // the detector detects the bad shapes it guards against: a bare
+      // post-builder filter, and the same shape buried under persist()
+      assert(filterAboveKernel(
+        Multimodal.gifMediaTable(spark, real).where($"media_id" % 2 === 0)))
+      val cachedBad = Multimodal.wavMediaTable(spark, real)
+        .where($"media_id" % 2 === 1).persist()
+      try assert(filterAboveKernel(cachedBad.select("media_id")))
+      finally cachedBad.unpersist()
+    } finally spark.catalog.clearCache()
   }
 
   test("thread-local codec state is safe under concurrent encode/decode") {

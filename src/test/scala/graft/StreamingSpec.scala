@@ -547,9 +547,13 @@ class StreamingSpec extends AnyFunSuite {
       a <- (0L until 100L).view; b <- (a + 1 until 200L).view
       if a % ImagePhash.Groups == b % ImagePhash.Groups && ham(a, b) <= 2
     } yield (a, b)).head
-    val far = (0L until 200L)
+    // the admitted-set assertion needs far(0) and far(1) MUTUALLY far
+    // too (far(1) is checked against the standing index holding far(0)),
+    // so pin that precondition in the selection itself
+    val farCands = (0L until 200L)
       .filter(c => c != near1 && c != near2 && ham(c, near1) > 2 && ham(c, near2) > 2)
-      .take(2)
+    val far = Seq(farCands.head,
+      farCands.find(c => ham(c, farCands.head) > 2).get)
     def pngOf(ids: Seq[Long]) =
       Multimodal.pngMediaTable(spark, ids.toDF("doc_id"))
     val dir = Files.createTempDirectory("graft-stream-png").toString
@@ -586,9 +590,13 @@ class StreamingSpec extends AnyFunSuite {
       a <- (0L until 100L).view; b <- (a + 1 until 200L).view
       if a % VideoFingerprint.Groups == b % VideoFingerprint.Groups && ham(a, b) <= 2
     } yield (a, b)).head
-    val far = (0L until 200L)
+    // the admitted-set assertion needs far(0) and far(1) MUTUALLY far
+    // too (far(1) is checked against the standing index holding far(0)),
+    // so pin that precondition in the selection itself
+    val farCands = (0L until 200L)
       .filter(c => c != near1 && c != near2 && ham(c, near1) > 2 && ham(c, near2) > 2)
-      .take(2)
+    val far = Seq(farCands.head,
+      farCands.find(c => ham(c, farCands.head) > 2).get)
     def gifOf(ids: Seq[Long]) =
       Multimodal.gifMediaTable(spark, ids.toDF("doc_id"))
     val dir = Files.createTempDirectory("graft-stream-gif").toString
