@@ -447,4 +447,3 @@ object Bench {
     println(line)
   }
 }
-

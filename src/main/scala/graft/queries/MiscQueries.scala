@@ -2794,5 +2794,3 @@ object MiscQueries {
       SELECT node, rank FROM it$PagerankIters ORDER BY node"""
   }
 }
-
-
