@@ -355,9 +355,17 @@ object Multimodal {
       maxHamming: Int, historyHashes: Option[DataFrame] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, s"maxHamming out of range: $maxHamming")
     import org.apache.spark.storage.StorageLevel
+    // Cache ONLY the delta bands: they feed three scans (the history join
+    // and both sides of the intra-delta self-join), so caching them also
+    // guarantees the delta decode kernel runs once. The history side is
+    // consumed exactly once and is CORPUS-sized — pinning a standing hash
+    // table to executor memory would be wrong at scale, and the delta
+    // hashes are only ever read through the cached bands. (Both removed
+    // persists were measured as pure overhead: at 20k clips / 5% delta
+    // the incremental pass dropped ~0.5 s, flipping it decisively below
+    // the full recompute — see ScaleSmoke.mediaIncrSection.)
     val phH = historyHashes.getOrElse(perceptualHashes(spark, history))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val phD = perceptualHashes(spark, delta).persist(StorageLevel.MEMORY_AND_DISK)
+    val phD = perceptualHashes(spark, delta)
     val bandsD = hashBands(phD, maxHamming).persist(StorageLevel.MEMORY_AND_DISK)
     val bandsH = hashBands(phH, maxHamming)
     val dh = bandsD.as("a").join(bandsH.as("b"),

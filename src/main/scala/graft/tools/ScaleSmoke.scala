@@ -125,6 +125,7 @@ object ScaleSmoke {
       "pq" -> (() => pqSection(spark, tmp)),
       "bloom" -> (() => bloomSection(spark, copies)),
       "phash" -> (() => phashSection(spark, copies)),
+      "mediaIncr" -> (() => mediaIncrSection(spark, tmp)),
       "topk" -> (() => topkSection(spark, tmp)),
       "bpe" -> (() => bpeSection(spark, tmp, copies)),
       "triangle" -> (() => triangleSection(spark)),
@@ -809,6 +810,81 @@ object ScaleSmoke {
       f"phash scaled super-linearly: ${ratio}%.1f x time for ${copies}x data")
     require(pN < p1 * copies * 4L + 1000L,
       s"phash pair volume grew super-linearly: $pN vs $p1 at 1x")
+  }
+
+  /** Media admission O(delta) — MEASURED, not just plan-pinned: against
+    * a MATERIALIZED media corpus (the production shape — media arrives
+    * as stored bytes, not from a generator), admitting a 5% delta batch
+    * via the standing hash table must (a) return exactly the full
+    * pipeline's pairs restricted to delta-involving ones, (b) verify a
+    * candidate volume proportional to the DELTA, not the corpus, and
+    * (c) beat the full recompute on wall clock. Both production
+    * asymmetries are real here: the incremental path never reads a
+    * history payload (history enters only through its (media_id, phash)
+    * table — one long per item; at a 5k-clip 1x corpus the decode term
+    * is only ~0.2 s parallel and fixed stage overhead inverts the
+    * timing, so the comparison runs at 4x = 20k clips where both terms
+    * dominate), and its banded join is delta-bands x standing-bands
+    * instead of the corpus self-join. GIF is the costliest codec. The
+    * generator's 25-family design makes within-family pair volume
+    * quadratic in family size — which models exactly the
+    * renditions-per-asset growth that near-dup admission exists for. */
+  private def mediaIncrSection(spark: SparkSession, tmp: String): Unit = {
+    import graft.mm.Multimodal
+    val mediaCopies = 4
+    val ids = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id")
+    val idsN = (0 until mediaCopies)
+      .map(c => ids.select((col("doc_id") + lit(c * 10000000L)).as("doc_id")))
+      .reduce(_ unionAll _)
+    Multimodal.gifMediaTable(spark, idsN)
+      .write.mode("overwrite").parquet(s"$tmp/media_gif")
+    val media = spark.read.parquet(s"$tmp/media_gif")
+    val deltaFrac = 20L // 1-in-20 = 5%
+    val delta = media.where(col("media_id") % deltaFrac === 0)
+    val history = media.where(col("media_id") % deltaFrac =!= 0)
+    // the standing hash table ingest maintains in production: built once
+    // here (untimed) and MATERIALIZED, so the timed incremental pass
+    // reads payload bytes for the delta only
+    Multimodal.perceptualHashes(spark, history)
+      .write.mode("overwrite").parquet(s"$tmp/media_gif_ph")
+    val standing = spark.read.parquet(s"$tmp/media_gif_ph")
+    def fullPairs() = Multimodal.phashNearDupPairs(spark, media, maxHamming = 2)
+    def incrPairs() = Multimodal.phashNearDupPairsIncremental(
+      spark, history = media.limit(0), delta = delta, maxHamming = 2,
+      historyHashes = Some(standing))
+    // (a) exactness: incr == full restricted to delta-involving pairs,
+    // checked distributedly (pair volume is quadratic in family size)
+    val expect = fullPairs()
+      .where(col("media_a") % deltaFrac === 0 || col("media_b") % deltaFrac === 0)
+    val incr = incrPairs()
+    val nExpect = expect.count(); val nIncr = incr.count()
+    val missing = expect.exceptAll(incr).count()
+    val extra = incr.exceptAll(expect).count()
+    require(missing == 0 && extra == 0 && nExpect == nIncr,
+      s"incremental admission pairs ($nIncr) != full pipeline restricted to " +
+        s"the delta ($nExpect): missing=$missing extra=$extra")
+    // (b) volume: delta-involving pairs scale with the delta fraction
+    val nFull = fullPairs().count()
+    spark.catalog.clearCache()
+    require(nIncr <= nFull * 2L / deltaFrac + 1000L,
+      s"incremental pair volume $nIncr not delta-proportional (full=$nFull)")
+    // (c) wall clock
+    def fullRun() = { fullPairs().count(); () }
+    def incrRun() = { incrPairs().count(); () }
+    fullRun(); incrRun() // codec + codegen warmup
+    spark.catalog.clearCache()
+    val tFull = med3 { spark.catalog.clearCache(); fullRun() }
+    val tIncr = med3 { spark.catalog.clearCache(); incrRun() }
+    println(f"[scale] media_incr: full=${tFull}%.2f s delta-vs-standing=${tIncr}%.2f s " +
+      f"(ratio ${tIncr / tFull}%.2f, delta=${media.count() / deltaFrac} of ${media.count()} clips, " +
+      f"pairs incr=$nIncr full=$nFull)")
+    require(tIncr < tFull * 1.1,
+      f"delta admission pass (${tIncr}%.2f s) did not beat the full recompute " +
+        f"(${tFull}%.2f s) even with a 10%% noise margin")
+    if (tIncr >= tFull)
+      println(f"[scale] WARN media_incr: delta pass ${tIncr}%.2f s >= full ${tFull}%.2f s " +
+        "(within the 10% noise margin; equality + volume claims already pinned)")
   }
 
   /** TopKAgg vs the window form on HOT groups — the regime the bounded
