@@ -168,9 +168,10 @@ object Dedup {
       history: DataFrame, delta: DataFrame,
       threshold: Double = 0.6, n: Int = 3,
       historySigs: Option[DataFrame] = None): DataFrame = {
+    // bandsH is consumed exactly once (the dh join): never pin the
+    // corpus-sized standing side for a single scan
     val bandsH = bandKeys(
         historySigs.getOrElse(wordMinHashSignatures(history, n = n)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bandsD = bandKeys(wordMinHashSignatures(delta, n = n))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dh = bandsD.as("a").join(bandsH.as("b"),
@@ -193,7 +194,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    Seq(bandsH, bandsD, cand, candSh).foreach(_.unpersist(false))
+    Seq(bandsD, cand, candSh).foreach(_.unpersist(false))
     result
   }
 
@@ -321,11 +322,21 @@ object Dedup {
       history: DataFrame, delta: DataFrame, threshold: Double = 0.8,
       historySigs: Option[DataFrame] = None,
       historyBands: Option[DataFrame] = None): DataFrame = {
-    val sigsH = historySigs.getOrElse(minHashSignatures(history))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The history signatures are read up to three times below (the band
+    // derivation plus both verify sides). In DERIVED mode re-computing
+    // them means re-scanning corpus text, so the one-time pin of the
+    // narrow 16-long rows is worth it; a SUPPLIED standing table is
+    // already a cheap narrow scan that must be neither pinned
+    // (corpus-sized executor memory) nor — as this function previously
+    // did — unpersisted out from under the caller who owns it.
+    val ownedSigsH = historySigs.isEmpty
+    val sigsH = {
+      val s0 = historySigs.getOrElse(minHashSignatures(history))
+      if (ownedSigsH) s0.persist(StorageLevel.MEMORY_AND_DISK) else s0
+    }
     val sigsD = minHashSignatures(delta).persist(StorageLevel.MEMORY_AND_DISK)
     // consumed exactly once (the dh join) — persisting would only add a
-    // materialization pass; it pipelines off persisted sigsH instead
+    // materialization pass; it pipelines off sigsH / the standing scan
     val bandsH = historyBands.getOrElse(bandKeys(sigsH))
     val bandsD = bandKeys(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
     val dh = bandsD.as("a").join(bandsH.as("b"),
@@ -339,10 +350,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand0 = dh.union(dd).distinct()
     // by NAME: caller-provided history signature tables may order their
-    // columns differently than minHashSignatures emits them
-    val sigs = sigsH.unionByName(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
+    // columns differently than minHashSignatures emits them. No persist:
+    // both union sides are either pinned above or a cheap standing scan,
+    // so pinning the union would hold a SECOND corpus-sized copy.
+    val sigs = sigsH.unionByName(sigsD)
     val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
-    Seq(sigsH, sigsD, bandsD, sigs).foreach(_.unpersist(false))
+    (Seq(sigsD, bandsD) ++ (if (ownedSigsH) Seq(sigsH) else Nil))
+      .foreach(_.unpersist(false))
     result
   }
 
@@ -554,8 +568,11 @@ object Dedup {
   def simHashPairsIncremental(
       history: DataFrame, delta: DataFrame, maxHamming: Int = 3,
       historyBands: Option[DataFrame] = None): DataFrame = {
+    // consumed exactly once (the delta × history collide) — persisting
+    // the CORPUS-sized standing side would add a materialization pass
+    // and pin standing state to executor memory for nothing (the same
+    // single-use pin the media-incr A/B measured as pure overhead)
     val bh = historyBands.getOrElse(simHashBands(history))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val bd = simHashBands(delta).persist(StorageLevel.MEMORY_AND_DISK)
     def collide(l: DataFrame, r0: DataFrame, ordered: Boolean) = {
       val cond0 = col("a.band") === col("b.band") &&
@@ -576,7 +593,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bh.unpersist(false)
     bd.unpersist(false)
     result
   }

@@ -124,8 +124,16 @@ object CosineLsh {
       bits: Option[Int] = None,
       historyBuckets: Option[DataFrame] = None): DataFrame = {
     val b = bits.getOrElse(bitsFor(history.count() + delta.count()))
-    val baseH = historyBuckets.getOrElse(bucketed(history, b))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The history buckets are read three times below (the collision join
+    // and both verify sides). In DERIVED mode that's three re-hashings of
+    // the corpus, so the one-time pin pays; a SUPPLIED standing index is
+    // a cheap narrow scan that must not be pinned (corpus-sized executor
+    // memory) or unpersisted out from under the caller who owns it.
+    val ownedH = historyBuckets.isEmpty
+    val baseH = {
+      val b0 = historyBuckets.getOrElse(bucketed(history, b))
+      if (ownedH) b0.persist(StorageLevel.MEMORY_AND_DISK) else b0
+    }
     val baseD = bucketed(delta, b).persist(StorageLevel.MEMORY_AND_DISK)
     def ids(base: DataFrame) = base.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
@@ -150,7 +158,7 @@ object CosineLsh {
       .orderBy("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize while the bucketed bases are cached
-    baseH.unpersist(false)
+    if (ownedH) baseH.unpersist(false)
     baseD.unpersist(false)
     result
   }

