@@ -350,12 +350,19 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cand0 = dh.union(dd).distinct()
     // by NAME: caller-provided history signature tables may order their
-    // columns differently than minHashSignatures emits them. No persist:
-    // both union sides are either pinned above or a cheap standing scan,
-    // so pinning the union would hold a SECOND corpus-sized copy.
-    val sigs = sigsH.unionByName(sigsD)
+    // columns differently than minHashSignatures emits them. The verify
+    // stage scans this union twice (both sides of the agreement join);
+    // round 11 un-pinned it unconditionally and the quiet-machine
+    // singleton re-measure showed that causal: 3.80 → 5.36 s at sf0.1
+    // (re-evaluating the union of two cached relations per scan). Pin it
+    // in DERIVED mode only, where both sides are this call's own
+    // short-lived pins; a SUPPLIED standing side stays unpinned — the
+    // union would hold a second corpus-sized copy in executor memory and
+    // the caller owns the standing table's lifecycle (round-11 rule).
+    val sigs0 = sigsH.unionByName(sigsD)
+    val sigs = if (ownedSigsH) sigs0.persist(StorageLevel.MEMORY_AND_DISK) else sigs0
     val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
-    (Seq(sigsD, bandsD) ++ (if (ownedSigsH) Seq(sigsH) else Nil))
+    (Seq(sigsD, bandsD) ++ (if (ownedSigsH) Seq(sigs, sigsH) else Nil))
       .foreach(_.unpersist(false))
     result
   }
