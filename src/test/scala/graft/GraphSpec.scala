@@ -246,6 +246,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got0._2 == 0L && got0._3 == hTri)
   }
 
+  test("triangleInsert degree-ordered probe is exact, incl. nodes absent from standing degrees") {
+    // hub 1 with leaves 2..6 + edge (2,3): standing degrees make 1 the
+    // clear hub, so every delta edge touching it must probe from the
+    // OTHER endpoint — and the count must not care. Delta closes {1,2,4}
+    // and {1,3,4} via new node-4 edges (4 has NO standing degree row —
+    // coalesce-to-0 path), plus a delta-only triangle {7,8,9}.
+    val history = Seq((1L, 2L), (1L, 3L), (1L, 5L), (1L, 6L), (2L, 3L))
+    val delta = Seq((1L, 4L), (2L, 4L), (3L, 4L),
+      (7L, 8L), (7L, 9L), (8L, 9L))
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleStats(edges.toDF("a", "b")).head().getLong(3)
+    val hTri = tri(history)
+    val standingDeg = history.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).toSeq
+      .map { case (u, xs) => (u, xs.size.toLong) }.toDF("u", "dg")
+    val ordered = Graph.triangleInsert(history.toDF("a", "b"),
+        delta.toDF("a", "b"), hTri, Some(standingDeg))
+      .as[(Long, Long, Long)].collect().head
+    val full = tri(history ++ delta)
+    assert(ordered._3 == full,
+      "degree-ordered incremental total must equal the from-scratch census")
+    // and it must agree with the anchor-a (maintenance-free) form: the
+    // probe side is a cost choice, never a semantic one
+    val anchored = Graph.triangleInsert(history.toDF("a", "b"),
+        delta.toDF("a", "b"), hTri)
+      .as[(Long, Long, Long)].collect().head
+    assert(ordered == anchored)
+  }
+
   test("modularity: exact rational on the two-community split; 0 for one community") {
     // m=7, intra=6 (bridge crosses), d_c = 7 each, sum d_c^2 = 98:
     // Q = (4*7*6 - 98) / (4*49) = 70/196 = 0.357143 (6dp).
