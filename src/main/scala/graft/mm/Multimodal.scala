@@ -333,12 +333,18 @@ object Multimodal {
       col("media_id").as("media_a"), col("phash").as("pa"))
     val rhs = bands.select(col("b").as("b2"), col("nib").as("nib2"),
       col("media_id").as("media_b"), col("phash").as("pb"))
-    verifiedHammingPairs(
+    // materialize-and-release, like Dedup.simHashPairs: the hash pin must
+    // not outlive the call (r11 advice — lazy returns leaked it)
+    val result = verifiedHammingPairs(
       lhs.join(rhs,
           col("b") === col("b2") && col("nib") === col("nib2") &&
             col("media_a") < col("media_b"))
         .select("media_a", "media_b", "pa", "pb"),
       maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    ph.unpersist(false)
+    result
   }
 
   /** Incremental pHash near-dup: a new batch against an already-hashed
@@ -383,7 +389,17 @@ object Multimodal {
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         col("a.phash").as("pa"), col("b.phash").as("pb"))
-    verifiedHammingPairs(dh.union(dd), maxHamming)
+    // Materialize the (delta-bounded) pair result while bandsD is cached,
+    // then release the band pin — same ownership shape as
+    // Dedup.simHashPairsIncremental. Without this the function returned
+    // lazily and bandsD stayed pinned forever; the streaming sink
+    // (toPhashDedupSink) calls this once per micro-batch and leaked one
+    // cached relation per batch (r11 advice).
+    val result = verifiedHammingPairs(dh.union(dd), maxHamming)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    bandsD.unpersist(false)
+    result
   }
 
   /** Frame sampling: slice the payload into `n` evenly-spaced fixed-size

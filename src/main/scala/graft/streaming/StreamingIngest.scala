@@ -577,6 +577,11 @@ object StreamingIngest {
     val admitted = batch
       .join(broadcast(drops), Seq("media_id"), "left_anti")
       .localCheckpoint(true)
+    // the pair builders return a PINNED result (materialize-and-release
+    // of their internal caches); the eager checkpoint above consumed it,
+    // so release it here — per-batch sinks must not accrete one cached
+    // pair relation per micro-batch (r11 advice)
+    pairs.unpersist(false)
     if (!admitted.isEmpty) {
       writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
         full, tagColumn)

@@ -33,6 +33,16 @@ object ScaleSmoke {
     ts(1)
   }
 
+  /** Median-of-5 — for the one A/B whose honest ratio wanders 0.6-1.25x
+    * (emb_incr): the extra two samples buy a tighter regression gate
+    * (1.5x instead of 2x) without risking noise-flakes (r11 advice). */
+  private def med5(f: => Unit): Double = {
+    val ts = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.sorted
+    ts(2)
+  }
+
   private def replicate(docs: DataFrame, copies: Int): DataFrame = {
     val n = 10000000L
     val salted = (0 until copies).map { c =>
@@ -400,9 +410,9 @@ object ScaleSmoke {
     val histBuckets = CosineLsh.bucketed(embN.where(!isDelta), bitsN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     histBuckets.count()
-    val tFull = med3(
+    val tFull = med5(
       CosineLsh.nearDupPairs(embN, 0.45, Some(bitsN)).unpersist())
-    val tIncr = med3(
+    val tIncr = med5(
       CosineLsh.nearDupPairsIncremental(
         embN.where(!isDelta), embN.where(isDelta), 0.45, Some(bitsN),
         historyBuckets = Some(histBuckets)).unpersist())
@@ -413,9 +423,11 @@ object ScaleSmoke {
     // joins; measured across quiet re-runs the ratio wanders 0.6-1.25x
     // with the same code). The hard claim — history is never re-hashed —
     // is the 1x equality above plus the stored-index argument, so the
-    // time gate is a GROSS-regression bound, not a race: 2x catches a
-    // reintroduced history self-join while staying out of noise range.
-    require(tIncr < tFull * 2.0,
+    // time gate is a GROSS-regression bound, not a race: with med-of-5
+    // samples, 1.5x sits above the observed noise band's 1.25x ceiling
+    // while still catching a reintroduced history self-join (r11 advice:
+    // the earlier med-of-3 needed a looser 2x).
+    require(tIncr < tFull * 1.5,
       f"5%% delta against a stored index (${tIncr}%.2f s) cost far more " +
         f"than the full recompute (${tFull}%.2f s)")
     if (tIncr >= tFull)
@@ -873,10 +885,11 @@ object ScaleSmoke {
     * generator's 25-family design makes within-family pair volume
     * quadratic in family size — which models exactly the
     * renditions-per-asset growth that near-dup admission exists for. */
-  private def mediaIncrSection(spark: SparkSession, tmp: String): Unit = {
+  private def mediaIncrSection(spark: SparkSession, tmp: String,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
     import graft.mm.Multimodal
     val mediaCopies = 4
-    val ids = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val ids = Tables.load(spark, sfDir, "documents")
       .select("doc_id")
     val idsN = (0 until mediaCopies)
       .map(c => ids.select((col("doc_id") + lit(c * 10000000L)).as("doc_id")))
