@@ -274,16 +274,14 @@ object ScaleSmoke {
       "orientation did not reduce wedge-path work")
   }
 
-  /** Incremental triangle maintenance at scale: on the sf0.1 co-occurrence
-    * graph split 19:1 (standing : insert batch), Graph.triangleInsert with
-    * a precomputed standing count — the production shape, where the scalar
-    * is stored state — must (a) equal the from-scratch census exactly and
-    * (b) beat the full recompute on wall clock. Equality is the hard
-    * claim; the wall-clock direction gets the 10% noise margin (the
-    * minhashIndex lesson — ordinary host noise must not fail the smoke
-    * when the structural claim already holds). */
-  def triangleIncrSection(spark: SparkSession,
-      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+  /** Timing-free core of [[triangleIncrSection]] (census equality under
+    * both probe orders + the degree-ordered fan-out audit) — runs on
+    * every `sbt test` via ScaleSmokeSpec, per the round-8 lesson that
+    * hard asserts living only in a manual main regress silently. Returns
+    * the derived relations so the timing tail shares one derivation. */
+  def triangleIncrVolumeSection(spark: SparkSession,
+      sfDir: String = "/root/testdata/sf0.1")
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
     // same shared derivation as triangleSection (one source of truth)
     val e = graft.queries.MiscQueries.coEdges(spark, sfDir)
       .localCheckpoint(true)
@@ -336,6 +334,22 @@ object ScaleSmoke {
       s"degree-ordered probe did not reduce expansion (max $maxNew vs $maxOld, sum $sumNew vs $sumOld)")
     require(maxNew <= swCap,
       s"max ordered probe fan-out $maxNew exceeds sqrt(2m)=$swCap on this graph")
+    (e, delta, history, standingTri, fullTri)
+  }
+
+  /** Incremental triangle maintenance at scale: on the sf0.1 co-occurrence
+    * graph split 19:1 (standing : insert batch), Graph.triangleInsert with
+    * a precomputed standing count — the production shape, where the scalar
+    * is stored state — must (a) equal the from-scratch census exactly
+    * (the volume core above, also CI-run via ScaleSmokeSpec) and (b) beat
+    * the full recompute on wall clock. Equality is the hard claim; the
+    * wall-clock direction gets the 10% noise margin (the minhashIndex
+    * lesson — ordinary host noise must not fail the smoke when the
+    * structural claim already holds). Manual-main only (quiet machine). */
+  def triangleIncrSection(spark: SparkSession,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+    val (e, delta, history, standingTri, _) =
+      triangleIncrVolumeSection(spark, sfDir)
     def fullRun() = { graft.operators.Graph.triangleStats(e).head(); () }
     def incrRun() = {
       graft.operators.Graph.triangleInsert(history, delta, standingTri).head()

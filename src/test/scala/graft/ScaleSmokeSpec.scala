@@ -30,6 +30,14 @@ class ScaleSmokeSpec extends AnyFunSuite {
     ScaleSmoke.triangleSection(spark, sfDir = sf)
   }
 
+  test("incremental triangles: exact under both probe orders; degree-ordered fan-out reduced and sqrt(2m)-bounded") {
+    // asserts: triangleInsert == from-scratch census with and without the
+    // standing degree table; the degree-ordered probe's per-delta-edge
+    // expansion is <= the anchor-a form on both max and sum and under the
+    // sqrt(2m) cap — all row-count claims, safe under CI contention
+    ScaleSmoke.triangleIncrVolumeSection(spark, sfDir = sf)
+  }
+
   test("kCore peel shrinks monotonically and converges on the co-occurrence graph") {
     // The checkpointed peel's census must show monotone non-increasing
     // node/edge counts (peeling only removes) and reach a zero-removal
