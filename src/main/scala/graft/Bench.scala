@@ -361,6 +361,15 @@ object Bench {
     } catch { case _: Throwable => Set.empty }
   }
 
+  /** Emergency flush armed by parentMain: if the process is TERMinated
+    * before the normal report (driver timeout — `timeout(1)` sends
+    * SIGTERM first, and the JVM runs shutdown hooks on it), print the
+    * best-effort compact line from whatever has been measured so far,
+    * with the unmeasured remainder named under "skipped". A partial
+    * record whose last stdout line parses beats r11's `parsed: null`
+    * even when the exit code still reads 124. Cleared on normal report. */
+  @volatile private var emergencyFlush: Option[() => Unit] = None
+
   private def parentMain(): Unit = {
     val runT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - runT0) / 1e9
@@ -382,6 +391,20 @@ object Bench {
     val nShards = shards.size
     val merged = collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val skipped = collection.mutable.Buffer[String]()
+    // `merged` is mutated between shard spawns on the main thread and
+    // snapshotted by the shutdown hook on TERM — synchronize both sides.
+    val mergedLock = new Object
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      emergencyFlush.foreach { flush =>
+        System.err.println("[bench] TERMINATED before normal report — flushing partial record")
+        flush()
+      }))
+    emergencyFlush = Some { () =>
+      val snap = mergedLock.synchronized { merged.toMap }
+      val unmeasured = names.filterNot(snap.contains)
+      report(names.map(n => n -> snap.getOrElse(n, Seq.empty)),
+        stillNoisy = Set.empty, skipped = unmeasured, subset = only.isDefined)
+    }
     var fallback: SparkSession = null
     shards.zipWithIndex.foreach { case (shardNames, i) =>
       if (elapsedS > BudgetS) {
@@ -399,7 +422,9 @@ object Bench {
           measure(fallback, shardNames).toMap
         }
         System.err.println(f"[bench] shard ${i + 1}/$nShards done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
-        shardNames.foreach(n => merged(n) = res.getOrElse(n, Seq.empty))
+        mergedLock.synchronized {
+          shardNames.foreach(n => merged(n) = res.getOrElse(n, Seq.empty))
+        }
       }
     }
     // Contention re-run: a max/min beyond SpreadBar inside one fresh JVM is
@@ -436,13 +461,17 @@ object Bench {
           }
           val retryTs = res.getOrElse(n, Seq.empty)
           if (retryTs.isEmpty || noisy(retryTs)) next += n
-          merged(n) = merged(n) ++ retryTs
+          mergedLock.synchronized { merged(n) = merged(n) ++ retryTs }
         }
       }
       shardBase += pending.size
       pending = next.toSeq
     }
     if (fallback != null) fallback.stop()
+    // disarm the emergency flush BEFORE the normal report: a TERM landing
+    // between the two would otherwise print the compact line twice and
+    // the driver could tail-capture the partial one
+    emergencyFlush = None
     System.err.println(f"[bench] run complete in $elapsedS%.0f s (budget $BudgetS%.0f s)")
     report(names.map(n => n -> merged.getOrElse(n, Seq.empty)), pending.toSet,
       skipped = skipped.toSeq, subset = only.isDefined)
