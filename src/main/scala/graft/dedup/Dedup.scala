@@ -629,6 +629,93 @@ object Dedup {
     result
   }
 
+  /** Shared prelude of the winnowing pair pipelines: per-doc winnowed
+    * fingerprints (distinct), with the stop-fingerprint document-frequency
+    * cap applied BEFORE any pair join — a corpus-wide fingerprint (a
+    * boilerplate header in thousands of docs) must never fan out
+    * quadratically. Requires the `winnow` SQL function
+    * ([[graft.GraftSession.tune]] registers it). Docs shorter than
+    * k + w − 1 chars have no complete winnow window and are dropped. */
+  private[graft] def winnowKeep(docs: DataFrame, k: Int, w: Int,
+      dfCap: Int): DataFrame = {
+    val fps = docs.where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), explode(expr(s"winnow(text, $k, $w)")).as("fp"))
+      .distinct()
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    fps.join(df.where(col("df") <= dfCap), "fp")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Resemblance tail shared by the winnow pipelines: shared-fingerprint
+    * count ≥ minShared, resemblance = shared / (na + nb − shared). */
+  private def winnowResemblance(
+      pairs0: org.apache.spark.sql.RelationalGroupedDataset,
+      sizes: DataFrame, minShared: Int): DataFrame =
+    pairs0
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double")
+          / (col("na") + col("nb") - col("shared")).cast("double"), 6)
+          .as("resemblance"))
+      .orderBy("doc_a", "doc_b")
+
+  /** Winnowing positional near-dup pairs (Schleimer–Wilkerson–Aiken,
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"
+    * — public methodology): k-gram rolling hashes winnowed to one
+    * fingerprint per w-window, stop-fingerprint df cap, pairs sharing
+    * ≥ minShared fingerprints scored by resemblance. Every join is equi
+    * on the fingerprint or doc key; the fingerprint relation is ~1/w the
+    * gram volume by construction. */
+  def winnowPairs(docs: DataFrame, k: Int = 16, w: Int = 16,
+      dfCap: Int = 10, minShared: Int = 3): DataFrame = {
+    val keep = winnowKeep(docs, k, w, dfCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val result = winnowResemblance(
+      keep.as("a").join(keep.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      sizes, minShared)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    keep.unpersist(false)
+    result
+  }
+
+  /** Incremental winnow near-dup — the delta-vs-standing shape of
+    * [[winnowPairs]]: only pairs with at least one DELTA side are
+    * enumerated (delta×history every collision, delta×delta once in
+    * canonical order — no post-hoc DISTINCT), so the pair join is
+    * O(delta × fingerprint-occupancy), never O(corpus²). Equals the full
+    * pipeline restricted to delta-involving pairs. `deltaPred` marks the
+    * delta docs by id (in production the standing fingerprint table
+    * carries the split; df caps and sizes still come from the UNION
+    * corpus, exactly as a maintained standing df table would). */
+  def winnowPairsIncremental(docs: DataFrame,
+      deltaPred: Column => Column, k: Int = 16, w: Int = 16,
+      dfCap: Int = 10, minShared: Int = 3): DataFrame = {
+    val keep = winnowKeep(docs, k, w, dfCap)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keepD = keep.where(deltaPred(col("doc_id")))
+    val result = winnowResemblance(
+      keepD.as("a").join(keep.as("b"),
+          col("a.fp") === col("b.fp") &&
+            col("a.doc_id") =!= col("b.doc_id") &&
+            (!deltaPred(col("b.doc_id")) ||
+              col("a.doc_id") < col("b.doc_id")))
+        .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")),
+      sizes, minShared)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    keep.unpersist(false)
+    result
+  }
+
   /** Word-gram width for [[duplicatedSpanStats]]: long enough that random
     * token runs rarely collide even over a small vocabulary, short enough
     * to catch copied passages well below document length. */

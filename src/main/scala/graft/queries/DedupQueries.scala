@@ -945,31 +945,7 @@ object DedupQueries {
     // key; the fingerprint relation is ~1/8 the gram volume by
     // construction.
     "dedup_winnow_pairs" -> QueryDef(
-      fn = (s, d) => {
-        val fps = t(s, d, "documents").where(length(col("text")) >= 31)
-          .select(col("doc_id"), explode(expr("winnow(text, 16, 16)")).as("fp"))
-          .distinct()
-        val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        val keep = fps.join(df.where(col("df") <= 10), "fp")
-          .select(col("doc_id"), col("fp"))
-          .persist()
-        val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = keep.as("a").join(keep.as("b"),
-            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-          .where(col("shared") >= 3)
-        pairs
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-            "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("shared"),
-            round(col("shared").cast("double")
-              / (col("na") + col("nb") - col("shared")).cast("double"), 6)
-              .as("resemblance"))
-          .orderBy("doc_a", "doc_b")
-      },
+      fn = (s, d) => Dedup.winnowPairs(t(s, d, "documents")),
       oracle = Some(s"""
         WITH ${graft.functions.Winnow.fpCtesSql(16, 16)},
         fps AS (SELECT DISTINCT doc_id, h FROM selq),
@@ -1007,35 +983,8 @@ object DedupQueries {
     // Equals the full pipeline restricted to pairs with a delta side,
     // which is exactly how the oracle replays it.
     "dedup_winnow_incr" -> QueryDef(
-      fn = (s, d) => {
-        val fps = t(s, d, "documents").where(length(col("text")) >= 31)
-          .select(col("doc_id"), explode(expr("winnow(text, 16, 16)")).as("fp"))
-          .distinct()
-        val df = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        val keep = fps.join(df.where(col("df") <= 10), "fp")
-          .select(col("doc_id"), col("fp"))
-          .persist()
-        val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val keepD = keep.where(col("doc_id") % 2 === 1)
-        val pairs = keepD.as("a").join(keep.as("b"),
-            col("a.fp") === col("b.fp") &&
-              col("a.doc_id") =!= col("b.doc_id") &&
-              (col("b.doc_id") % 2 === 0 || col("a.doc_id") < col("b.doc_id")))
-          .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-          .where(col("shared") >= 3)
-        pairs
-          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-            "doc_b")
-          .select(col("doc_a"), col("doc_b"), col("shared"),
-            round(col("shared").cast("double")
-              / (col("na") + col("nb") - col("shared")).cast("double"), 6)
-              .as("resemblance"))
-          .orderBy("doc_a", "doc_b")
-      },
+      fn = (s, d) => Dedup.winnowPairsIncremental(
+        t(s, d, "documents"), deltaPred = _ % 2 === 1),
       oracle = Some(s"""
         WITH ${graft.functions.Winnow.fpCtesSql(16, 16)},
         fps AS (SELECT DISTINCT doc_id, h FROM selq),

@@ -140,6 +140,7 @@ object ScaleSmoke {
       "bpe" -> (() => bpeSection(spark, tmp, copies)),
       "triangle" -> (() => triangleSection(spark)),
       "triangleIncr" -> (() => triangleIncrSection(spark)),
+      "simhashWinnowIncr" -> (() => simhashWinnowIncrVolumeSection(spark)),
       "mauSketch" -> (() => mauSketchSection(spark, copies)))
     sections
       .filter { case (n, _) => sectionFilter.forall(f => n.toLowerCase.contains(f.toLowerCase)) }
@@ -364,6 +365,73 @@ object ScaleSmoke {
       f"delta triangle pass (${tIncr}%.2f s) did not beat the full recompute (${tFull}%.2f s) even with a 10%% noise margin")
     if (tIncr >= tFull)
       println(f"[scale] WARN triangle_incr: delta pass ${tIncr}%.2f s >= full ${tFull}%.2f s (within the 10%% noise margin; equality claim already pinned)")
+  }
+
+  /** Timing-free O(delta) audit for the two banded near-dup families
+    * whose incremental claim was still only plan-pinned (simhash,
+    * winnow; minhash/embedding/containment/span/novelty/media already
+    * have measured sections): on the sf0.1 documents with a 5% delta
+    * split, (a) the incremental pair set EQUALS the full pipeline
+    * restricted to delta-involving pairs, and (b) the collision volume
+    * the incremental join enumerates is delta-proportional — hard
+    * row-count bounds (≤ 2× the ideal 2·f fraction), not wall-clock
+    * races, so they run on every `sbt test` via ScaleSmokeSpec. */
+  def simhashWinnowIncrVolumeSection(spark: SparkSession,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+    import org.apache.spark.sql.Column
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dMod = 20
+    def isDelta(id: Column): Column = id % dMod === 0
+
+    // --- SimHash ---
+    val fullS = Dedup.simHashPairs(docs, 3)
+    val expectS = fullS.where(isDelta(col("doc_a")) || isDelta(col("doc_b")))
+    val incrS = Dedup.simHashPairsIncremental(
+      docs.where(!isDelta(col("doc_id"))), docs.where(isDelta(col("doc_id"))), 3)
+    val missS = expectS.exceptAll(incrS).count()
+    val extraS = incrS.exceptAll(expectS).count()
+    require(missS == 0 && extraS == 0,
+      s"simhash incr != delta-involving slice of full: missing=$missS extra=$extraS")
+    val bu = Dedup.simHashBands(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bu.count()
+    val bd = bu.where(isDelta(col("doc_id")))
+    def bandCond = col("a.band") === col("b.band") &&
+      col("a.band_val") === col("b.band_val")
+    val fullCollS = bu.as("a").join(bu.as("b"),
+      bandCond && col("a.doc_id") < col("b.doc_id")).count()
+    val incrCollS = bd.as("a").join(bu.as("b"),
+      bandCond && col("a.doc_id") =!= col("b.doc_id")).count()
+    println(s"[scale] simhash_incr volume: incr collisions=$incrCollS " +
+      s"vs full self-join=$fullCollS (delta 1/$dMod)")
+    // ideal delta-involving fraction ≈ 2/dMod of the full self-join
+    // (delta-history once + delta-delta twice under =!=); 2x margin for
+    // non-uniform dup clusters
+    require(incrCollS * dMod <= fullCollS * 4,
+      s"simhash incremental collision volume not delta-proportional: $incrCollS * $dMod > $fullCollS * 4")
+    fullS.unpersist(false); incrS.unpersist(false); bu.unpersist(false)
+
+    // --- Winnow ---
+    val fullW = Dedup.winnowPairs(docs)
+    val expectW = fullW.where(isDelta(col("doc_a")) || isDelta(col("doc_b")))
+    val incrW = Dedup.winnowPairsIncremental(docs, isDelta)
+    val missW = expectW.exceptAll(incrW).count()
+    val extraW = incrW.exceptAll(expectW).count()
+    require(missW == 0 && extraW == 0,
+      s"winnow incr != delta-involving slice of full: missing=$missW extra=$extraW")
+    val keep = Dedup.winnowKeep(docs, 16, 16, 10)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    keep.count()
+    val kd = keep.where(isDelta(col("doc_id")))
+    val fullCollW = keep.as("a").join(keep.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id")).count()
+    val incrCollW = kd.as("a").join(keep.as("b"),
+      col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id")).count()
+    println(s"[scale] winnow_incr volume: incr collisions=$incrCollW " +
+      s"vs full self-join=$fullCollW (delta 1/$dMod)")
+    require(incrCollW * dMod <= fullCollW * 4,
+      s"winnow incremental collision volume not delta-proportional: $incrCollW * $dMod > $fullCollW * 4")
+    fullW.unpersist(false); incrW.unpersist(false); keep.unpersist(false)
   }
 
   /** Bloom join pruning at scale: the bit table self-sizes with the keyset

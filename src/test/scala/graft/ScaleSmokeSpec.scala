@@ -38,6 +38,14 @@ class ScaleSmokeSpec extends AnyFunSuite {
     ScaleSmoke.triangleIncrVolumeSection(spark, sfDir = sf)
   }
 
+  test("simhash/winnow incremental: exact delta slice; collision volume delta-proportional") {
+    // asserts: incr pair set == full restricted to delta-involving pairs
+    // for BOTH families, and the incremental band/fingerprint join
+    // enumerates <= 2x the ideal delta fraction of the full self-join's
+    // collisions — row-count claims, safe under CI contention
+    ScaleSmoke.simhashWinnowIncrVolumeSection(spark, sfDir = sf)
+  }
+
   test("kCore peel shrinks monotonically and converges on the co-occurrence graph") {
     // The checkpointed peel's census must show monotone non-increasing
     // node/edge counts (peeling only removes) and reach a zero-removal
