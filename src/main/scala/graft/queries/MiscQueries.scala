@@ -2574,9 +2574,14 @@ object MiscQueries {
         // the history census
         val standingTri = graft.operators.Graph.triangleStats(history)
           .head().getLong(3)
+        // pinned like `edges`: triangleInsert scans the degree table once
+        // per endpoint join, and production reads a STORED table — an
+        // unpinned inline aggregate would honestly-but-pointlessly run
+        // twice per probe
         val standingDeg = history
           .select(explode(array(col("a"), col("b"))).as("u"))
           .groupBy("u").agg(count(lit(1)).as("dg"))
+          .localCheckpoint(true)
         graft.operators.Graph.triangleInsert(history, delta, standingTri,
           standingDegrees = Some(standingDeg))
       },
