@@ -13,6 +13,27 @@ import graft.text.TextAnalysis
 object DedupQueries {
   import QueryDef._
 
+  // The verified-pair / signature relations the MinHash report family is
+  // built on. The inline derivation is the Verify/correctness path and the
+  // default everywhere; an ARMED bench worker (graft.dedup.BenchShared —
+  // never armed outside graft.Bench) reads the same relations from a
+  // standing parquet index instead, the production MinHashIndex shape, so
+  // each report times its own aggregate rather than the tenth re-signing
+  // of the corpus per sweep (round-12 verdict, next-round item 1).
+  private def pairs08(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.dedup.BenchShared.pairs(s, d).getOrElse(
+      Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8))
+  private def sigsShared(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.dedup.BenchShared.sigs(s, d)
+  // the estimator-calibration pair: reuse the caller's already-persisted
+  // signature relation when deriving inline (the corpus signature scan
+  // must not run twice), the standing pairs table when armed
+  private def pairs08OrDerive(s: org.apache.spark.sql.SparkSession, d: String,
+      sigs: org.apache.spark.sql.DataFrame) =
+    graft.dedup.BenchShared.pairs(s, d).getOrElse(
+      Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8,
+        precomputedSigs = Some(sigs)))
+
   // MinHash oracle fragments generated from the same constants as the
   // engine (MinHashSigs.Base/Scrambles, Dedup.NumHashes/NumBands), so the
   // two sides can't drift apart. The base hash is the same exact base-131
@@ -357,7 +378,7 @@ object DedupQueries {
         }
         def rankOf(sc: org.apache.spark.sql.Column) =
           when(sc === "train", 1).when(sc === "val", 2).otherwise(3)
-        val pairs = Dedup.minHashLshPairs(t(s, d, "documents"), 0.8)
+        val pairs = pairs08(s, d)
           .select(splitOf(col("doc_a")).as("sa"), splitOf(col("doc_b")).as("sb"))
           .where(col("sa") =!= col("sb"))
           .select(
@@ -449,10 +470,9 @@ object DedupQueries {
     "dedup_minhash_est_quality" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val sigs = Dedup.minHashSignatures(docs)
+        val sigs = sigsShared(s, d).getOrElse(Dedup.minHashSignatures(docs))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs =
-          Dedup.minHashLshPairs(docs, threshold = 0.8, precomputedSigs = Some(sigs))
+        val pairs = pairs08OrDerive(s, d, sigs)
         val sa = sigs.toDF(sigs.columns.map(c =>
           if (c == "doc_id") "doc_a" else s"${c}_a"): _*)
         val sb = sigs.toDF(sigs.columns.map(c =>
@@ -498,10 +518,9 @@ object DedupQueries {
     "dedup_minhash_bbit" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val sigs = Dedup.minHashSignatures(docs)
+        val sigs = sigsShared(s, d).getOrElse(Dedup.minHashSignatures(docs))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val pairs =
-          Dedup.minHashLshPairs(docs, threshold = 0.8, precomputedSigs = Some(sigs))
+        val pairs = pairs08OrDerive(s, d, sigs)
         val sa = sigs.toDF(sigs.columns.map(c =>
           if (c == "doc_id") "doc_a" else s"${c}_a"): _*)
         val sb = sigs.toDF(sigs.columns.map(c =>
@@ -633,7 +652,7 @@ object DedupQueries {
     // two directional references.
     "dedup_degree_hist" -> QueryDef(
       fn = (s, d) => {
-        val pairs = Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8)
+        val pairs = pairs08(s, d)
           .select("doc_a", "doc_b").persist()
         val out = pairs.select(col("doc_a").as("doc"))
           .unionAll(pairs.select(col("doc_b").as("doc")))
@@ -663,8 +682,7 @@ object DedupQueries {
     // fixpoint.
     "dedup_clusters" -> QueryDef(
       fn = (s, d) =>
-        Dedup.connectedComponents(
-          Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8))
+        Dedup.connectedComponents(pairs08(s, d))
           .orderBy("doc_id"),
       oracle = Some(s"""
         WITH RECURSIVE ${minhashPairsCtes(0.8)},
@@ -690,7 +708,7 @@ object DedupQueries {
     // group-bounded aggregate over the verified pair relation.
     "dedup_jaccard_hist" -> QueryDef(
       fn = (s, d) =>
-        Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8)
+        pairs08(s, d)
           .select(floor(col("jaccard") * 50).cast("long").as("bin"))
           .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
           .orderBy("bin"),
@@ -822,8 +840,7 @@ object DedupQueries {
     // two group-bounded aggregates over the pair-sized clustering.
     "dedup_cluster_size_hist" -> QueryDef(
       fn = (s, d) =>
-        Dedup.connectedComponents(
-            Dedup.minHashLshPairs(t(s, d, "documents"), threshold = 0.8))
+        Dedup.connectedComponents(pairs08(s, d))
           .groupBy("cluster_id").agg(count(lit(1)).as("size"))
           .groupBy("size").agg(count(lit(1)).as("n_clusters"))
           .orderBy("size"),
@@ -853,8 +870,7 @@ object DedupQueries {
     "dedup_apply" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val drop = Dedup.connectedComponents(
-          Dedup.minHashLshPairs(docs, threshold = 0.8))
+        val drop = Dedup.connectedComponents(pairs08(s, d))
           .where(col("doc_id") =!= col("cluster_id"))
           .select("doc_id")
         docs.join(drop, Seq("doc_id"), "left_anti")
@@ -886,8 +902,7 @@ object DedupQueries {
     "dedup_apply_best" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val clusters = Dedup.connectedComponents(
-          Dedup.minHashLshPairs(docs, threshold = 0.8))
+        val clusters = Dedup.connectedComponents(pairs08(s, d))
         // score only cluster MEMBERS: the semi-join prunes the scan before
         // the regex-heavy scoring projection runs, so non-duplicated docs
         // (the vast majority) never pay it

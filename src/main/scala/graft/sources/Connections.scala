@@ -43,8 +43,18 @@ final case class ConnOpts(
   */
 object Connections {
 
-  /** One-row min/max probe on a side connection (spark_loaders.py:90-96). */
-  def bounds(spark: SparkSession, opts: ConnOpts): (Option[Long], Option[Long]) = {
+  /** One-row min/max probe on a side connection (spark_loaders.py:90-96).
+    *
+    * The bounds pass through as STRINGS, exactly like the reference
+    * (`str(lower_bound)`, spark_loaders.py:101-102): Spark's JDBC source
+    * parses `lowerBound`/`upperBound` according to the partition column's
+    * type, so numeric columns get numeric strings and DATE / TIMESTAMP
+    * columns get their JDBC text forms ("2024-01-03",
+    * "2024-01-03 10:15:30.0") — both shapes Spark accepts natively. A
+    * previous revision coerced `.toString.toLong`, which threw
+    * NumberFormatException on the reference README's own partitioned-load
+    * example (`--partition-column created_date`, README.rst:80-84). */
+  def bounds(spark: SparkSession, opts: ConnOpts): (Option[String], Option[String]) = {
     val c = opts.partitionColumn.getOrElse(
       throw new IllegalArgumentException("bounds probe needs partitionColumn"))
     val rel = opts.dbtable.map(t => s"$t").getOrElse(s"(${opts.query.get})")
@@ -52,7 +62,7 @@ object Connections {
       s"select min($c) as lower_bound, max($c) as upper_bound from $rel t"
     val row = base(spark, opts.copy(dbtable = None, query = Some(probeSql),
       partitionColumn = None, numPartitions = None)).load().head()
-    (Option(row.get(0)).map(_.toString.toLong), Option(row.get(1)).map(_.toString.toLong))
+    (Option(row.get(0)).map(_.toString), Option(row.get(1)).map(_.toString))
   }
 
   /** The JDBC option map for a connection — pure and testable. Includes the
@@ -86,12 +96,21 @@ object Connections {
   def reader(spark: SparkSession, opts: ConnOpts): DataFrameReader =
     (opts.partitionColumn, opts.numPartitions) match {
       case (Some(c), Some(n)) =>
-        val (lo, hi) = bounds(spark, opts)
-        base(spark, opts)
-          .option("partitionColumn", c)
-          .option("numPartitions", n)
-          .option("lowerBound", lo.getOrElse(0L))
-          .option("upperBound", hi.getOrElse(1L))
+        bounds(spark, opts) match {
+          case (Some(lo), Some(hi)) =>
+            base(spark, opts)
+              .option("partitionColumn", c)
+              .option("numPartitions", n)
+              .option("lowerBound", lo)
+              .option("upperBound", hi)
+          case _ =>
+            // NULL min/max = the source relation is empty (or the column
+            // all-NULL): no stride bounds exist in ANY type, so fall back
+            // to a single-partition scan of the empty relation. The
+            // reference crashes here (str(None) -> "None" never parses);
+            // an empty load is the honest result.
+            base(spark, opts)
+        }
       case _ => base(spark, opts)
     }
 

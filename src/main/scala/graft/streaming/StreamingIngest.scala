@@ -269,6 +269,11 @@ object StreamingIngest {
     val admitted = batch
       .join(broadcast(drops), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // the pair builders return an internally persist+count'ed relation the
+    // caller owns; after the eager checkpoint nothing references it — a
+    // long-running stream would otherwise accrete one cached pair relation
+    // per micro-batch
+    pairs.unpersist(false)
     if (!admitted.isEmpty) {
       writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
         full, tagColumn)
@@ -351,6 +356,8 @@ object StreamingIngest {
     val admitted = batch
       .join(broadcast(drops), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // release the builder's internally-pinned pair relation (see admitBatch)
+    pairs.unpersist(false)
     if (!admitted.isEmpty) {
       writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
         full, tagColumn)
@@ -497,6 +504,8 @@ object StreamingIngest {
     val admitted = batch
       .join(broadcast(drops), Seq("vec_id"), "left_anti")
       .localCheckpoint(true)
+    // release the builder's internally-pinned pair relation (see admitBatch)
+    pairs.unpersist(false)
     if (!admitted.isEmpty) {
       writeTagPartition(admitted.withColumn(tagColumn, lit(tag)),
         full, tagColumn)
@@ -681,6 +690,8 @@ object StreamingIngest {
     val admitted = e
       .join(broadcast(drops), Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    // release the builder's internally-pinned pair relation (see admitBatch)
+    pairs.unpersist(false)
     if (!admitted.isEmpty) {
       writeTagPartition(
         admitted.drop("__fp").withColumn(tagColumn, lit(tag)), full, tagColumn)

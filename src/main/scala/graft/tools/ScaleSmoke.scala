@@ -333,8 +333,16 @@ object ScaleSmoke {
       f"vs anchor-a max=$maxOld sum=$sumOld (sqrt(2m)=$swCap)")
     require(maxNew <= maxOld && sumNew <= sumOld,
       s"degree-ordered probe did not reduce expansion (max $maxNew vs $maxOld, sum $sumNew vs $sumOld)")
-    require(maxNew <= swCap,
-      s"max ordered probe fan-out $maxNew exceeds sqrt(2m)=$swCap on this graph")
+    // NOT a hard assert: Chiba–Nishizeki bounds the SUM of min-degrees over
+    // all edges by O(m^1.5) (so the MEAN per edge by sqrt(2m)), not the max
+    // of any single edge — two co-linked hubs on an otherwise sparse graph
+    // legally exceed the cap. It holds on the sf0.1 co-occurrence split and
+    // is worth a glance when it stops holding, but regenerated test data
+    // must not fail CI on a non-theorem.
+    if (maxNew > swCap)
+      println(f"[scale] NOTE: max ordered probe fan-out $maxNew exceeds " +
+        f"sqrt(2m)=$swCap — legal (the bound is on the sum), but this graph " +
+        "grew a co-linked hub pair; eyeball the skew")
     (e, delta, history, standingTri, fullTri)
   }
 

@@ -37,7 +37,19 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ps.addBatch()
       }
       ps.executeBatch()
-      st.close(); ps.close()
+      // 90 rows over 90 consecutive days: the DATE-partitioned-scan cases
+      // stride Jan 1 .. Mar 30 2024 across 4 partitions.
+      st.execute(
+        "create table signups (id int not null, created_date date not null)")
+      val ps2 = conn.prepareStatement("insert into signups values (?, ?)")
+      (0 until 90).foreach { i =>
+        ps2.setInt(1, i)
+        ps2.setDate(2, java.sql.Date.valueOf(
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)))
+        ps2.addBatch()
+      }
+      ps2.executeBatch()
+      st.close(); ps.close(); ps2.close()
     } finally conn.close()
   }
 
@@ -61,14 +73,44 @@ class ConnectionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("S5/A4 bounds probe returns min/max of the partition column") {
     val (lo, hi) = Connections.bounds(spark, opts.copy(
       partitionColumn = Some("id"), numPartitions = Some(4)))
-    assert(lo.contains(1L) && hi.contains(100L))
+    assert(lo.contains("1") && hi.contains("100"))
   }
 
   test("S5 bounds probe works over a query relation too") {
     val (lo, hi) = Connections.bounds(spark, opts.copy(
       dbtable = None, query = Some("select * from people where id <= 50"),
       partitionColumn = Some("id"), numPartitions = Some(2)))
-    assert(lo.contains(1L) && hi.contains(50L))
+    assert(lo.contains("1") && hi.contains("50"))
+  }
+
+  // --- S5/S4: DATE partition column (the reference README's own example:
+  // `-m 10 --partition-column created_date`, README.rst:80-84; its probe
+  // passes bounds through as strings, spark_loaders.py:101-102). Bounds
+  // must flow as JDBC text, never via a numeric coercion. ----------------
+  test("S5 bounds probe passes DATE bounds through as strings") {
+    val (lo, hi) = Connections.bounds(spark, ConnOpts(
+      url = url, driver = DerbyDriver, dbtable = Some("signups"),
+      partitionColumn = Some("created_date"), numPartitions = Some(4)))
+    assert(lo.contains("2024-01-01") && hi.contains("2024-03-30"))
+  }
+
+  test("S4 partitioned scan over a DATE column yields full, exact data") {
+    val df = Connections.load(spark, ConnOpts(
+      url = url, driver = DerbyDriver, dbtable = Some("signups"),
+      partitionColumn = Some("created_date"), numPartitions = Some(4)))
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 90)
+    // no stride drops rows and none double-reads
+    assert(df.select("id").distinct().count() == 90)
+    assert(df.where("created_date = DATE'2024-01-01'").count() == 1)
+  }
+
+  test("S4 partitioned scan over an EMPTY relation degrades to one clean partition") {
+    val df = Connections.load(spark, ConnOpts(
+      url = url, driver = DerbyDriver, dbtable = None,
+      query = Some("select * from signups where id < 0"),
+      partitionColumn = Some("created_date"), numPartitions = Some(4)))
+    assert(df.count() == 0)
   }
 
   // --- S4: partitioned parallel scan ------------------------------------
