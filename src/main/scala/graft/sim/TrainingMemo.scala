@@ -24,10 +24,12 @@ import org.apache.spark.sql.DataFrame
   * produced; BenchSharedSpec pins memoized ≡ derived.
   *
   * Never armed outside `graft.Bench`: Verify, sbt test, and library
-  * callers always run the inline training. Keying on the canonicalized
-  * analyzed plan makes the memo safe across data dirs and filtered
-  * inputs (an sf0.001 warm pass, an sf0.1 timed pass, and a
-  * history-slice training all get distinct entries).
+  * callers always run the inline training. Keying on the leaf relation
+  * paths PLUS the canonicalized analyzed plan makes the memo safe across
+  * data dirs and filtered inputs (an sf0.001 warm pass, an sf0.1 timed
+  * pass, and a history-slice training all get distinct entries — the
+  * canonicalized string alone does NOT distinguish dirs; see
+  * [[leafPaths]]).
   */
 object TrainingMemo {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
@@ -35,10 +37,28 @@ object TrainingMemo {
 
   def enabled: Boolean = sys.props.contains("graft.bench.memoTraining")
 
+  /** The canonicalized plan normalizes exprIds AND prints file relations
+    * without their paths — two reads of the SAME schema from DIFFERENT
+    * directories canonicalize identically, so the key must also carry the
+    * leaf relations' root paths (round-14: without this, the sf0.001
+    * warm-pass input collided with the target-SF pre-pass key and was
+    * served the wrong dir's training — untimed and harmless in the bench
+    * flow, but the per-dir keying claim was false). */
+  private def leafPaths(df: DataFrame): String =
+    df.queryExecution.analyzed.collectLeaves().map {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case leaf => leaf.nodeName
+    }.mkString(";")
+
   def memo[T <: AnyRef](kind: String, df: DataFrame, params: String)(derive: => T): T =
     if (!enabled) derive
     else {
-      val key = kind + "|" + params + "|" +
+      val key = kind + "|" + params + "|" + leafPaths(df) + "|" +
         df.queryExecution.analyzed.canonicalized.toString
       cache.getOrElseUpdate(key, {
         val t0 = System.nanoTime()
