@@ -532,8 +532,10 @@ object Graph {
     * exact counting cannot bound per-edge fan-out by the forward
     * OUT-degree cap alone (sf0.1: cap 26 < min-degree max 48) — a
     * closing-delta triangle needs one endpoint's neighborhood examined,
-    * and a worst-case O(√m) guarantee needs the heavy/light view
-    * machinery of Kara et al. (SIGMOD'19 IVM^ε), out of scope here.
+    * so this form's O(√m) is AMORTIZED only (Chiba–Nishizeki bounds the
+    * sum, not any single edge). For a worst-case O(√m) per edge — e.g. a
+    * hub–hub insert — use [[triangleInsertBounded]] with a standing
+    * [[wedgeViewBuild]] view (the IVM^ε heavy/light machinery).
     *
     * @param history (a: long, b: long) with a < b, distinct; its triangle
     *                count arrives as `standingTriangles` — in production a
@@ -594,6 +596,256 @@ object Graph {
           admissible("y"))
       .count()
     d.unpersist(false); adj.unpersist(false)
+    spark.range(1).select(
+      lit(standingTriangles).as("n_tri_history"),
+      lit(nNew).as("n_tri_delta"),
+      lit(standingTriangles + nNew).as("n_tri_total"))
+  }
+
+  /** Heavy-node threshold for the standing wedge view: θ = ⌈√(2m)⌉, the
+    * balance point of the IVM^ε construction at ε = 1/2 (Kara, Ngo,
+    * Nikolic, Olteanu, Zhang — "Counting Triangles under Updates in
+    * Worst-Case Optimal Time", ICDT'19 / SIGMOD'19 followups; public
+    * methodology): at most 2m/θ = √(2m) nodes can have degree ≥ θ, so a
+    * light endpoint expands < θ adjacency rows and a heavy-pair lookup
+    * scans ≤ √(2m) heavy neighbors during maintenance — both O(√m). */
+  def wedgeTheta(nEdges: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(2.0 * nEdges)).toLong)
+
+  /** Standing HEAVY-PAIR wedge view: for every unordered pair (u, v) of
+    * heavy nodes (standing degree ≥ θ) with at least one common neighbor,
+    * the exact common-neighbor count |N(u) ∩ N(v)| — the auxiliary view
+    * that turns a heavy-heavy edge insert's triangle count into ONE key
+    * lookup instead of a hub-sized neighborhood scan. Centers w are NOT
+    * class-restricted (the view counts every common neighbor); only the
+    * pair endpoints are, which is what bounds the view: ≤ √(2m) heavy
+    * nodes → ≤ 2m pairs, and the build enumerates wedges with both outer
+    * endpoints heavy — Σ_w min(deg w, √(2m))² ≤ 2m·√(2m) rows, the
+    * IVM^ε O(m^{3/2}) one-time/space bound.
+    *
+    * 100 TB posture: two self-joins on node keys, nothing collected; the
+    * view is a standing table bucketed by its (u, v) key at scale, the
+    * same posture as the dedup MinHashIndex.
+    *
+    * @param edges           (a: long, b: long) with a < b, distinct
+    * @param standingDegrees (u: long, dg: long) degrees of `edges`
+    * @param theta           heavy threshold (≥ 1); [[wedgeTheta]] of m
+    * @return (u: long, v: long, wedges: long) with u < v, both heavy
+    */
+  def wedgeViewBuild(
+      edges: DataFrame, standingDegrees: DataFrame, theta: Long): DataFrame = {
+    require(theta >= 1, s"theta must be >= 1, got $theta")
+    val e = edges.select(col("a").cast("long"), col("b").cast("long"))
+    val heavy = standingDegrees
+      .select(col("u").cast("long"), col("dg").cast("long"))
+      .where(col("dg") >= theta).select(col("u"))
+    val arms = e.select(col("a").as("w"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("u")))
+      .join(heavy, Seq("u"), "left_semi")
+    arms.as("x").join(arms.as("y"),
+        col("x.w") === col("y.w") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("u"), col("y.u").as("v"))
+      .agg(count(lit(1)).as("wedges"))
+  }
+
+  /** Maintain the heavy-pair wedge view under edge INSERTS without
+    * rebuilding: the view gains one wedge per (delta arm, standing arm)
+    * and per (delta arm, delta arm) pair sharing a center — both joins
+    * anchor at the DELTA arms, and the standing side is pre-filtered to
+    * heavy outer endpoints, so per-center fan-out is ≤ √(2m) (the number
+    * of heavy nodes), never deg(center): the IVM^ε O(√m)-per-edge
+    * maintenance bound. Nodes the batch pushes ACROSS θ (light → heavy;
+    * inserts never demote) get their pairs built from scratch over the
+    * new graph, restricted to the promoted nodes' arms — the batch
+    * analogue of IVM^ε's minor rebalancing, charged to the promotion
+    * rather than to every update. Canonicalization + anti-join make the
+    * update idempotent and additive, exactly like [[degreeMaintain]].
+    *
+    * @param view            current view ((u, v, wedges), u < v) — valid
+    *                        for `standingEdges` at `theta` under
+    *                        `standingDegrees`
+    * @param standingEdges   (a: long, b: long), any orientation
+    * @param standingDegrees (u: long, dg: long) degrees of standingEdges
+    * @param delta           (a: long, b: long), any orientation
+    * @param theta           the SAME heavy threshold the view was built at
+    * @return the view of standing ∪ delta, classified by the UPDATED
+    *         degrees at `theta` (pair with [[degreeMaintain]]'s output)
+    */
+  def wedgeViewMaintain(
+      view: DataFrame, standingEdges: DataFrame, standingDegrees: DataFrame,
+      delta: DataFrame, theta: Long): DataFrame = {
+    require(theta >= 1, s"theta must be >= 1, got $theta")
+    def canon(e: DataFrame) = e.select(
+      least(col("a"), col("b")).cast("long").as("a"),
+      greatest(col("a"), col("b")).cast("long").as("b"))
+    val h = canon(standingEdges)
+    val fresh = canon(delta).distinct()
+      .join(h, Seq("a", "b"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dg0 = standingDegrees
+      .select(col("u").cast("long"), col("dg").cast("long"))
+    val dgNew = degreeMaintain(dg0, h, fresh)
+    val heavyOld = dg0.where(col("dg") >= theta).select(col("u"))
+    val heavyNew = dgNew.where(col("dg") >= theta).select(col("u"))
+    val promoted = heavyNew.join(heavyOld, Seq("u"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def armsOf(e: DataFrame) =
+      e.select(col("a").as("w"), col("b").as("u"))
+        .unionAll(e.select(col("b").as("w"), col("a").as("u")))
+    // wedges GAINED at old-heavy pairs: one delta arm + one standing arm
+    // (counted once — the delta arm identifies the wedge), or two delta
+    // arms (x.u < y.u counts each unordered pair once; distinct edges
+    // sharing both endpoints cannot exist, so u = v is impossible)
+    val armsD = armsOf(fresh).join(heavyOld, Seq("u"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val armsH = armsOf(h).join(heavyOld, Seq("u"), "left_semi")
+    val mixed = armsD.as("x").join(armsH.as("y"),
+        col("x.w") === col("y.w"))
+      .select(least(col("x.u"), col("y.u")).as("u"),
+        greatest(col("x.u"), col("y.u")).as("v"))
+    val dd = armsD.as("x").join(armsD.as("y"),
+        col("x.w") === col("y.w") && col("x.u") < col("y.u"))
+      .select(col("x.u").as("u"), col("y.u").as("v"))
+    val gained = mixed.unionAll(dd)
+      .groupBy("u", "v").agg(count(lit(1)).as("dw"))
+    val base = view.select(col("u").cast("long"), col("v").cast("long"),
+      col("wedges").cast("long"))
+    val mergedOld = base.join(gained, Seq("u", "v"), "full_outer")
+      .select(col("u"), col("v"),
+        (coalesce(col("wedges"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+          .as("wedges"))
+    // promoted pairs (≥ 1 endpoint newly heavy — DISJOINT from every
+    // old-heavy pair): built from scratch over the new graph, anchored at
+    // the promoted nodes' arms; a both-promoted pair is deduped by id
+    // order, a promoted×old-heavy pair counts once because the old-heavy
+    // endpoint can never be the x side
+    val eNew = h.unionAll(fresh)
+    val armsNew = armsOf(eNew)
+    val armsProm = armsNew.join(promoted, Seq("u"), "left_semi")
+    val promFlag = promoted.select(col("u"), lit(true).as("prom"))
+    val armsHN = armsNew.join(heavyNew, Seq("u"), "left_semi")
+      .join(promFlag, Seq("u"), "left")
+      .select(col("w"), col("u"), coalesce(col("prom"), lit(false)).as("prom"))
+    val promPairs = armsProm.as("x").join(armsHN.as("y"),
+        col("x.w") === col("y.w") && col("x.u") =!= col("y.u") &&
+          (!col("y.prom") || col("x.u") < col("y.u")))
+      .select(least(col("x.u"), col("y.u")).as("u"),
+        greatest(col("x.u"), col("y.u")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("wedges"))
+    mergedOld.where(col("wedges") > 0).unionAll(promPairs)
+  }
+
+  /** [[triangleInsert]] with a WORST-CASE per-edge bound — the heavy/light
+    * split the plain operator's scaladoc names as its honest gap. The
+    * degree-ordered probe is O(√m) per delta edge only AMORTIZED
+    * (Chiba–Nishizeki bounds the SUM of min-degrees; a single hub–hub
+    * insert still scans a hub neighborhood). Here every delta edge is
+    * O(√m) WORST CASE (IVM^ε at ε = 1/2, Kara et al. — see
+    * [[wedgeTheta]]): new triangles split into
+    *
+    *  - exactly-one-delta-edge triangles (both closing edges standing) =
+    *    the standing wedge count of the edge's endpoints:
+    *    LIGHT edge (either endpoint's standing degree < θ) → expand the
+    *    lighter endpoint's standing adjacency (< θ rows BY DEFINITION — a
+    *    theorem, unlike the ordered probe's cap) and key-probe the
+    *    closing edge; HEAVY-HEAVY edge → ONE lookup in the standing
+    *    [[wedgeViewBuild]] view (pairs absent from it have zero wedges).
+    *  - ≥-two-delta-edge triangles, charged to their LARGEST delta edge
+    *    (canonical order): both enumerations anchor at a smaller DELTA
+    *    arm of one endpoint (delta-degree fan-out, independent of
+    *    standing hub degrees) and key-probe the third edge — arm at `a`
+    *    closes through standing-or-smaller-delta, arm at `b` closes
+    *    through standing only, so delta-delta closings count once.
+    *
+    * Same contract and output as [[triangleInsert]]; the view must have
+    * been built (or maintained) against exactly this `history`,
+    * `standingDegrees`, and `theta`.
+    *
+    * @param history           (a: long, b: long) with a < b, distinct
+    * @param delta             (a: long, b: long) with a < b, distinct,
+    *                          DISJOINT from history
+    * @param standingTriangles stored triangle count of `history`
+    * @param standingDegrees   (u: long, dg: long) — [[degreeMaintain]]'s
+    *                          standing output; absent nodes are degree 0
+    * @param wedgeView         (u, v, wedges) — [[wedgeViewBuild]] /
+    *                          [[wedgeViewMaintain]] output for `history`
+    * @param theta             the view's heavy threshold
+    * @return one row: n_tri_history, n_tri_delta, n_tri_total
+    */
+  def triangleInsertBounded(
+      history: DataFrame, delta: DataFrame, standingTriangles: Long,
+      standingDegrees: DataFrame, wedgeView: DataFrame,
+      theta: Long): DataFrame = {
+    require(theta >= 1, s"theta must be >= 1, got $theta")
+    val spark = history.sparkSession
+    val h = history.select(col("a").cast("long"), col("b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d0 = delta.select(col("a").cast("long"), col("b").cast("long"))
+    val dg = standingDegrees
+      .select(col("u").cast("long"), col("dg").cast("long"))
+    val d = d0
+      .join(dg.select(col("u").as("a"), col("dg").as("dga")), Seq("a"), "left")
+      .join(dg.select(col("u").as("b"), col("dg").as("dgb")), Seq("b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("dga"), lit(0L)).as("dga"),
+        coalesce(col("dgb"), lit(0L)).as("dgb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ---- exactly-one-delta-edge triangles: standing wedges of (a, b)
+    val viewK = wedgeView.select(col("u").as("a"), col("v").as("b"),
+      col("wedges").cast("long").as("wedges"))
+    val t1Heavy = d.where(col("dga") >= theta && col("dgb") >= theta)
+      .join(viewK, Seq("a", "b"), "left")
+      .agg(coalesce(sum(coalesce(col("wedges"), lit(0L))), lit(0L)))
+      .head().getLong(0)
+    val lower = col("dga") < col("dgb") ||
+      (col("dga") === col("dgb") && col("a") < col("b"))
+    val lt = d.where(col("dga") < theta || col("dgb") < theta)
+      .select(col("a"), col("b"),
+        when(lower, col("a")).otherwise(col("b")).as("s"),
+        when(lower, col("b")).otherwise(col("a")).as("t"))
+    val adjH = h.select(col("a").as("u"), col("b").as("w"))
+      .unionAll(h.select(col("b").as("u"), col("a").as("w")))
+    val hKeys = h.select(col("a").as("ka"), col("b").as("kb"))
+    val t1Light = lt.join(adjH, col("u") === col("s"))
+      .where(col("w") =!= col("t"))
+      .join(hKeys,
+        col("ka") === least(col("t"), col("w")) &&
+          col("kb") === greatest(col("t"), col("w")))
+      .count()
+    // ---- ≥-two-delta-edge triangles, charged to the largest delta edge
+    val adjD = d0.select(col("a").as("u"), col("b").as("w"),
+        col("a").as("ka"), col("b").as("kb"))
+      .unionAll(d0.select(col("b").as("u"), col("a").as("w"),
+        col("a").as("ka"), col("b").as("kb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def smaller(side: String) =
+      col(s"$side.ka") < col("d.a") ||
+        (col(s"$side.ka") === col("d.a") && col(s"$side.kb") < col("d.b"))
+    val allKeys = h.select(col("a").as("ka"), col("b").as("kb"),
+        lit(false).as("isd"))
+      .unionAll(d0.select(col("a").as("ka"), col("b").as("kb"),
+        lit(true).as("isd")))
+    // arm at `a` is a smaller delta edge; closing (b, w) is standing or a
+    // smaller delta edge
+    val caseA = d.as("d")
+      .join(adjD.as("x"), col("x.u") === col("d.a") && smaller("x"))
+      .join(allKeys.as("k"),
+        col("k.ka") === least(col("d.b"), col("x.w")) &&
+          col("k.kb") === greatest(col("d.b"), col("x.w")) &&
+          (!col("k.isd") ||
+            col("k.ka") < col("d.a") ||
+            (col("k.ka") === col("d.a") && col("k.kb") < col("d.b"))))
+      .count()
+    // arm at `b` is a smaller delta edge; closing (a, w) standing ONLY
+    // (delta-delta closings were case A's)
+    val caseB = d.as("d")
+      .join(adjD.as("y"), col("y.u") === col("d.b") && smaller("y"))
+      .join(hKeys.as("k"),
+        col("k.ka") === least(col("d.a"), col("y.w")) &&
+          col("k.kb") === greatest(col("d.a"), col("y.w")))
+      .count()
+    val nNew = t1Heavy + t1Light + caseA + caseB
+    h.unpersist(false); d.unpersist(false); adjD.unpersist(false)
     spark.range(1).select(
       lit(standingTriangles).as("n_tri_history"),
       lit(nNew).as("n_tri_delta"),

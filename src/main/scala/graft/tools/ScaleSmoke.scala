@@ -346,6 +346,83 @@ object ScaleSmoke {
     (e, delta, history, standingTri, fullTri)
   }
 
+  /** Worst-case-bounded incremental triangles (the heavy/light wedge view,
+    * IVM^ε at ε = 1/2) on the sf0.1 co-occurrence split — timing-free,
+    * CI-run via ScaleSmokeSpec:
+    *
+    *  1. `triangleInsertBounded` == from-scratch census (exactness).
+    *  2. `wedgeViewMaintain` == `wedgeViewBuild` on the union graph
+    *     (the standing view is maintainable, not rebuild-only).
+    *  3. The per-delta-edge STANDING-adjacency expansion is < θ for every
+    *     light edge and exactly 0 for heavy-heavy edges — a THEOREM
+    *     (light means min standing degree < θ; heavy-heavy edges answer
+    *     from one view row), so unlike the degree-ordered probe's √(2m)
+    *     observation this one is a hard per-edge requirement, not a
+    *     sum-amortized note. */
+  def triangleViewVolumeSection(spark: SparkSession,
+      sfDir: String = "/root/testdata/sf0.1"): Unit = {
+    val e = graft.queries.MiscQueries.coEdges(spark, sfDir)
+      .localCheckpoint(true)
+    val delta = e.where((col("a") + col("b")) % 20 === 0).localCheckpoint(true)
+    val history = e.where((col("a") + col("b")) % 20 =!= 0).localCheckpoint(true)
+    val standingTri = graft.operators.Graph.triangleStats(history)
+      .head().getLong(3)
+    val fullTri = graft.operators.Graph.triangleStats(e).head().getLong(3)
+    val standingDeg = history
+      .select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+    val m = history.count()
+    val maxDeg = standingDeg.agg(max(col("dg"))).head().getLong(0)
+    // two thetas: the canonical sqrt(2m) (on this graph max degree sits
+    // BELOW it, so the heavy set is empty — the bound holds vacuously and
+    // the probe path carries everything), plus a deliberately small one
+    // that makes the co-occurrence hubs heavy, so the view path is
+    // exercised non-vacuously at sf0.1, not just on the spec's toy hubs
+    val thetas = Seq(graft.operators.Graph.wedgeTheta(m),
+      math.max(2L, maxDeg / 2))
+    val newDeg = graft.operators.Graph
+      .degreeMaintain(standingDeg, history, delta).localCheckpoint(true)
+    thetas.foreach { theta =>
+      val view = graft.operators.Graph
+        .wedgeViewBuild(history, standingDeg, theta).localCheckpoint(true)
+      val viaView = graft.operators.Graph
+        .triangleInsertBounded(history, delta, standingTri, standingDeg,
+          view, theta)
+        .head().getLong(2)
+      require(viaView == fullTri,
+        s"view-bounded incremental total $viaView != from-scratch census $fullTri (theta=$theta)")
+      // maintained == rebuilt (set equality via symmetric difference)
+      val maintained = graft.operators.Graph
+        .wedgeViewMaintain(view, history, standingDeg, delta, theta)
+        .localCheckpoint(true)
+      val rebuilt = graft.operators.Graph.wedgeViewBuild(e, newDeg, theta)
+        .localCheckpoint(true)
+      val onlyM = maintained.exceptAll(rebuilt).count()
+      val onlyR = rebuilt.exceptAll(maintained).count()
+      require(onlyM == 0 && onlyR == 0,
+        s"maintained wedge view != rebuilt at theta=$theta: $onlyM maintained-only, $onlyR rebuilt-only rows")
+      // per-edge worst-case audit: the bounded form's standing expansion
+      val dgA = standingDeg.select(col("u").as("a"), col("dg").as("dga"))
+      val dgB = standingDeg.select(col("u").as("b"), col("dg").as("dgb"))
+      val classed = delta.join(dgA, Seq("a"), "left").join(dgB, Seq("b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("dga"), lit(0L)).as("dga"),
+          coalesce(col("dgb"), lit(0L)).as("dgb"))
+      val nHeavy = classed
+        .where(col("dga") >= theta && col("dgb") >= theta).count()
+      val lightExp = classed.where(col("dga") < theta || col("dgb") < theta)
+        .select(least(col("dga"), col("dgb")).as("exp"))
+        .agg(coalesce(max(col("exp")), lit(0L)),
+          coalesce(sum(col("exp")), lit(0L))).head()
+      val (maxExp, sumExp) = (lightExp.getLong(0), lightExp.getLong(1))
+      println(f"[scale] triangle_view theta=$theta heavy-heavy=$nHeavy " +
+        f"(0 expansion each) light max-exp=$maxExp sum-exp=$sumExp " +
+        f"view rows=${view.count()}")
+      require(maxExp < theta,
+        s"light-edge standing expansion $maxExp >= theta $theta — the per-edge worst-case bound is broken")
+    }
+  }
+
   /** Incremental triangle maintenance at scale: on the sf0.1 co-occurrence
     * graph split 19:1 (standing : insert batch), Graph.triangleInsert with
     * a precomputed standing count — the production shape, where the scalar

@@ -38,6 +38,15 @@ class ScaleSmokeSpec extends AnyFunSuite {
     ScaleSmoke.triangleIncrVolumeSection(spark, sfDir = sf)
   }
 
+  test("wedge-view triangles: exact, maintainable, and per-edge worst-case bounded") {
+    // asserts: triangleInsertBounded == census; wedgeViewMaintain ==
+    // rebuild on the union graph; every light delta edge expands < theta
+    // standing-adjacency rows and every heavy-heavy edge expands 0 (one
+    // view lookup) — the IVM^eps worst-case claim as a hard per-edge
+    // requirement, all row-count checks safe under CI contention
+    ScaleSmoke.triangleViewVolumeSection(spark, sfDir = sf)
+  }
+
   test("simhash/winnow incremental: exact delta slice; collision volume delta-proportional") {
     // asserts: incr pair set == full restricted to delta-involving pairs
     // for BOTH families, and the incremental band/fingerprint join
