@@ -123,7 +123,13 @@ import org.apache.spark.sql.SparkSession
   *     same-family shards ordered FIRST — r13's 4 mm_video retries queued
   *     until sweep end (2757 s) where the 300 s reserve was gone and 3
   *     were budget-denied; now the statistically likeliest retries enter
-  *     at the START of the run where headroom is greatest.
+  *     at the START of the run where headroom is greatest. A mid-sweep
+  *     retry must never starve a later shard's FIRST measurement (the
+  *     guarantee the old post-sweep placement gave implicitly): each one
+  *     is admitted only if its projected cost plus every unmeasured
+  *     shard's calibrated estimate plus the reserve fits the budget;
+  *     otherwise it is DEFERRED to sweep end and runs there under the
+  *     old rule.
   *  2. The compact line carries `hoisted_s` (the summed untimed arming
   *     seconds) so cross-round totals stay comparable without opening the
   *     full record, and the full record carries `cal_min` (the per-query
@@ -179,6 +185,11 @@ object Bench {
     * host, r11 tail), so 300 s covers two worst-case stragglers. */
   private val RetryReserveS =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_RESERVE_S", "300").toDouble
+
+  /** Fixed wall overhead a shard pays before its first timed pass (JVM
+    * spawn + session init + codec/codegen warm passes) — the floor of the
+    * mid-sweep headroom estimate. */
+  private val ShardOverheadS = 30.0
 
   def main(args: Array[String]): Unit =
     if (args.length >= 2 && args(0) == "--worker") workerMain(args(1), args.drop(2))
@@ -299,6 +310,17 @@ object Bench {
         try qs(n)(spark, warm).count()
         catch { case _: Throwable => () }
       }
+      // Warm-dir trainings are UNTIMED arming cost like the pre-pass ones
+      // — drain them under their own name BEFORE the timed passes, so the
+      // final residual drain below reports ONLY timed-pass re-derivations
+      // (which already live inside a query's recorded samples and must
+      // not be double-counted into hoisted_s).
+      val warmHoist: Seq[(String, Seq[Double])] =
+        if (annMembers.isEmpty) Nil
+        else {
+          val w = graft.sim.TrainingMemo.drainDerivedSeconds()
+          if (w > 0.0) Seq("__shared_ann_training_warm" -> Seq(w)) else Nil
+        }
       val timed = names.map { name =>
         val times = (1 to nRuns).flatMap { _ =>
           spark.catalog.clearCache()
@@ -312,23 +334,25 @@ object Bench {
         }
         (name, times)
       }
-      // Second drain (round-13 advice): derive time accrued AFTER the
-      // target-SF pre-pass — the warm-dir pass's own sf0.001 trainings,
-      // or a timed pass re-deriving because its pre-pass count() threw —
+      // Final drain (round-13 advice): derive time accrued DURING the
+      // timed passes — a re-derivation after a failed pre-pass count() —
       // was silently lost, so the hoisted figure under-reported and that
-      // pass-1 time invisibly included training. Any nonzero residual is
-      // named in the record and warned about on stderr.
+      // pass-1 time invisibly included training. The residual is named in
+      // the record for visibility but EXCLUDED from the hoisted_s sum
+      // (those seconds are already inside the query's recorded samples —
+      // summing them again would double-count exactly the case the field
+      // exists to expose).
       val residual: Seq[(String, Seq[Double])] =
         if (annMembers.isEmpty) Nil
         else {
           val r = graft.sim.TrainingMemo.drainDerivedSeconds()
           if (r > 0.0) {
             System.err.println(
-              f"[bench] WARNING: $r%.2f s of ANN training derived after the pre-pass (warm-dir trainings or a timed-pass re-derivation) — reported as shared_ann_training_residual")
+              f"[bench] WARNING: $r%.2f s of ANN training derived inside the timed passes (re-derivation after a failed pre-pass) — reported as shared_ann_training_residual, excluded from hoisted_s")
             Seq("__shared_ann_training_residual" -> Seq(r))
           } else Nil
         }
-      timed ++ hoist ++ annHoist ++ residual
+      timed ++ hoist ++ annHoist ++ warmHoist ++ residual
     } finally {
       if (annMembers.nonEmpty) sys.props.remove("graft.bench.memoTraining")
     }
@@ -678,6 +702,19 @@ object Bench {
     def runsFor(shard: Seq[String]): Int =
       if (shard.size == 1 && calMin(shard.head) > TwoRunBar) math.min(runs, 2)
       else runs
+    // One copy of the per-query calibration map the record emits — the
+    // emergency flush and the final report must never diverge.
+    val calMinsAll: Map[String, Double] = names.flatMap(n =>
+      prevMins.get(n).orElse(staticMins.get(n)).map(n -> _)).toMap
+    // Conservative wall-cost estimate of a shard (fixed spawn/warm
+    // overhead + calibrated pass time with a 1.5x min-to-mean margin):
+    // drives the mid-sweep retry headroom check below. Uncalibrated
+    // queries estimate 0 pass time — a first-ever run degrades to
+    // overhead-only estimates, which still reserve each remaining
+    // shard's fixed cost.
+    def shardCostEst(shard: Seq[String]): Double =
+      ShardOverheadS + 1.5 * runsFor(shard) * shard.map(calMin).sum
+    val shardEsts = shards.map(shardCostEst)
     val merged = collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val hoisted = collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val skipped = collection.mutable.Buffer[String]()
@@ -695,9 +732,7 @@ object Bench {
       val unmeasured = names.filterNot(snap.contains)
       report(names.map(n => n -> snap.getOrElse(n, Seq.empty)),
         stillNoisy = liveNoisy, skipped = unmeasured, subset = only.isDefined,
-        hoisted = hoistSnap,
-        calMins = names.flatMap(n =>
-          prevMins.get(n).orElse(staticMins.get(n)).map(n -> _)).toMap)
+        hoisted = hoistSnap, calMins = calMinsAll)
     }
     var fallback: SparkSession = null
     // Contention re-run: a max/min beyond SpreadBar inside one fresh JVM is
@@ -722,14 +757,30 @@ object Bench {
     // that never does.
     val MaxRetries = 2
     val flagged = collection.mutable.LinkedHashSet[String]()
+    // Mid-sweep retries denied for HEADROOM (not global budget) queue
+    // here and run after the sweep under the old placement — a retry may
+    // be late, but it must never starve a later shard's FIRST measurement
+    // (the guarantee the pre-r14 post-sweep placement gave implicitly).
+    val deferredRetries = collection.mutable.LinkedHashSet[String]()
     var spawnIdx = nShards
     def retryBudgetLeft: Boolean = elapsedS < BudgetS - RetryReserveS
-    def retryNoisy(cands: Seq[String]): Unit = {
-      var pending = cands
+    def retryNoisy(cands: Seq[String], remainingEst: Double): Unit = {
+      // headroom check: this retry's projected cost + every unmeasured
+      // shard's projected cost + the standing reserve must fit the budget
+      // — otherwise the retry is deferred to sweep end, where
+      // remainingEst is 0 and only the reserve gates it.
+      val (now, defer) = cands.partition(n =>
+        elapsedS + shardCostEst(Seq(n)) + remainingEst <=
+          BudgetS - RetryReserveS)
+      if (defer.nonEmpty) {
+        System.err.println(s"[bench] deferring ${defer.size} spread retries to sweep end (remaining-shard headroom): ${defer.mkString(", ")}")
+        deferredRetries ++= defer
+      }
+      var pending = now
       var round = 0
       while (pending.nonEmpty && round < MaxRetries && retryBudgetLeft) {
         round += 1
-        liveNoisy = flagged.toSet ++ pending
+        liveNoisy = flagged.toSet ++ deferredRetries ++ pending
         System.err.println(s"[bench] spread>${SpreadBar}x on ${pending.size} queries (retry $round/$MaxRetries), re-running isolated: ${pending.mkString(", ")}")
         val next = collection.mutable.Buffer[String]()
         pending.foreach { n =>
@@ -757,7 +808,7 @@ object Bench {
         pending = next.toSeq
       }
       flagged ++= pending
-      liveNoisy = flagged.toSet
+      liveNoisy = flagged.toSet ++ deferredRetries
     }
     shards.zipWithIndex.foreach { case (shardNames, i) =>
       if (elapsedS > BudgetS) {
@@ -781,8 +832,22 @@ object Bench {
             .foreach(k => hoisted(k) = hoisted.getOrElse(k, Seq.empty) ++ res(k))
         }
         val noisyNow = shardNames.filter(n => noisy(merged.getOrElse(n, Seq.empty)))
-        if (noisyNow.nonEmpty) retryNoisy(noisyNow)
+        if (noisyNow.nonEmpty)
+          retryNoisy(noisyNow, remainingEst = shardEsts.drop(i + 1).sum)
       }
+    }
+    // Deferred retries run at sweep end — the pre-r14 placement, entered
+    // only now that every shard has had its first measurement.
+    if (deferredRetries.nonEmpty) {
+      val defer = deferredRetries.toSeq
+        .filter(n => noisy(merged.getOrElse(n, Seq.empty)))
+      deferredRetries.clear()
+      retryNoisy(defer, remainingEst = 0.0)
+      // a retry denied headroom even with remainingEst = 0 can never run:
+      // it keeps its honest spread flag
+      flagged ++= deferredRetries
+      deferredRetries.clear()
+      liveNoisy = flagged.toSet
     }
     if (fallback != null) fallback.stop()
     // disarm the emergency flush BEFORE the normal report: a TERM landing
@@ -792,8 +857,7 @@ object Bench {
     System.err.println(f"[bench] run complete in $elapsedS%.0f s (budget $BudgetS%.0f s)")
     report(names.map(n => n -> merged.getOrElse(n, Seq.empty)), flagged.toSet,
       skipped = skipped.toSeq, subset = only.isDefined, hoisted = hoisted.toSeq,
-      calMins = names.flatMap(n =>
-        prevMins.get(n).orElse(staticMins.get(n)).map(n -> _)).toMap)
+      calMins = calMinsAll)
   }
 
   private def report(results: Seq[(String, Seq[Double])],
@@ -875,11 +939,15 @@ object Bench {
     // see that ~19 s moved from timed queries into untimed arming, not
     // mistake the drop for queries getting faster.
     // SUM, not min: arming cost is additive across the JVMs that paid it
-    // (the family shard plus any retry singleton that re-armed).
+    // (the family shard plus any retry singleton that re-armed). The
+    // `_residual` entry is visibility-only — timed-pass re-derivations
+    // already sit inside their query's recorded samples, so summing them
+    // into hoisted_s would double-count them in value + hoisted_s.
     val hoistedJson = hoisted.collect { case (k, ts) if ts.nonEmpty =>
       "\"" + k.stripPrefix("__") + "\":" + f(ts.sum) }
       .mkString("{", ",", "}")
-    val hoistedSum = hoisted.collect { case (_, ts) if ts.nonEmpty => ts.sum }.sum
+    val hoistedSum = hoisted.collect {
+      case (k, ts) if ts.nonEmpty && !k.endsWith("_residual") => ts.sum }.sum
     // Per-query SAMPLE counts (r13 advice): the global "runs":3 constant
     // was a false claim once the runs-3→2 rule (TwoRunBar) timed some
     // singletons with 2 passes and retry pooling pushed others to 5-9.

@@ -53,7 +53,8 @@ object BenchShared {
     // /tmp, accreting across bench runs and retry-singleton workers
     // (round-13 advice).
     java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      deleteRecursively(base)))
+      try graft.Fs.deleteRecursively(base)
+      catch { case _: Throwable => () })) // best-effort: never block shutdown
     val docs = graft.sources.Tables.load(spark, dir, "documents")
     val sigs = Dedup.minHashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.minHashLshPairs(docs, Threshold, precomputedSigs = Some(sigs))
@@ -66,17 +67,6 @@ object BenchShared {
     sys.props(sigsProp(dir)) = sigsPath
     sys.props(pairsProp(dir)) = pairsPath
     (System.nanoTime() - t0) / 1e9
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    try {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.forEach(c => deleteRecursively(c)) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    } catch { case _: Throwable => () } // best-effort: never block shutdown
   }
 
   /** Test hygiene: drop every armed registration in this JVM, so an

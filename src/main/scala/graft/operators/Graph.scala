@@ -501,11 +501,19 @@ object Graph {
     val fresh = canon(delta)
       .distinct()
       .join(canon(standingEdges), Seq("a", "b"), "left_anti")
+    degreeMerge(standingDegrees, fresh)
+  }
+
+  /** Degree-merge tail of [[degreeMaintain]] for a delta that is ALREADY
+    * canonical, distinct, and anti-joined — callers that cleaned the
+    * batch themselves (wedgeViewMaintain) must not pay a second O(m)
+    * anti-join scan of the standing edge set just to recompute it. */
+  private[operators] def degreeMerge(
+      standingDegrees: DataFrame, freshCanon: DataFrame): DataFrame =
     standingDegrees.select(col("u").cast("long"), col("dg").cast("long"))
-      .unionAll(fresh.select(explode(array(col("a"), col("b"))).as("u"),
+      .unionAll(freshCanon.select(explode(array(col("a"), col("b"))).as("u"),
         lit(1L).as("dg")))
       .groupBy("u").agg(sum(col("dg")).as("dg"))
-  }
 
   /** Triangle census under edge INSERTS: triangles of history ∪ delta
     * WITHOUT re-enumerating the history's triangles. Every triangle that
@@ -679,16 +687,22 @@ object Graph {
       least(col("a"), col("b")).cast("long").as("a"),
       greatest(col("a"), col("b")).cast("long").as("b"))
     val h = canon(standingEdges)
+    // localCheckpoint (eager), NOT persist: the function returns a LAZY
+    // frame, so there is no post-action unpersist point — a persist here
+    // would pin these in the CacheManager for the life of the session
+    // (one leak per maintenance batch in a standing-view deployment),
+    // while checkpoint blocks are released by the ContextCleaner once the
+    // frame is garbage-collected.
     val fresh = canon(delta).distinct()
       .join(h, Seq("a", "b"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dg0 = standingDegrees
       .select(col("u").cast("long"), col("dg").cast("long"))
-    val dgNew = degreeMaintain(dg0, h, fresh)
+    val dgNew = degreeMerge(dg0, fresh)
     val heavyOld = dg0.where(col("dg") >= theta).select(col("u"))
     val heavyNew = dgNew.where(col("dg") >= theta).select(col("u"))
     val promoted = heavyNew.join(heavyOld, Seq("u"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def armsOf(e: DataFrame) =
       e.select(col("a").as("w"), col("b").as("u"))
         .unionAll(e.select(col("b").as("w"), col("a").as("u")))
@@ -697,7 +711,7 @@ object Graph {
     // arms (x.u < y.u counts each unordered pair once; distinct edges
     // sharing both endpoints cannot exist, so u = v is impossible)
     val armsD = armsOf(fresh).join(heavyOld, Seq("u"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val armsH = armsOf(h).join(heavyOld, Seq("u"), "left_semi")
     val mixed = armsD.as("x").join(armsH.as("y"),
         col("x.w") === col("y.w"))

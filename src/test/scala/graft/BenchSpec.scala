@@ -17,11 +17,12 @@ import graft.sim.TrainingMemo
   *     (second pair-family shard falling back in the same JVM) must NOT
   *     re-emit a 0.0 pseudo entry that would overwrite the recorded
   *     hoist seconds in the parent's `hoisted` map.
-  *  3. Derive time accrued AFTER the target-SF pre-pass (the warm-dir
-  *     pass's own trainings) surfaces as `__shared_ann_training_residual`
-  *     instead of being silently lost — without the second drain, that
-  *     time would vanish from the record while pass-1 times silently
-  *     included it.
+  *  3. Derive time accrued AFTER the target-SF pre-pass surfaces instead
+  *     of being silently lost: warm-dir trainings under
+  *     `__shared_ann_training_warm` (untimed arming, counted in
+  *     hoisted_s), timed-pass re-derivations under
+  *     `__shared_ann_training_residual` (visibility only — those seconds
+  *     already sit inside the query's samples, so the sum excludes them).
   */
 class BenchSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -42,11 +43,15 @@ class BenchSpec extends AnyFunSuite {
       assert(hoist.nonEmpty && hoist.head > 0.0,
         "first measurement must report the target-SF training hoist")
       // The warm pass runs AFTER the pre-pass drain and trains at the warm
-      // dir — that derive time must surface as the residual entry, not
-      // vanish (r13 advice item 4).
-      val residual = first.getOrElse("__shared_ann_training_residual", Seq.empty)
-      assert(residual.nonEmpty && residual.head > 0.0,
-        "warm-dir trainings after the pre-pass drain must be reported as residual")
+      // dir — that derive time must surface under its own untimed-arming
+      // name, not vanish (r13 advice item 4). The residual entry is
+      // reserved for TIMED-pass re-derivations (double-count visibility)
+      // and must be absent in this clean flow.
+      val warm = first.getOrElse("__shared_ann_training_warm", Seq.empty)
+      assert(warm.nonEmpty && warm.head > 0.0,
+        "warm-dir trainings after the pre-pass drain must be reported as the warm hoist")
+      assert(!first.contains("__shared_ann_training_residual"),
+        "no timed-pass re-derivation happened, so no residual may be claimed")
 
       // Second measurement in the same JVM (fallback-shard shape): every
       // training is already memoized, so no pseudo entry may be emitted —
@@ -56,6 +61,7 @@ class BenchSpec extends AnyFunSuite {
       assert(!TrainingMemo.enabled)
       assert(!second.contains("__shared_ann_training"),
         "already-memoized shard must not emit a 0.0 hoist entry")
+      assert(!second.contains("__shared_ann_training_warm"))
       assert(!second.contains("__shared_ann_training_residual"))
     } finally {
       sys.props.remove("graft.bench.memoTraining")
