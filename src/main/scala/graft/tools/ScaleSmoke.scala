@@ -421,6 +421,39 @@ object ScaleSmoke {
       require(maxExp < theta,
         s"light-edge standing expansion $maxExp >= theta $theta — the per-edge worst-case bound is broken")
     }
+    // Adversarial separation (synthetic, deterministic): two hubs sharing
+    // n leaves, delta = the hub-hub edge. ANY neighborhood probe — the
+    // degree-ordered one included — must expand min(deg) = n adjacency
+    // rows for this edge; the bounded form answers from ONE standing view
+    // row with zero standing expansion. This is the case that makes the
+    // amortized bound a lie about single edges (Chiba-Nishizeki bounds
+    // the sum over edges, not any one of them) and the reason the view
+    // exists; assert the separation as exact row counts, then the census.
+    val nLeaves = 20000L
+    val hubs = spark.range(nLeaves).selectExpr("1L as a", "id + 10 as b")
+      .unionAll(spark.range(nLeaves).selectExpr("2L as a", "id + 10 as b"))
+      .localCheckpoint(true)
+    val hubDeg = hubs.select(explode(array(col("a"), col("b"))).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+    val hubTheta = graft.operators.Graph.wedgeTheta(2 * nLeaves)
+    val hubView = graft.operators.Graph
+      .wedgeViewBuild(hubs, hubDeg, hubTheta).localCheckpoint(true)
+    val viewRows = hubView.collect()
+    require(viewRows.length == 1 && viewRows.head.getLong(2) == nLeaves,
+      s"hub view must be exactly one pair row with $nLeaves wedges, got ${viewRows.mkString(",")}")
+    val hubDelta = spark.range(1).selectExpr("1L as a", "2L as b")
+    val orderedExp = nLeaves // min(deg 1, deg 2): what any probe pays
+    val boundedExp = 0L     // heavy-heavy: one view-row lookup
+    val viaHubView = graft.operators.Graph
+      .triangleInsertBounded(hubs, hubDelta, 0L, hubDeg, hubView, hubTheta)
+      .head().getLong(2)
+    require(viaHubView == nLeaves,
+      s"hub-hub insert must close exactly $nLeaves triangles, got $viaHubView")
+    println(f"[scale] triangle_view adversarial hub-hub: probe expansion " +
+      f"$orderedExp vs bounded $boundedExp (theta=$hubTheta, " +
+      f"${orderedExp / hubTheta}x the sqrt cap)")
+    require(orderedExp > 10 * hubTheta,
+      "adversarial graph no longer separates the bounds — regenerate it bigger")
   }
 
   /** Incremental triangle maintenance at scale: on the sf0.1 co-occurrence
