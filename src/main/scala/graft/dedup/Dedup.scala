@@ -102,11 +102,26 @@ object Dedup {
 
   /** Word-n-gram Jaccard near-dup pairs: LSH candidates from scan-side
     * word MinHash, exact Jaccard computed only on shingle sets of docs
-    * that appear in a candidate pair. */
+    * that appear in a candidate pair.
+    *
+    * Intermediates are `localCheckpoint`ed (eager), not persisted: each is
+    * referenced 2-3 times downstream, and with persist every reference
+    * re-inlines the FULL upstream pipeline into the consumer's analyzed
+    * plan — the verify tail's tree re-embeds the band/candidate subtrees
+    * hundreds of times and per-action plan canonicalization (the
+    * CacheManager lookup is O(tree) per reference) dominates the wall
+    * clock, not data (r14 A/B on the sibling incremental pipeline:
+    * 4.2-5.0 s → 1.4 s at sf0.1, identical pairs). Checkpointing cuts each
+    * consumer's plan back to a leaf. Same executor-memory footprint as the
+    * old pins; the blocks are released by the ContextCleaner when the
+    * frames are GC'd (the iterative-graph discipline). Fault-tolerance
+    * trade (lost executor = failed job, no lineage recompute) is the
+    * documented localCheckpoint cost and acceptable for intra-job
+    * intermediates. */
   def ngramJaccardPairs(
       docs: DataFrame, threshold: Double = 0.5, n: Int = 3): DataFrame = {
-    val bands = bandKeys(wordMinHashSignatures(docs, n = n)).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandKeys(wordMinHashSignatures(docs, n = n)).localCheckpoint(true)
+    val cand = candidatePairs(bands).localCheckpoint(true)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // shingle sets only ever exist for candidate docs; the candidate set
@@ -114,15 +129,12 @@ object Dedup {
     // broadcast hint — AQE picks the strategy from its actual size
     val candSh = wordShingles(
       docs.join(candDocs, Seq("doc_id"), "left_semi"), n = n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val result = jaccard(cand, candSh)
       .where(col("jaccard") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bands.unpersist(false)
-    cand.unpersist(false)
-    candSh.unpersist(false)
     result
   }
 
@@ -138,21 +150,20 @@ object Dedup {
     * engine and oracle agree on the candidate universe by construction. */
   def ngramContainmentPairs(
       docs: DataFrame, threshold: Double = 0.6, n: Int = 3): DataFrame = {
-    val bands = bandKeys(wordMinHashSignatures(docs, n = n)).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(bands).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: plan-truncation rationale at
+    // [[ngramJaccardPairs]]
+    val bands = bandKeys(wordMinHashSignatures(docs, n = n)).localCheckpoint(true)
+    val cand = candidatePairs(bands).localCheckpoint(true)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = wordShingles(
       docs.join(candDocs, Seq("doc_id"), "left_semi"), n = n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val result = containment(cand, candSh)
       .where(col("containment") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bands.unpersist(false)
-    cand.unpersist(false)
-    candSh.unpersist(false)
     result
   }
 
@@ -172,8 +183,10 @@ object Dedup {
     // corpus-sized standing side for a single scan
     val bandsH = bandKeys(
         historySigs.getOrElse(wordMinHashSignatures(history, n = n)))
+    // delta-side intermediates localCheckpoint (plan-truncation rationale
+    // at [[ngramJaccardPairs]]); supplied standing sides stay lazy
     val bandsD = bandKeys(wordMinHashSignatures(delta, n = n))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dh = bandsD.as("a").join(bandsH.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -183,18 +196,17 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cand = dh.union(dd).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = dh.union(dd).distinct().localCheckpoint(true)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val candSh = wordShingles(
       history.unionByName(delta).join(candDocs, Seq("doc_id"), "left_semi"), n = n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val result = containment(cand, candSh)
       .where(col("containment") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    Seq(bandsD, cand, candSh).foreach(_.unpersist(false))
     result
   }
 
@@ -290,20 +302,17 @@ object Dedup {
     * corpus size and not raw band-bucket collisions. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
       precomputedSigs: Option[DataFrame] = None): DataFrame = {
-    // Signatures feed banding AND both sides of the agreement filter;
-    // persist or the signature scan runs three times. Callers that need
-    // the signatures themselves (estimator evals, standing indexes) pass
-    // an already-persisted relation via `precomputedSigs` so the corpus
-    // signature scan runs once across every consumer — that cache is
-    // caller-owned and NOT unpersisted here.
-    val owned = precomputedSigs.isEmpty
+    // Signatures feed banding AND both sides of the agreement filter; in
+    // DERIVED mode they are localCheckpointed (plan-truncation rationale
+    // at [[ngramJaccardPairs]]) so each of the three consumers reads
+    // materialized blocks behind a leaf-sized plan. Callers that need the
+    // signatures themselves (estimator evals, standing indexes) pass a
+    // relation via `precomputedSigs`; that side is caller-owned — never
+    // pinned, never materialized here.
     val sigs = precomputedSigs.getOrElse(
-      minHashSignatures(docs).persist(StorageLevel.MEMORY_AND_DISK))
-    val bands = bandKeys(sigs).persist(StorageLevel.MEMORY_AND_DISK)
-    val result = verifiedPairs(docs, candidatePairs(bands), sigs, threshold)
-    if (owned) sigs.unpersist(false)
-    bands.unpersist(false)
-    result
+      minHashSignatures(docs).localCheckpoint(true))
+    val bands = bandKeys(sigs).localCheckpoint(true)
+    verifiedPairs(docs, candidatePairs(bands), sigs, threshold)
   }
 
   /** Incremental near-dup detection — the 100 TB production shape: dedup a
@@ -324,21 +333,22 @@ object Dedup {
       historyBands: Option[DataFrame] = None): DataFrame = {
     // The history signatures are read up to three times below (the band
     // derivation plus both verify sides). In DERIVED mode re-computing
-    // them means re-scanning corpus text, so the one-time pin of the
-    // narrow 16-long rows is worth it; a SUPPLIED standing table is
-    // already a cheap narrow scan that must be neither pinned
-    // (corpus-sized executor memory) nor — as this function previously
-    // did — unpersisted out from under the caller who owns it.
+    // them means re-scanning corpus text, so the one-time localCheckpoint
+    // of the narrow 16-long rows is worth it — and it cuts every
+    // consumer's analyzed plan back to a leaf (plan-truncation rationale
+    // at [[ngramJaccardPairs]]). A SUPPLIED standing table is already a
+    // cheap narrow scan that must be neither pinned nor materialized
+    // (corpus-sized executor memory) — the caller owns its lifecycle.
     val ownedSigsH = historySigs.isEmpty
     val sigsH = {
       val s0 = historySigs.getOrElse(minHashSignatures(history))
-      if (ownedSigsH) s0.persist(StorageLevel.MEMORY_AND_DISK) else s0
+      if (ownedSigsH) s0.localCheckpoint(true) else s0
     }
-    val sigsD = minHashSignatures(delta).persist(StorageLevel.MEMORY_AND_DISK)
-    // consumed exactly once (the dh join) — persisting would only add a
-    // materialization pass; it pipelines off sigsH / the standing scan
+    val sigsD = minHashSignatures(delta).localCheckpoint(true)
+    // consumed exactly once (the dh join) — materializing would only add
+    // a pass; it pipelines off sigsH / the standing scan
     val bandsH = historyBands.getOrElse(bandKeys(sigsH))
-    val bandsD = bandKeys(sigsD).persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsD = bandKeys(sigsD).localCheckpoint(true)
     val dh = bandsD.as("a").join(bandsH.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -351,20 +361,15 @@ object Dedup {
     val cand0 = dh.union(dd).distinct()
     // by NAME: caller-provided history signature tables may order their
     // columns differently than minHashSignatures emits them. The verify
-    // stage scans this union twice (both sides of the agreement join);
-    // round 11 un-pinned it unconditionally and the quiet-machine
-    // singleton re-measure showed that causal: 3.80 → 5.36 s at sf0.1
-    // (re-evaluating the union of two cached relations per scan). Pin it
-    // in DERIVED mode only, where both sides are this call's own
-    // short-lived pins; a SUPPLIED standing side stays unpinned — the
-    // union would hold a second corpus-sized copy in executor memory and
-    // the caller owns the standing table's lifecycle (round-11 rule).
-    val sigs0 = sigsH.unionByName(sigsD)
-    val sigs = if (ownedSigsH) sigs0.persist(StorageLevel.MEMORY_AND_DISK) else sigs0
-    val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
-    (Seq(sigsD, bandsD) ++ (if (ownedSigsH) Seq(sigs, sigsH) else Nil))
-      .foreach(_.unpersist(false))
-    result
+    // stage scans this union twice (both sides of the agreement join); in
+    // derived mode both inputs are this call's own checkpointed blocks,
+    // so re-scanning the union is two cheap leaf reads — no second pin
+    // (round 11's 3.80 → 5.36 s un-pin regression re-evaluated FULL
+    // upstream pipelines per scan; checkpointed leaves removed that
+    // hazard). A SUPPLIED standing side stays untouched — the caller owns
+    // its lifecycle (round-11 rule).
+    val sigs = sigsH.unionByName(sigsD)
+    verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
   }
 
   /** Shared verify tail of the MinHash pipelines: signature-agreement
@@ -381,26 +386,28 @@ object Dedup {
     val agree = (0 until NumHashes)
       .map(i => when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // localCheckpoint, not persist: cand feeds three downstream subtrees
+    // and sh three join sides — behind a pin each reference re-inlines
+    // the full pipeline into the consumer's plan and canonicalization
+    // dominates (plan-truncation rationale at [[ngramJaccardPairs]]).
     val cand = cand0
       .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
       .where(agree >= lit(minAgree(NumHashes, threshold)))
       .select("doc_a", "doc_b")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // Shingle sets for surviving candidate docs only. The semi-join prunes
     // the corpus before the explode; candDocs can reach 30-50% of a
     // dup-heavy corpus, so no broadcast hint — AQE decides from size.
     val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val result = jaccard(cand, sh)
       .where(col("jaccard") >= lit(threshold))
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize the (tiny) result while inputs are cached
-    cand.unpersist(false)
-    sh.unpersist(false)
+    result.count() // materialize the (tiny) result eagerly
     result
   }
 
@@ -580,7 +587,9 @@ object Dedup {
     // and pin standing state to executor memory for nothing (the same
     // single-use pin the media-incr A/B measured as pure overhead)
     val bh = historyBands.getOrElse(simHashBands(history))
-    val bd = simHashBands(delta).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint: bd feeds three join sides (plan-truncation
+    // rationale at [[ngramJaccardPairs]])
+    val bd = simHashBands(delta).localCheckpoint(true)
     def collide(l: DataFrame, r0: DataFrame, ordered: Boolean) = {
       val cond0 = col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val")
@@ -600,17 +609,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    bd.unpersist(false)
     result
   }
 
   /** SimHash near-dup pairs: candidates share one of 4 15-bit bands, then
     * Hamming distance (bit_count of xor) <= maxHamming. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // Persisted: both sides of the self-join would otherwise re-run the
-    // full token+vote pipeline. 4 rows/doc — small.
+    // localCheckpoint: both sides of the self-join would otherwise re-run
+    // the full token+vote pipeline, and a pin would re-inline it into the
+    // plan twice (rationale at [[ngramJaccardPairs]]). 4 rows/doc — small.
     val banded = simHashBands(docs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val a = banded.as("a")
     val b = banded.as("b")
     val result = a.join(b,
@@ -625,7 +634,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    banded.unpersist(false)
     result
   }
 
@@ -671,8 +679,10 @@ object Dedup {
     * gram volume by construction. */
   def winnowPairs(docs: DataFrame, k: Int = 16, w: Int = 16,
       dfCap: Int = 10, minShared: Int = 3): DataFrame = {
+    // localCheckpoint: keep feeds both self-join sides + the size
+    // aggregate (plan-truncation rationale at [[ngramJaccardPairs]])
     val keep = winnowKeep(docs, k, w, dfCap)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val result = winnowResemblance(
       keep.as("a").join(keep.as("b"),
@@ -681,7 +691,6 @@ object Dedup {
       sizes, minShared)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    keep.unpersist(false)
     result
   }
 
@@ -697,8 +706,10 @@ object Dedup {
   def winnowPairsIncremental(docs: DataFrame,
       deltaPred: Column => Column, k: Int = 16, w: Int = 16,
       dfCap: Int = 10, minShared: Int = 3): DataFrame = {
+    // localCheckpoint: keep feeds both join sides + sizes (rationale at
+    // [[ngramJaccardPairs]])
     val keep = winnowKeep(docs, k, w, dfCap)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val keepD = keep.where(deltaPred(col("doc_id")))
     val result = winnowResemblance(
@@ -712,7 +723,6 @@ object Dedup {
       sizes, minShared)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
-    keep.unpersist(false)
     result
   }
 

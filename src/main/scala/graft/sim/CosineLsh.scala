@@ -85,7 +85,14 @@ object CosineLsh {
       emb: DataFrame, threshold: Double,
       bits: Option[Int] = None): DataFrame = {
     val b = bits.getOrElse(bitsFor(emb.count()))
-    val base = bucketed(emb, b).persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not persist: with a pin each of the four references
+    // re-inlines the full hash pipeline into the consumer's analyzed plan
+    // and per-action canonicalization dominates (see
+    // graft.dedup.Dedup.ngramJaccardPairs for the measured rationale);
+    // checkpointing cuts each consumer back to a leaf scan of the
+    // materialized blocks — same executor footprint, released by the
+    // ContextCleaner when the frame is GC'd.
+    val base = bucketed(emb, b).localCheckpoint(true)
     val ids = base.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val cand = ids.as("a")
@@ -102,8 +109,7 @@ object CosineLsh {
       .where(col("score") >= lit(threshold))
       .orderBy("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while base is cached
-    base.unpersist(false)
+    result.count() // materialize the (tiny) result eagerly
     result
   }
 
@@ -129,12 +135,15 @@ object CosineLsh {
     // the corpus, so the one-time pin pays; a SUPPLIED standing index is
     // a cheap narrow scan that must not be pinned (corpus-sized executor
     // memory) or unpersisted out from under the caller who owns it.
+    // Derived-mode sides localCheckpoint (plan-truncation rationale at
+    // [[nearDupPairs]]); a SUPPLIED standing index stays untouched — the
+    // caller owns its lifecycle.
     val ownedH = historyBuckets.isEmpty
     val baseH = {
       val b0 = historyBuckets.getOrElse(bucketed(history, b))
-      if (ownedH) b0.persist(StorageLevel.MEMORY_AND_DISK) else b0
+      if (ownedH) b0.localCheckpoint(true) else b0
     }
-    val baseD = bucketed(delta, b).persist(StorageLevel.MEMORY_AND_DISK)
+    val baseD = bucketed(delta, b).localCheckpoint(true)
     def ids(base: DataFrame) = base.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val dh = ids(baseD).as("a").join(ids(baseH).as("b"),
@@ -157,9 +166,7 @@ object CosineLsh {
       .where(col("score") >= lit(threshold))
       .orderBy("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // materialize while the bucketed bases are cached
-    if (ownedH) baseH.unpersist(false)
-    baseD.unpersist(false)
+    result.count() // materialize the (tiny) result eagerly
     result
   }
 
