@@ -100,6 +100,22 @@ object Dedup {
       .select(col("doc_id") +:
         (0 until k).map(i => col("sig").getItem(i).as(s"m$i")): _*)
 
+  /** Release a localCheckpointed frame's materialized blocks NOW instead
+    * of waiting for the ContextCleaner — the deterministic lifecycle the
+    * old persist/unpersist pairs had, which a long-running streaming
+    * driver needs (StreamingCacheHygieneSpec pins non-accretion per
+    * micro-batch). Only safe once every consumer has materialized its own
+    * result: a released checkpoint cannot be recomputed (the documented
+    * localCheckpoint trade — same consequence as losing the block's
+    * executor). No-op on frames that are not checkpoint leaves. */
+  private[graft] def releaseLocal(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
   /** Word-n-gram Jaccard near-dup pairs: LSH candidates from scan-side
     * word MinHash, exact Jaccard computed only on shingle sets of docs
     * that appear in a candidate pair.
@@ -135,6 +151,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(bands, cand, candSh)
     result
   }
 
@@ -164,6 +181,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(bands, cand, candSh)
     result
   }
 
@@ -207,6 +225,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(bandsD, cand, candSh)
     result
   }
 
@@ -312,7 +331,10 @@ object Dedup {
     val sigs = precomputedSigs.getOrElse(
       minHashSignatures(docs).localCheckpoint(true))
     val bands = bandKeys(sigs).localCheckpoint(true)
-    verifiedPairs(docs, candidatePairs(bands), sigs, threshold)
+    val result = verifiedPairs(docs, candidatePairs(bands), sigs, threshold)
+    releaseLocal(bands)
+    if (precomputedSigs.isEmpty) releaseLocal(sigs)
+    result
   }
 
   /** Incremental near-dup detection — the 100 TB production shape: dedup a
@@ -369,7 +391,10 @@ object Dedup {
     // hazard). A SUPPLIED standing side stays untouched — the caller owns
     // its lifecycle (round-11 rule).
     val sigs = sigsH.unionByName(sigsD)
-    verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
+    val result = verifiedPairs(history.unionByName(delta), cand0, sigs, threshold)
+    releaseLocal(sigsD, bandsD)
+    if (ownedSigsH) releaseLocal(sigsH)
+    result
   }
 
   /** Shared verify tail of the MinHash pipelines: signature-agreement
@@ -408,6 +433,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize the (tiny) result eagerly
+    releaseLocal(cand, sh)
     result
   }
 
@@ -609,6 +635,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(bd)
     result
   }
 
@@ -634,6 +661,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(banded)
     result
   }
 
@@ -691,6 +719,7 @@ object Dedup {
       sizes, minShared)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(keep)
     result
   }
 
@@ -723,6 +752,7 @@ object Dedup {
       sizes, minShared)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
+    releaseLocal(keep)
     result
   }
 

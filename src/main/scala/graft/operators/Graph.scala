@@ -57,12 +57,15 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
-    // one relation joined every round: pre-attach the out-degree
-    val ed = e.join(outdeg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // one relation joined every round: pre-attach the out-degree.
+    // localCheckpoint (not persist) so every round's plan references a
+    // LEAF, not the edge derivation re-inlined per round — the same
+    // plan-truncation rationale as graft.dedup.Dedup.ngramJaccardPairs.
+    val ed = e.join(outdeg, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val base = (15L * scale) / 100L
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
       .localCheckpoint(true)
@@ -75,8 +78,6 @@ object Graph {
           (lit(base) + expr(s"85 * coalesce(insum, 0L) DIV 100")).as("rank"))
         .localCheckpoint(true)
     }
-    ed.unpersist(false)
-    nodes.unpersist(false)
     ranks
   }
 
@@ -277,7 +278,7 @@ object Graph {
     val dir = lpaDirected(edges)
     var labels = lpaStart(dir)
     for (_ <- 0 until rounds) labels = lpaStep(dir, labels)
-    dir.unpersist(false)
+    // dir is localCheckpointed; blocks are released by the ContextCleaner
     labels
   }
 
@@ -309,7 +310,7 @@ object Graph {
       // were ever live together
       (r, nLabels, nChanged)
     }
-    dir.unpersist(false)
+    // dir is localCheckpointed; blocks are released by the ContextCleaner
     rows.toDF("round", "n_labels", "n_changed")
   }
 
@@ -339,18 +340,20 @@ object Graph {
       if (nChanged == 0L) converged = true else labels = next
       r += 1
     }
-    dir.unpersist(false)
+    // dir is localCheckpointed; blocks are released by the ContextCleaner
     labels
   }
 
-  /** Directed (both-orientation) neighborhood relation, persisted once —
-    * the relation every LPA round joins. */
+  /** Directed (both-orientation) neighborhood relation, materialized once
+    * (localCheckpoint) — the relation every LPA round joins behind a
+    * leaf-sized plan (plan-truncation rationale at
+    * [[graft.dedup.Dedup.ngramJaccardPairs]]). */
   private def lpaDirected(edges: DataFrame): DataFrame = {
     val e = edges.select(col("a").cast("long"), col("b").cast("long"))
     // both directions: u's neighborhood is every v sharing an edge
     e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
   }
 
   /** Round-0 labels: every node labeled with its own id. */

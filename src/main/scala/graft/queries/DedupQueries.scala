@@ -280,14 +280,19 @@ object DedupQueries {
       fn = (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val docs = t(s, d, "documents")
-        // Score the corpus text exactly once, caching only the NARROW
-        // (doc_id, quality) projection — persisting the full rows (text
-        // included) would push the entire corpus through executor storage
-        // at 100 TB. Downstream stages that need text re-read the
+        // Score the corpus text exactly once, materializing only the
+        // NARROW (doc_id, quality) projection — holding the full rows
+        // (text included) would push the entire corpus through executor
+        // storage at 100 TB. Downstream stages that need text re-read the
         // column-pruned parquet and semi-join the survivor ids.
+        // localCheckpoint (not persist) throughout this fn: each stage
+        // feeds 2-3 consumers and a pin re-inlines the whole upstream
+        // funnel into every consumer's plan (see
+        // graft.dedup.Dedup.ngramJaccardPairs for the measured rationale;
+        // this query read 9.1 s isolated before, 3.7 s after).
         val scored = docs.select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val thr: Double = scored
           .agg((sum(col("quality").cast(DecimalType(18, 6))).cast("double") /
             count(lit(1))).as("t"))
@@ -299,7 +304,7 @@ object DedupQueries {
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
         val e = q.join(keepers, Seq("doc_id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val drop = Dedup.connectedComponents(
           Dedup.minHashLshPairs(e.select(col("doc_id"), col("text")), 0.8))
           .where(col("doc_id") =!= col("cluster_id"))
@@ -317,9 +322,7 @@ object DedupQueries {
           .unionAll(stat(4L, "near_dedup", n4))
           .orderBy("stage_no")
           .persist()
-        result.count() // materialize the 4-row card while inputs are cached
-        scored.unpersist(false)
-        e.unpersist(false)
+        result.count() // materialize the 4-row card eagerly
         result
       },
       oracle = Some(s"""
@@ -584,8 +587,10 @@ object DedupQueries {
         val slice = t(s, d, "documents").where(col("doc_id") < 200)
         val lsh = Dedup.minHashLshPairs(slice, threshold = 0.8)
           .select("doc_a", "doc_b")
+        // localCheckpoint: sh feeds four join sides (rationale at
+        // graft.dedup.Dedup.ngramJaccardPairs)
         val sh = Dedup.shingles(slice)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val cand = sh.as("a")
           .join(sh.as("b"),
             col("a.shingle") === col("b.shingle") &&
@@ -604,8 +609,7 @@ object DedupQueries {
               .otherwise(round(col("n_hit").cast("double") /
                 col("n_exact").cast("double"), 6)).as("recall"))
         val out = rep.persist()
-        out.count() // materialize while the shingle cache is live
-        sh.unpersist(false)
+        out.count() // materialize the 1-row card eagerly
         out
       },
       oracle = Some(s"""
@@ -737,8 +741,10 @@ object DedupQueries {
     "dedup_threshold_sweep" -> QueryDef(
       fn = (s, d) => {
         val slice = t(s, d, "documents").where(col("doc_id") < 200)
+        // localCheckpoint: sh feeds four join sides (rationale at
+        // graft.dedup.Dedup.ngramJaccardPairs)
         val sh = Dedup.shingles(slice)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val cand = sh.as("a")
           .join(sh.as("b"),
             col("a.shingle") === col("b.shingle") &&
@@ -757,7 +763,7 @@ object DedupQueries {
           .join(sa, "doc_a").join(sb, "doc_b")
           .select(col("jaccard"),
             (agree.cast("double") / Dedup.NumHashes).as("est"))
-          .persist()
+          .localCheckpoint(true)
         val cuts = Seq(0.7, 0.75, 0.8, 0.85, 0.9)
         val out = scored
           .select(col("jaccard"), col("est"),
@@ -779,8 +785,7 @@ object DedupQueries {
                 / col("n_true").cast("double"), 6)).as("recall"))
           .orderBy("thr")
           .persist()
-        out.count() // materialize while the shingle/pair caches are live
-        sh.unpersist(false); scored.unpersist(false)
+        out.count() // materialize the 5-row sweep eagerly
         out
       },
       oracle = Some(s"""

@@ -1467,16 +1467,20 @@ object MiscQueries {
     "agg_quantile_sketch" -> QueryDef(
       fn = (s, d) => {
         val k = 64
+        // localCheckpoint: rows feeds the sketch window + the exact side,
+        // samp three subtrees — leaf-sized consumer plans instead of
+        // re-inlined pins (see graft.dedup.Dedup.ngramJaccardPairs for
+        // the measured rationale)
         val rows = t(s, d, "events")
           .select(col("event_type"), col("event_id"), col("value"))
           .withColumn("h",
             conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
               .cast("long"))
-          .persist()
+          .localCheckpoint(true)
         val ws = Window.partitionBy(col("event_type"))
           .orderBy(col("h"), col("event_id"))
         val samp = rows.withColumn("rn", row_number().over(ws))
-          .where(col("rn") <= k).persist()
+          .where(col("rn") <= k).localCheckpoint(true)
         // ceil-rank order statistics per group label `g`: p50 at
         // ceil(m/2) = (m+1) DIV 2, p90 at ceil(9m/10) = (9m+9) DIV 10
         def stats(df: org.apache.spark.sql.DataFrame, p50: String,
@@ -1526,9 +1530,7 @@ object MiscQueries {
           .select(lit("__all__").as("event_type"), col("n_exact"),
             col("p50_exact"), col("p90_exact"), col("p50_est"), col("p90_est"))
         val result = perG.unionByName(allRow).orderBy("event_type").persist()
-        result.count() // materialize while rows/samp caches are live
-        samp.unpersist(false)
-        rows.unpersist(false)
+        result.count() // materialize the small card eagerly
         result
       },
       oracle = Some("""

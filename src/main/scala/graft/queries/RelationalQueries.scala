@@ -2330,9 +2330,13 @@ object RelationalQueries {
       fn = (s, d) => {
         val k = 64
         val H = 281474976710656.0 // 2^48, the md5-prefix hash range
+        // localCheckpoint: du feeds four subtrees (days, the sketch
+        // window, the exact side); materialized blocks behind a leaf plan
+        // beat a pin each consumer re-inlines (see
+        // graft.dedup.Dedup.ngramJaccardPairs for the measured rationale)
         val du = t(s, d, "events")
           .select(Tables.eventDay.as("day"), col("user_id")).distinct()
-          .persist()
+          .localCheckpoint(true)
         val days = du.select(col("day")).distinct()
         val wDay = Window.partitionBy(col("day"))
           .orderBy(col("h"), col("user_id"))
@@ -2369,8 +2373,7 @@ object RelationalQueries {
           .select(col("day"), col("n_exact"), round(col("raw"), 6).as("est"))
           .orderBy("day")
           .persist()
-        out.count() // materialize while the (day, user) cache is live
-        du.unpersist(false)
+        out.count() // materialize the per-day card eagerly
         out
       },
       oracle = Some("""

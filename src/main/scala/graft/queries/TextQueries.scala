@@ -38,6 +38,35 @@ object TextQueries {
     s"CASE ${branches.mkString(" ")} ELSE '${TextAnalysis.LangStopwords.last._1}' END"
   }
 
+  /** Scan-side word n-gram rows (doc_id, w1..wn): consecutive tokens of
+    * the lowercased whitespace split, derived by array transform +
+    * explode — a pure narrow map (the [[graft.dedup.Dedup.wordShingles]]
+    * shape with the tokens kept as separate columns). Replaces the
+    * posexplode + doc-partitioned lead() window the LM queries used,
+    * which shuffled AND sorted the whole exploded token relation by
+    * doc_id once per n-gram derivation (guide §2.4: remove shuffles
+    * outright). Emits exactly the same row multiset: consecutive
+    * token n-tuples per doc, docs with < n tokens contribute none. */
+  private def wordNgrams(docs: org.apache.spark.sql.DataFrame, n: Int,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val fields = (0 until n).map(j => s"tk[i + $j] AS w${j + 1}").mkString(", ")
+    docs.where(pred)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(tk) - $n), i -> struct($fields))")).as("g"))
+      .select(col("doc_id") +: (1 to n).map(j => col(s"g.w$j")): _*)
+  }
+
+  /** Scan-side token rows (doc_id, w) — the no-window unigram sibling of
+    * [[wordNgrams]]. */
+  private def wordTokens(docs: org.apache.spark.sql.DataFrame,
+      pred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    docs.where(pred).select(col("doc_id"),
+      explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+
   /** Quoted pipe literals for BPE oracle SQL. The registry applies
     * stripMargin to every oracle string, which would eat a literal `|`
     * landing first-on-line; routing every pipe through these (and the
@@ -2330,19 +2359,24 @@ object TextQueries {
     // explosion; identical division order both engines.
     "corpus_pmi" -> QueryDef(
       fn = (s, d) => {
+        // The token-array projection is NOT pinned: its two consumers are
+        // straight narrow scans into map-side-partial aggregates, and
+        // caching corpus-sized arrays costs a materialization pass plus
+        // executor storage for one re-read (and is exactly what must not
+        // happen at 100 TB).
         val toksDf = t(s, d, "documents")
           .select(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")
             .as("toks"))
           .where(size(col("toks")) >= 2)
-          .persist()
-        // vocab-bounded: persisted so the token explode runs once for
-        // both the PMI joins and the N normalizer
+        // vocab-bounded, read three times (N normalizer + two PMI join
+        // sides): localCheckpoint so each consumer reads materialized
+        // blocks behind a leaf-sized plan (see
+        // graft.dedup.Dedup.ngramJaccardPairs for the measured rationale)
         val uni = toksDf.select(explode(col("toks")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cw"))
-          .persist()
-        // vocab^2-bounded (far smaller than the explode it caps):
-        // persisted so the pair explode runs once for both the floored
-        // pair relation and the P normalizer
+          .localCheckpoint(true)
+        // vocab^2-bounded (far smaller than the explode it caps), read
+        // twice (P normalizer + the floored pair relation)
         val pairCounts = toksDf.select(explode(expr("""
             flatten(
               transform(sequence(1, size(toks) - 1),
@@ -2353,7 +2387,7 @@ object TextQueries {
           """)).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-          .persist()
+          .localCheckpoint(true)
         val p: Long = pairCounts.agg(sum("c_ab")).head.getLong(0)
         val n: Long = uni.agg(sum("cw")).head.getLong(0)
         val out = pairCounts
@@ -2367,10 +2401,7 @@ object TextQueries {
           .orderBy(col("pmi").desc, col("a"), col("b"))
           .limit(20)
           .persist()
-        out.count() // materialize while the aggregate caches are live
-        pairCounts.unpersist(false)
-        uni.unpersist(false)
-        toksDf.unpersist(false)
+        out.count() // materialize the top-20 card eagerly
         out
       },
       oracle = Some("""
@@ -2914,21 +2945,18 @@ object TextQueries {
     // bigram/context counts are corpus integers, V the distinct vocab, so
     // ln() sees identical rationals on both engines; per-token logps
     // round to 6 dp and accumulate in exact DECIMAL like the unigram
-    // query. Shape: one explode + one doc-partitioned lead window, counts
-    // join back by bigram key (AQE's choice); docs with <2 tokens have no
-    // bigrams and drop out on both sides.
+    // query. Shape: bigrams derive SCAN-SIDE (array transform + explode —
+    // no window, no token shuffle; r14 replaced the doc-partitioned lead
+    // window that shuffled+sorted the exploded token relation three
+    // times); counts join back by bigram key (AQE's choice); docs with
+    // <2 tokens have no bigrams and drop out on both sides.
     "text_bigram_logprob" -> QueryDef(
       fn = (s, d) => {
-        val toks = t(s, d, "documents").select(col("doc_id"),
-          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-            .as(Seq("pos", "w")))
-        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val big = toks.withColumn("w2", lead(col("w"), 1).over(wd))
-          .where(col("w2").isNotNull)
-          .select(col("doc_id"), col("w").as("w1"), col("w2"))
+        val docs = t(s, d, "documents")
+        val big = wordNgrams(docs, 2, lit(true))
         val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val ctx = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-        val v = toks.select("w").distinct().count()
+        val v = wordTokens(docs, lit(true)).select("w").distinct().count()
         big.join(bcnt, Seq("w1", "w2")).join(ctx, Seq("w1"))
           .select(col("doc_id"),
             round(log((col("c12") + 1).cast("double")
@@ -2981,26 +3009,23 @@ object TextQueries {
     "text_backoff_logprob" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        def toks(pred: org.apache.spark.sql.Column) =
-          docs.where(pred).select(col("doc_id"),
-          posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-            .as(Seq("pos", "w")))
-        val train = toks(col("doc_id") % 2 === 0).persist()
-        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        def tri(t: org.apache.spark.sql.DataFrame) = t
-          .withColumn("w2", lead(col("w"), 1).over(wd))
-          .withColumn("w3", lead(col("w"), 2).over(wd))
-          .where(col("w3").isNotNull)
-          .select(col("doc_id"), col("w").as("w1"), col("w2"), col("w3"))
-        val triCnt = tri(train).groupBy("w1", "w2", "w3")
+        // n-grams derive SCAN-SIDE (wordNgrams: array transform + explode,
+        // no window) straight into their count aggregates with map-side
+        // partials — r14 removed the persisted posexplode + three
+        // doc-partitioned lead windows that each shuffled+sorted the
+        // token relation. The two count tables read twice downstream are
+        // localCheckpointed: vocab-bounded, and the checkpoint cuts the
+        // scoring join's plan to leaf scans (see
+        // graft.dedup.Dedup.ngramJaccardPairs for the measured rationale).
+        val even = col("doc_id") % 2 === 0
+        val triCnt = wordNgrams(docs, 3, even).groupBy("w1", "w2", "w3")
           .agg(count(lit(1)).as("c123"))
-        val bigTrain = train
-          .withColumn("wb", lead(col("w"), 1).over(wd))
-          .where(col("wb").isNotNull)
-          .select(col("w").as("wa"), col("wb"))
-        val bigCnt = bigTrain.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
-          .persist()
-        val uni = train.groupBy("w").agg(count(lit(1)).as("cw")).persist()
+        val bigCnt = wordNgrams(docs, 2, even)
+          .select(col("w1").as("wa"), col("w2").as("wb"))
+          .groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+          .localCheckpoint(true)
+        val uni = wordTokens(docs, even)
+          .groupBy("w").agg(count(lit(1)).as("cw")).localCheckpoint(true)
         val st = uni.agg(sum(col("cw")), count(lit(1))).head()
         val nTrain = st.getLong(0)
         val vTrain = st.getLong(1)
@@ -3013,7 +3038,7 @@ object TextQueries {
           .otherwise(log(lit(0.4) * (lit(0.4) *
             ((coalesce(col("c3"), lit(0L)) + 1).cast("double")
               / lit(floorDen)))))
-        val out = tri(toks(col("doc_id") % 2 === 1))
+        val out = wordNgrams(docs, 3, col("doc_id") % 2 === 1)
           .join(triCnt, Seq("w1", "w2", "w3"), "left")
           .join(bigCnt.select(col("wa").as("w1"), col("wb").as("w2"),
             col("cab").as("c12")), Seq("w1", "w2"), "left")
@@ -3031,8 +3056,7 @@ object TextQueries {
               .as("avg_logprob"))
           .orderBy("doc_id")
           .persist()
-        out.count() // materialize while the train caches are live
-        train.unpersist(false); bigCnt.unpersist(false); uni.unpersist(false)
+        out.count() // materialize the per-doc card eagerly
         out
       },
       oracle = Some("""
@@ -3112,24 +3136,22 @@ object TextQueries {
     "text_kneser_ney_logprob" -> QueryDef(
       fn = (s, d) => {
         val docs = t(s, d, "documents")
-        def toks(pred: org.apache.spark.sql.Column) =
-          docs.where(pred).select(col("doc_id"),
-            posexplode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
-              .as(Seq("pos", "w")))
-        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        def big(tk: org.apache.spark.sql.DataFrame) = tk
-          .withColumn("w2", lead(col("w"), 1).over(wd))
-          .where(col("w2").isNotNull)
-          .select(col("doc_id"), col("w").as("w1"), col("w2"))
-        val train = toks(col("doc_id") % 2 === 0).persist()
-        val trainBig = big(train).persist()
+        // Train bigrams derive SCAN-SIDE (wordNgrams — no posexplode +
+        // lead window shuffling the token relation; r14) and are
+        // localCheckpointed: four downstream consumers (bcnt/ctx/cont/
+        // n1pp) each read materialized blocks behind a leaf-sized plan
+        // instead of re-inlining the derivation (see
+        // graft.dedup.Dedup.ngramJaccardPairs for the measured rationale).
+        val trainBig = wordNgrams(docs, 2, col("doc_id") % 2 === 0)
+          .localCheckpoint(true)
         val bcnt = trainBig.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
         val ctx = trainBig.groupBy("w1")
           .agg(count(lit(1)).as("c1"), countDistinct(col("w2")).as("n1v"))
         val cont = trainBig.select("w1", "w2").distinct()
           .groupBy("w2").agg(count(lit(1)).as("n1w"))
         val n1pp = trainBig.select("w1", "w2").distinct().count()
-        val v = train.select("w").distinct().count()
+        val v = wordTokens(docs, col("doc_id") % 2 === 0)
+          .select("w").distinct().count()
         val sS = n1pp + v // Pcont denominator S = N1pp + V, a train constant
         val n1wS = coalesce(col("n1w"), lit(0L)) + 1
         val lp = when(col("c1").isNull,
@@ -3139,7 +3161,7 @@ object TextQueries {
             (greatest(lit(0L), lit(4L) * coalesce(col("c12"), lit(0L)) - 3)
               * lit(sS) + lit(3L) * col("n1v") * n1wS).cast("double")
               / (lit(4L) * col("c1") * lit(sS)).cast("double")))
-        val out = big(toks(col("doc_id") % 2 === 1))
+        val out = wordNgrams(docs, 2, col("doc_id") % 2 === 1)
           .join(bcnt, Seq("w1", "w2"), "left")
           .join(ctx, Seq("w1"), "left")
           .join(cont, Seq("w2"), "left")
@@ -3151,8 +3173,7 @@ object TextQueries {
               .as("avg_logprob"))
           .orderBy("doc_id")
           .persist()
-        out.count() // materialize while the train caches are live
-        train.unpersist(false); trainBig.unpersist(false)
+        out.count() // materialize the per-doc card eagerly
         out
       },
       oracle = Some("""

@@ -110,6 +110,7 @@ object CosineLsh {
       .orderBy("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize the (tiny) result eagerly
+    graft.dedup.Dedup.releaseLocal(base)
     result
   }
 
@@ -167,6 +168,8 @@ object CosineLsh {
       .orderBy("id_a", "id_b")
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize the (tiny) result eagerly
+    graft.dedup.Dedup.releaseLocal(baseD)
+    if (ownedH) graft.dedup.Dedup.releaseLocal(baseH)
     result
   }
 

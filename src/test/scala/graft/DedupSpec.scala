@@ -177,4 +177,34 @@ class DedupSpec extends AnyFunSuite {
       historyGramCounts = Some(Dedup.spanGramCounts(history)))
     assert(incr2.exceptAll(expected).isEmpty && expected.exceptAll(incr2).isEmpty)
   }
+
+  test("pair builders release their checkpointed intermediates deterministically") {
+    // r14: the pair pipelines localCheckpoint their multi-consumer
+    // intermediates (plan truncation — see Dedup.ngramJaccardPairs) and
+    // must release those blocks via Dedup.releaseLocal once the result is
+    // materialized, NOT wait for the ContextCleaner: a long-running
+    // driver (the streaming admission sinks) would otherwise accrete
+    // blocks per batch. After a builder returns, the only persistent RDDs
+    // beyond the baseline are the result's own cache blocks (<= 1 entry).
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(TestSpark.sf("sf0.01") + "/documents.parquet")
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    val builders = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("minHashLshPairs", () => Dedup.minHashLshPairs(docs, 0.8)),
+      ("ngramJaccardPairs", () => Dedup.ngramJaccardPairs(docs)),
+      ("winnowPairs", () => Dedup.winnowPairs(docs)),
+      ("simHashPairs", () => Dedup.simHashPairs(docs)),
+      ("minHashLshPairsIncremental", () => Dedup.minHashLshPairsIncremental(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1), 0.8)))
+    builders.foreach { case (name, build) =>
+      val result = build()
+      val extra = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+      assert(extra.size <= 1,
+        s"$name left ${extra.size} persistent RDDs beyond its result cache")
+      result.unpersist(true)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- baseline).isEmpty,
+        s"$name result unpersist did not clear the last block")
+    }
+  }
 }
